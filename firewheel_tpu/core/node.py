@@ -1,0 +1,170 @@
+"""The node abstraction: main-thread handles and pure compute kernels.
+
+The reference splits a node into a main-thread half (``AudioNode``) and a
+real-time half (``AudioNodeProcessor``) whose ``process`` mutates buffers in
+place (``crates/firewheel-core/src/node.rs:6-53``).  The TPU-native design
+keeps the same split, but the processor half is a *pure function*::
+
+    kernel(params, state, inputs[ch, F], in_mask[ch], info) ->
+        (outputs[ch, F], new_state, out_mask[ch])
+
+* ``params``  — a pytree staged from the host every dispatch.  Changing a
+  param never recompiles (it is an input), mirroring the reference's atomics
+  (e.g. ``volume.rs:10``).
+* ``state``   — a pytree of recurrent carries (phasors, filter taps,
+  playheads), threaded through ``lax.scan`` across blocks.  This replaces
+  the processor's ``&mut self``.
+* ``in_mask``/``out_mask`` — traced silence-mask boolean vectors
+  (``node.rs:94-118`` ``ProcInfo``).  On TPU masks are semantics, not a
+  skip-work branch.
+
+Kernels must be traceable (no data-dependent Python control flow), vmappable
+(batching over graph instances) and scannable (block chaining).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "StreamStatus",
+    "AudioNodeInfo",
+    "BlockInfo",
+    "NodeProcessor",
+    "AudioNode",
+    "NodeActivationError",
+    "MAX_PORTS",
+]
+
+# Hard engine constant: at most 64 ports per node, the silence-mask width
+# (node.rs:62,69; silence_mask.rs:23-29).
+MAX_PORTS = 64
+
+
+class StreamStatus(enum.IntFlag):
+    """Stream status bitflags (node.rs:120-132)."""
+
+    NONE = 0
+    INPUT_OVERFLOW = 0b01
+    OUTPUT_UNDERFLOW = 0b10
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioNodeInfo:
+    """Port-count constraints and update opt-in (node.rs:57-90)."""
+
+    num_min_supported_inputs: int = 0
+    num_max_supported_inputs: int = 0
+    num_min_supported_outputs: int = 0
+    num_max_supported_outputs: int = 0
+    updates: bool = False
+
+    def __post_init__(self):
+        assert self.num_max_supported_inputs <= MAX_PORTS
+        assert self.num_max_supported_outputs <= MAX_PORTS
+
+
+class BlockInfo(NamedTuple):
+    """Per-block metadata passed to every kernel (the ``ProcInfo`` analog,
+    node.rs:94-118).  All leaves are traced scalars so a single compiled
+    program serves every block.
+
+    ``stream_time_secs`` — seconds from stream start to this block's first
+    frame (f32).
+    ``stream_sample`` — absolute sample index of the block's first frame
+    (uint32; wraps after ~24.8 h at 48 kHz).
+    ``stream_status`` — :class:`StreamStatus` bits (uint32).
+    """
+
+    stream_time_secs: jnp.ndarray
+    stream_sample: jnp.ndarray
+    stream_status: jnp.ndarray
+
+    @staticmethod
+    def make(stream_time_secs=0.0, stream_sample=0, stream_status=0) -> "BlockInfo":
+        return BlockInfo(
+            stream_time_secs=jnp.asarray(stream_time_secs, jnp.float32),
+            stream_sample=jnp.asarray(stream_sample, jnp.uint32),
+            stream_status=jnp.asarray(stream_status, jnp.uint32),
+        )
+
+
+class NodeActivationError(Exception):
+    """Raised by :meth:`AudioNode.activate` on invalid configuration
+    (the ``CompileGraphError::NodeActivationFailed`` payload,
+    ``graph/error.rs``)."""
+
+
+class NodeProcessor:
+    """The compute half of a node, created by :meth:`AudioNode.activate`.
+
+    Subclasses define :meth:`init_state`, :meth:`collect_params` and
+    :meth:`kernel`.  ``sample_rate``, ``max_block_frames`` and the port
+    counts are static (baked into the compiled program).
+    """
+
+    def __init__(
+        self,
+        sample_rate: int,
+        max_block_frames: int,
+        num_inputs: int,
+        num_outputs: int,
+    ):
+        self.sample_rate = int(sample_rate)
+        self.max_block_frames = int(max_block_frames)
+        self.num_inputs = int(num_inputs)
+        self.num_outputs = int(num_outputs)
+
+    # -- overridables --------------------------------------------------------
+    def init_state(self) -> Any:
+        """Initial recurrent-state pytree (may be ``()`` for stateless)."""
+        return ()
+
+    def collect_params(self) -> Any:
+        """Snapshot current host-side params as a pytree of numpy scalars.
+
+        Called on the host before each dispatch; this is the lock-free
+        param channel (the reference's ``AtomicF32`` loads, volume.rs:92).
+        """
+        return ()
+
+    def kernel(self, params, state, inputs, in_mask, info: BlockInfo):
+        """Pure per-block compute; see module docstring for the contract.
+
+        ``inputs`` is ``f32[num_inputs, F]`` and ``in_mask`` ``bool[num_inputs]``.
+        Must return ``(f32[num_outputs, F], new_state, bool[num_outputs])``.
+        """
+        raise NotImplementedError
+
+
+class AudioNode:
+    """Main-thread node handle (node.rs:6-34).
+
+    Holds user-facing parameters; :meth:`activate` validates the port
+    configuration and builds the :class:`NodeProcessor`.
+    """
+
+    debug_name: str = "node"
+
+    def info(self) -> AudioNodeInfo:
+        raise NotImplementedError
+
+    def activate(
+        self,
+        sample_rate: int,
+        max_block_frames: int,
+        num_inputs: int,
+        num_outputs: int,
+    ) -> NodeProcessor:
+        raise NotImplementedError
+
+    def deactivate(self, processor: NodeProcessor | None = None) -> None:
+        """Called when the processor half is retired (node.rs:25-28)."""
+
+    def update(self) -> None:
+        """Periodic main-thread hook; called only if ``info().updates``
+        (node.rs:30-34)."""

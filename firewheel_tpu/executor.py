@@ -1,0 +1,233 @@
+"""Schedule executor: lowers a :class:`CompiledSchedule` to fused XLA programs.
+
+This replaces the reference's interpreted hot loop
+(``CompiledSchedule::process``, ``schedule.rs:289-343`` walking node
+processors per block).  Here the walk happens once, at *trace* time: each
+scheduled node's kernel is inlined in topological order over SSA values (one
+per arena buffer), producing a single XLA computation that fuses the whole
+graph.  Buffer reuse — the reference's greedy allocator — comes for free from
+XLA's buffer assignment; the schedule's buffer indices serve as the SSA
+naming scheme connecting producers to consumers.
+
+Silence flags (``buffer_silence_flags``, schedule.rs:202) become traced
+booleans threaded alongside the SSA values; graph outputs honor them exactly
+like ``read_graph_outputs`` (schedule.rs:255-287) by forcing flagged
+channels to zero.
+
+Three program shapes are provided:
+
+* ``render_block``  — one block: the direct ``process_block`` analog.
+* ``render_chunk``  — K blocks chained through ``lax.scan`` (recurrent state
+  carried), amortizing dispatch overhead: the TPU analog of rendering many
+  blocks per wakeup.
+* both are pure and vmap-compatible: batching over independent graph
+  instances is ``jax.vmap`` over the leading axis of (params, state,
+  graph_in).
+
+Design note — why the graph_in node is special-cased: the reference fills
+graph-input buffers and flags in ``prepare_graph_inputs`` (schedule.rs:213-253)
+but then lets the graph_in dummy's process clobber the flags to non-silent in
+the same pass (schedule.rs:338-341 with the dummy's default mask).  We keep
+the documented intent: graph-input silence flags propagate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.node import BlockInfo, NodeProcessor
+from .graph.compiler import CompiledSchedule, NodeID
+
+__all__ = ["node_key", "ScheduleProgram"]
+
+
+def node_key(node_id: NodeID) -> str:
+    """Stable string key for state/param pytrees (dicts with string keys keep
+    jit-friendly pytree structure)."""
+    return repr(node_id)
+
+
+class ScheduleProgram:
+    """A compiled schedule bound to node processors, lowered to JAX fns.
+
+    Pure-functional contract::
+
+        out, out_mask, state' = render_block(params, state, graph_in,
+                                             in_mask, info)
+
+    with ``graph_in: f32[num_graph_inputs, F]``, ``out: f32[num_graph_outputs, F]``.
+    """
+
+    def __init__(
+        self,
+        schedule: CompiledSchedule,
+        processors: dict[NodeID, NodeProcessor],
+        sample_rate: int,
+        donate_state: bool = False,
+    ):
+        # Buffer donation of the state pytree is a minor win (state is tiny
+        # next to audio buffers) and is unsupported on some backends (e.g.
+        # the axon TPU tunnel), so it is opt-in.
+        self._donate = (1,) if donate_state else ()
+        self.schedule = schedule
+        self.sample_rate = int(sample_rate)
+        self.max_block_frames = schedule.max_block_frames
+        # Keyed copies for pytree plumbing.
+        self._procs: dict[str, NodeProcessor] = {
+            node_key(nid): proc for nid, proc in processors.items()
+        }
+        graph_in_node = schedule.schedule[0]
+        graph_out_node = schedule.schedule[-1]
+        self.num_graph_inputs = len(graph_in_node.output_buffers)
+        self.num_graph_outputs = len(graph_out_node.input_buffers)
+
+        self._jit_block = jax.jit(
+            functools.partial(self._render, self.max_block_frames),
+            donate_argnums=self._donate,
+        )
+        self._jit_chunk_cache: dict[int, Callable] = {}
+
+    # -- state / params ------------------------------------------------------
+    def init_state(self) -> dict[str, Any]:
+        return {key: proc.init_state() for key, proc in self._procs.items()}
+
+    def collect_params(self) -> dict[str, Any]:
+        """Host-side param snapshot for the next dispatch (the lock-free
+        param channel; volume.rs:92's atomic load analog)."""
+        return {key: proc.collect_params() for key, proc in self._procs.items()}
+
+    # -- tracing -------------------------------------------------------------
+    def _render(self, frames: int, params, state, graph_in, in_mask, info: BlockInfo):
+        """Trace one block through the schedule (schedule.rs:289-343)."""
+        sched = self.schedule.schedule
+        bufs: dict[int, jnp.ndarray] = {}
+        flags: dict[int, jnp.ndarray] = {}
+        new_state: dict[str, Any] = {}
+
+        # Graph inputs (prepare_graph_inputs, schedule.rs:213-253).
+        for i, ob in enumerate(sched[0].output_buffers):
+            bufs[ob.buffer_index] = graph_in[i]
+            flags[ob.buffer_index] = in_mask[i]
+        key0 = node_key(sched[0].id)
+        if key0 in self._procs:
+            new_state[key0] = state[key0]
+
+        zeros_row = jnp.zeros((frames,), jnp.float32)
+
+        # Interior nodes, in schedule order.
+        for sn in sched[1:-1]:
+            key = node_key(sn.id)
+            proc = self._procs[key]
+
+            in_rows, in_flags = [], []
+            for ib in sn.input_buffers:
+                if ib.should_clear:
+                    # Unconnected input: cleared + silent (schedule.rs:310-313).
+                    in_rows.append(zeros_row)
+                    in_flags.append(jnp.asarray(True))
+                else:
+                    in_rows.append(bufs[ib.buffer_index])
+                    in_flags.append(flags[ib.buffer_index])
+
+            inputs = (
+                jnp.stack(in_rows) if in_rows else jnp.zeros((0, frames), jnp.float32)
+            )
+            mask = (
+                jnp.stack(in_flags) if in_flags else jnp.zeros((0,), bool)
+            )
+
+            outputs, st, out_mask = proc.kernel(
+                params[key], state[key], inputs, mask, info
+            )
+            new_state[key] = st
+
+            for j, ob in enumerate(sn.output_buffers):
+                bufs[ob.buffer_index] = outputs[j]
+                flags[ob.buffer_index] = out_mask[j]
+
+        # Graph outputs (read_graph_outputs, schedule.rs:255-287): flagged
+        # channels read as zero, exactly like interleave-with-mask.
+        out_rows, out_flags = [], []
+        for ib in sched[-1].input_buffers:
+            if ib.should_clear:
+                out_rows.append(zeros_row)
+                out_flags.append(jnp.asarray(True))
+            else:
+                row, f = bufs[ib.buffer_index], flags[ib.buffer_index]
+                out_rows.append(jnp.where(f, jnp.zeros_like(row), row))
+                out_flags.append(f)
+        key_out = node_key(sched[-1].id)
+        if key_out in self._procs:
+            new_state[key_out] = state[key_out]
+
+        out = (
+            jnp.stack(out_rows)
+            if out_rows
+            else jnp.zeros((0, frames), jnp.float32)
+        )
+        out_mask = (
+            jnp.stack(out_flags) if out_flags else jnp.zeros((0,), bool)
+        )
+        return out, out_mask, new_state
+
+    # -- public render entry points ------------------------------------------
+    @property
+    def render_fn(self):
+        """Unjitted pure fn ``(params, state, graph_in, in_mask, info)`` —
+        compose with vmap/shard_map/scan as needed."""
+        return functools.partial(self._render, self.max_block_frames)
+
+    def render_block(self, params, state, graph_in, in_mask, info: BlockInfo):
+        """Jitted single-block render (donates ``state``)."""
+        return self._jit_block(params, state, graph_in, in_mask, info)
+
+    def chunk_fn(self, num_blocks: int):
+        """Build ``(params, state, graph_in[K,Ni,F], in_mask[K,Ni],
+        start_sample, status) -> (out[K,No,F], out_mask[K,No], state')``:
+        K blocks chained via ``lax.scan``.  Stream time/sample advance per
+        block exactly as the streaming clock would."""
+        frames = self.max_block_frames
+        render = self.render_fn
+        sr = jnp.float32(self.sample_rate)
+
+        def chunk(params, state, graph_in, in_mask, start_sample, status):
+            def body(carry, xs):
+                st, sample = carry
+                gi, im = xs
+                info = BlockInfo(
+                    stream_time_secs=sample.astype(jnp.float32) / sr,
+                    stream_sample=sample,
+                    stream_status=status,
+                )
+                out, om, st = render(params, st, gi, im, info)
+                return (st, sample + jnp.uint32(frames)), (out, om)
+
+            (state, _), (outs, masks) = jax.lax.scan(
+                body,
+                (state, jnp.asarray(start_sample, jnp.uint32)),
+                (graph_in, in_mask),
+            )
+            return outs, masks, state
+
+        return chunk
+
+    def render_chunk(self, params, state, graph_in, in_mask, start_sample=0, status=0):
+        """Jitted K-block scan render (K inferred from ``graph_in.shape[0]``)."""
+        k = graph_in.shape[0]
+        jitted = self._jit_chunk_cache.get(k)
+        if jitted is None:
+            jitted = jax.jit(self.chunk_fn(k), donate_argnums=self._donate)
+            self._jit_chunk_cache[k] = jitted
+        return jitted(
+            params,
+            state,
+            graph_in,
+            in_mask,
+            jnp.asarray(start_sample, jnp.uint32),
+            jnp.asarray(status, jnp.uint32),
+        )

@@ -1,0 +1,63 @@
+"""Hard clip node: clamp samples to ±threshold.
+
+Reference: ``crates/firewheel-graph/src/basic_nodes/hard_clip.rs:3-101`` —
+``out = min(max(in, -t), t)`` with ``t = db_to_gain_clamped_neg_100_db(db)``;
+silent input channels stay silent and the out mask copies the in mask.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.node import (
+    AudioNode,
+    AudioNodeInfo,
+    NodeActivationError,
+    NodeProcessor,
+    MAX_PORTS,
+)
+from ..core.units import db_to_gain_clamped_neg_100_db
+
+__all__ = ["HardClipNode", "HardClipProcessor"]
+
+
+class HardClipProcessor(NodeProcessor):
+    def __init__(self, threshold_gain, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self.threshold_gain = np.float32(threshold_gain)
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        t = jnp.float32(self.threshold_gain)
+        out = jnp.maximum(jnp.minimum(inputs, t), -t)
+        # Silent channels are zero-filled (hard_clip.rs:84-87); clip(0)=0 when
+        # t >= 0, but t can be 0 exactly — -0.0 vs 0.0 is tolerable.
+        return out, state, in_mask
+
+
+class HardClipNode(AudioNode):
+    debug_name = "hard_clip"
+
+    def __init__(self, threshold_db: float):
+        self.threshold_gain = float(
+            db_to_gain_clamped_neg_100_db(np.float32(threshold_db))
+        )
+
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(
+            num_min_supported_inputs=1,
+            num_max_supported_inputs=MAX_PORTS,
+            num_min_supported_outputs=1,
+            num_max_supported_outputs=MAX_PORTS,
+        )
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        if num_inputs != num_outputs:
+            raise NodeActivationError(
+                "The number of inputs on a HardClip node must equal the "
+                f"number of outputs. Got num_inputs: {num_inputs}, "
+                f"num_outputs: {num_outputs}"
+            )
+        return HardClipProcessor(
+            self.threshold_gain, sample_rate, max_block_frames, num_inputs, num_outputs
+        )

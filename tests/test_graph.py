@@ -1,0 +1,152 @@
+"""AudioGraph API tests: mutation, error taxonomy, lifecycle
+(graph.rs:109-698)."""
+
+import pytest
+
+from firewheel_tpu.graph import (
+    AudioGraph,
+    AudioGraphConfig,
+    CycleDetected,
+    DstNodeNotFound,
+    EdgeAlreadyExists,
+    InPortOutOfRange,
+    NodeActivationFailed,
+    OutPortOutOfRange,
+    SrcNodeNotFound,
+)
+from firewheel_tpu.nodes import DummyAudioNode, VolumeNode
+
+
+def make_graph(nin=2, nout=2):
+    return AudioGraph(AudioGraphConfig(num_graph_inputs=nin, num_graph_outputs=nout))
+
+
+def test_add_and_query_nodes():
+    g = make_graph()
+    node = DummyAudioNode()
+    nid = g.add_node(2, 3, node)
+    assert g.node(nid) is node
+    info = g.node_info(nid)
+    assert info.num_inputs == 2 and info.num_outputs == 3
+    assert nid.debug_name == "dummy"
+    assert len(list(g.nodes())) == 3  # includes the two sentinels
+
+
+def test_connect_errors():
+    g = make_graph()
+    a = g.add_node(1, 1, DummyAudioNode())
+    b = g.add_node(1, 1, DummyAudioNode())
+    g.connect(a, 0, b, 0)
+    with pytest.raises(EdgeAlreadyExists):
+        g.connect(a, 0, b, 0)
+    with pytest.raises(OutPortOutOfRange):
+        g.connect(a, 5, b, 0)
+    with pytest.raises(InPortOutOfRange):
+        g.connect(a, 0, b, 5)
+    with pytest.raises(CycleDetected):
+        g.connect(a, 0, a, 0)  # self-loop (graph.rs:431-433)
+    removed = g.remove_node(b)
+    assert len(removed) == 1
+    with pytest.raises(DstNodeNotFound):
+        g.connect(a, 0, b, 0)
+    with pytest.raises(SrcNodeNotFound):
+        g.connect(b, 0, a, 0)
+
+
+def test_connect_with_cycle_check_rolls_back():
+    g = make_graph()
+    a = g.add_node(1, 1, DummyAudioNode())
+    b = g.add_node(1, 1, DummyAudioNode())
+    g.connect(a, 0, b, 0)
+    with pytest.raises(CycleDetected):
+        g.connect(b, 0, a, 0, check_for_cycles=True)
+    # rollback: the edge must be gone and the input port free again
+    assert len(list(g.edges())) == 1
+    c = g.add_node(1, 1, DummyAudioNode())
+    g.connect(c, 0, a, 0)  # port a:0 must be connectable
+
+
+def test_remove_node_cascades_edges():
+    g = make_graph()
+    a = g.add_node(1, 2, DummyAudioNode())
+    b = g.add_node(2, 1, DummyAudioNode())
+    g.connect(a, 0, b, 0)
+    g.connect(a, 1, b, 1)
+    g.connect(b, 0, g.graph_out_node(), 0)
+    removed = g.remove_node(b)
+    assert len(removed) == 3
+    assert len(list(g.edges())) == 0
+
+
+def test_remove_sentinels_fails():
+    g = make_graph()
+    with pytest.raises(ValueError):
+        g.remove_node(g.graph_in_node())
+    with pytest.raises(ValueError):
+        g.remove_node(g.graph_out_node())
+
+
+def test_set_num_ports_removes_out_of_range_edges():
+    g = make_graph()
+    a = g.add_node(0, 2, DummyAudioNode())
+    b = g.add_node(2, 0, DummyAudioNode())
+    g.connect(a, 0, b, 0)
+    g.connect(a, 1, b, 1)
+    removed = g.set_num_inputs(b, 1)
+    assert len(removed) == 1
+    assert len(list(g.edges())) == 1
+    removed = g.set_num_outputs(a, 0)
+    assert len(removed) == 1
+    assert len(list(g.edges())) == 0
+    # growing back leaves ports free
+    g.set_num_inputs(b, 2)
+    g.set_num_outputs(a, 2)
+    g.connect(a, 1, b, 1)
+
+
+def test_disconnect():
+    g = make_graph()
+    a = g.add_node(0, 1, DummyAudioNode())
+    b = g.add_node(1, 0, DummyAudioNode())
+    g.connect(a, 0, b, 0)
+    assert g.disconnect(a, 0, b, 0)
+    assert not g.disconnect(a, 0, b, 0)
+    # port is free again
+    g.connect(a, 0, b, 0)
+
+
+def test_reset_keeps_sentinels():
+    g = make_graph()
+    g.add_node(1, 1, DummyAudioNode())
+    g.add_node(1, 1, DummyAudioNode())
+    g.reset()
+    assert len(list(g.nodes())) == 2
+
+
+def test_needs_compile_flag():
+    g = make_graph()
+    assert g.needs_compile()
+    g.compile(48000, 128)
+    assert not g.needs_compile()
+    a = g.add_node(0, 1, DummyAudioNode())
+    assert g.needs_compile()
+    g.compile(48000, 128)
+    g.connect(a, 0, g.graph_out_node(), 0)
+    assert g.needs_compile()
+
+
+def test_activation_failure_rolls_back():
+    # VolumeNode requires num_inputs == num_outputs (volume.rs:63-66)
+    g = make_graph()
+    g.add_node(1, 2, VolumeNode(100.0))
+    with pytest.raises(NodeActivationFailed):
+        g.compile(48000, 128)
+
+
+def test_node_id_generation_distinguishes_reuse():
+    g = make_graph()
+    a = g.add_node(1, 1, DummyAudioNode())
+    g.remove_node(a)
+    b = g.add_node(1, 1, DummyAudioNode())
+    # b may reuse a's slot but must not compare equal (thunderdome semantics)
+    assert a != b
