@@ -11,6 +11,28 @@ shard across chips via ``jax.sharding``.
 This module mirrors the reference's umbrella crate (``src/lib.rs:1-8``).
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: live graph edits retrace/recompile, and
+# first compiles through remote TPU tunnels are slow (minutes); the cache
+# makes every schedule shape a one-time cost across processes.  Opt out with
+# FIREWHEEL_TPU_NO_CACHE=1; relocate with FIREWHEEL_TPU_CACHE_DIR.
+if not _os.environ.get("FIREWHEEL_TPU_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "FIREWHEEL_TPU_CACHE_DIR",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "firewheel_tpu", "xla"
+            ),
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from .core import (
     AudioNode,
     AudioNodeInfo,
@@ -38,7 +60,19 @@ from .graph import (
     SchedulePackage,
 )
 from .executor import ScheduleProgram, node_key
-from . import nodes
+from .context import GraphContext, UpdateResult, UpdateStatus
+from .processor import GraphProcessor, ProcessorStatus
+from .backend import (
+    ArraySink,
+    DeviceInfo,
+    FirewheelCtx,
+    OutputStream,
+    RingBuffer,
+    StreamConfig,
+    WavSink,
+    available_output_devices,
+)
+from . import nodes, utils
 
 __version__ = "0.1.0"
 
@@ -67,5 +101,19 @@ __all__ = [
     "SchedulePackage",
     "ScheduleProgram",
     "node_key",
+    "GraphContext",
+    "UpdateResult",
+    "UpdateStatus",
+    "GraphProcessor",
+    "ProcessorStatus",
+    "ArraySink",
+    "DeviceInfo",
+    "FirewheelCtx",
+    "OutputStream",
+    "RingBuffer",
+    "StreamConfig",
+    "WavSink",
+    "available_output_devices",
     "nodes",
+    "utils",
 ]

@@ -1,0 +1,182 @@
+"""FirewheelCtx: the top-level engine context with a streaming backend.
+
+Mirrors ``crates/firewheel-cpal/src/lib.rs`` (``FirewheelCpalCtx``):
+``activate`` builds the output stream + processor and hands the processor to
+the stream; ``update()`` pumps the graph context and pops the stream-error
+channel, deactivating cleanly on stream failure and returning the user
+context so the caller can re-activate on a new device (the fault-tolerance
+headline, README.md:24).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Optional
+
+from ..channels import MessageChannel
+from ..context import GraphContext, UpdateResult, UpdateStatus
+from ..graph.graph import AudioGraph, AudioGraphConfig
+from .device_info import DeviceInfo, available_output_devices
+from .stream import OutputStream, StreamConfig
+
+log = logging.getLogger(__name__)
+
+__all__ = ["FirewheelCtx"]
+
+MSG_CHANNEL_CAPACITY = 4  # firewheel-cpal/src/lib.rs:13
+
+
+@dataclasses.dataclass
+class _ActiveStream:
+    stream: OutputStream
+    from_err: MessageChannel
+    out_device_name: str
+    config: StreamConfig
+
+
+class FirewheelCtx:
+    """The engine facade (``FirewheelCtx`` alias, src/lib.rs:8)."""
+
+    def __init__(self, graph_config: AudioGraphConfig = AudioGraphConfig()):
+        self._cx = GraphContext(graph_config)
+        self._active: Optional[_ActiveStream] = None
+
+    # -- graph access (lib.rs:37-42) ------------------------------------------
+    @property
+    def graph(self) -> AudioGraph:
+        return self._cx.graph
+
+    def graph_mut(self) -> AudioGraph:
+        return self._cx.graph
+
+    def available_output_devices(self) -> list[DeviceInfo]:
+        return available_output_devices()
+
+    # -- activation (lib.rs:102-259) ------------------------------------------
+    def activate(
+        self,
+        stream_config: Optional[StreamConfig] = None,
+        sink: Any = None,
+        input_source=None,
+        user_cx: Any = None,
+        duration_secs: Optional[float] = None,
+    ) -> None:
+        """Start the output stream and activate the graph context.
+
+        ``max_block_frames`` is the stream buffer size (default 1024,
+        lib.rs:190-193).
+        """
+        if self._active is not None:
+            raise RuntimeError("context is already activated")
+        cfg = stream_config or StreamConfig()
+
+        devices = self.available_output_devices()
+        out_device_name = devices[0].name if devices else "offline"
+        log.info(
+            "Starting output audio stream with device %r (%d ch @ %d Hz, "
+            "buffer %d)",
+            out_device_name,
+            cfg.num_out_channels,
+            cfg.sample_rate,
+            cfg.buffer_frames,
+        )
+
+        processor = self._cx.activate(
+            cfg.sample_rate,
+            cfg.num_in_channels,
+            cfg.num_out_channels,
+            cfg.buffer_frames,
+            user_cx if user_cx is not None else object(),
+        )
+        assert processor is not None
+
+        from_err = MessageChannel(MSG_CHANNEL_CAPACITY)
+        stream = OutputStream(
+            processor,
+            cfg,
+            sink=sink,
+            input_source=input_source,
+            err_channel=from_err,
+            duration_secs=duration_secs,
+        )
+        # Ship the first schedule and AOT-compile it before the stream starts
+        # pulling, so the first buffer never stalls on XLA compilation.
+        self._cx.update()
+        processor.warmup()
+        stream.play()
+
+        self._active = _ActiveStream(stream, from_err, out_device_name, cfg)
+
+    def is_activated(self) -> bool:
+        return self._cx.is_activated()
+
+    # -- per-frame pump (lib.rs:280-325) --------------------------------------
+    def update(self) -> UpdateResult:
+        if self._active is not None:
+            err = self._active.from_err.pop()
+            if err is not None:
+                self._active.stream.stop()
+                # Unlike the reference (whose audio thread died with the
+                # stream, lib.rs:288-291), our processor still runs on this
+                # thread — complete the full stop handshake via drain.
+                user_cx = self._cx.deactivate(
+                    True, pump=self._active.stream.drain
+                )
+                self._active = None
+                return UpdateResult(
+                    UpdateStatus.DEACTIVATED,
+                    error=err,
+                    returned_user_cx=user_cx,
+                )
+        result = self._cx.update()
+        if self._active is not None:
+            # Render ahead on this thread (see backend/stream.py: all device
+            # work rides the caller's thread).
+            self._active.stream.pump()
+            if self._active.stream.error is not None:
+                # surfaced on the next update() via the error channel
+                pass
+        if result.status == UpdateStatus.DEACTIVATED and self._active is not None:
+            self._active.stream.stop()
+            self._active = None
+        return result
+
+    # -- shutdown (lib.rs:330-338) --------------------------------------------
+    def deactivate(self) -> Any:
+        if not self._cx.is_activated():
+            return None
+        stream = self._active.stream if self._active else None
+        user_cx = self._cx.deactivate(
+            self._active is not None,
+            pump=(stream.drain if stream is not None else None),
+        )
+        if self._active is not None:
+            self._active.stream.stop()
+            self._active = None
+        return user_cx
+
+    # -- conveniences ---------------------------------------------------------
+    def render_offline(self, duration_secs: float) -> None:
+        """Render ``duration_secs`` of audio to the sink as fast as the
+        device allows (bounce-to-disk), pumping ``update()`` throughout so
+        live graph edits during the render still apply."""
+        assert self._active is not None, "activate() first"
+        target = self._active.stream.frames_rendered + int(
+            duration_secs * self._active.config.sample_rate
+        )
+        while self._active and self._active.stream.frames_rendered < target:
+            res = self.update()
+            if res.status != UpdateStatus.ACTIVE:
+                break
+
+    @property
+    def stream(self) -> Optional[OutputStream]:
+        return self._active.stream if self._active else None
+
+    def __del__(self):
+        try:
+            if self._cx.is_activated():
+                self.deactivate()
+        except Exception:
+            pass

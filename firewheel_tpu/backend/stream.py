@@ -1,0 +1,314 @@
+"""The host streaming backend: replaces the reference's CPAL/OS-audio layer.
+
+Behavioral spec: ``crates/firewheel-cpal/src/lib.rs`` — especially the data
+callback (lib.rs:378-449): per-buffer stream clock, underflow detection via
+the predicted-time heuristic with a ×1.2 wiggle factor (lib.rs:404-418),
+processor hand-off, and a stream-error channel feeding fault tolerance in
+``update()`` (lib.rs:286-297).
+
+Architecture (TPU twist): the reference renders *on* the audio thread; a TPU
+renders on the device, asynchronously, and some TPU transports (the axon
+tunnel) only serve one host thread reliably.  So all device work rides the
+caller's thread — ``OutputStream.pump()`` is invoked from the context's
+``update()`` (the per-game-frame hook the engine already requires,
+context.rs:93) and renders ahead into the native SPSC ring buffer.  The only
+worker thread is the **paced consumer**: pure numpy + ring reads, zero JAX,
+draining frames to the sink at the stream rate and reporting starvation →
+``OUTPUT_UNDERFLOW`` (exactly the cpal callback's role):
+
+    update()/pump() ──render──> ring buffer ──paced thread──> sink
+
+In offline mode there is no pacing: ``pump()`` (or ``render_offline``)
+pushes straight to the sink as fast as the device renders, for
+bounce-to-disk use.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from ..channels import MessageChannel
+from ..core.node import StreamStatus
+from ..processor import GraphProcessor, ProcessorStatus
+from .ring_buffer import RingBuffer
+
+log = logging.getLogger(__name__)
+
+__all__ = ["StreamConfig", "StreamError", "OutputStream", "ArraySink", "WavSink"]
+
+
+class StreamError(Exception):
+    pass
+
+
+class StreamConfig:
+    """Output stream parameters (the cpal ``StreamConfig`` analog)."""
+
+    def __init__(
+        self,
+        sample_rate: int = 48000,
+        num_out_channels: int = 2,
+        num_in_channels: int = 0,
+        buffer_frames: int = 1024,  # cpal default (lib.rs:190-193)
+        realtime: bool = False,
+        lookahead_buffers: int = 4,
+    ):
+        self.sample_rate = sample_rate
+        self.num_out_channels = num_out_channels
+        self.num_in_channels = num_in_channels
+        self.buffer_frames = buffer_frames
+        self.realtime = realtime
+        self.lookahead_buffers = lookahead_buffers
+
+
+class ArraySink:
+    """Collects rendered interleaved frames into memory."""
+
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []
+
+    def write(self, interleaved: np.ndarray, num_channels: int):
+        self._chunks.append(interleaved.copy())
+
+    def audio(self, num_channels: int) -> np.ndarray:
+        """``[channels, frames]`` float32."""
+        if not self._chunks:
+            return np.zeros((num_channels, 0), np.float32)
+        flat = np.concatenate(self._chunks)
+        frames = len(flat) // num_channels
+        return flat[: frames * num_channels].reshape(frames, num_channels).T.copy()
+
+
+class WavSink:
+    """Streams rendered audio to a WAV file (written by ``close()``)."""
+
+    def __init__(self, path: str, sample_rate: int, num_channels: int):
+        self.path = path
+        self.sample_rate = sample_rate
+        self.num_channels = num_channels
+        self._sink = ArraySink()
+
+    def write(self, interleaved: np.ndarray, num_channels: int):
+        self._sink.write(interleaved, num_channels)
+
+    def close(self):
+        from ..utils.wav import write_wav
+
+        write_wav(
+            self.path, self._sink.audio(self.num_channels), self.sample_rate
+        )
+
+
+class OutputStream:
+    """An active output stream driving a :class:`GraphProcessor`.
+
+    The ``DataCallback`` analog: owns the stream clock and underflow
+    heuristic (lib.rs:386-419) and forwards buffers to the processor.
+    """
+
+    def __init__(
+        self,
+        processor: GraphProcessor,
+        config: StreamConfig,
+        sink: Any = None,
+        input_source: Optional[Callable[[int], np.ndarray]] = None,
+        err_channel: Optional[MessageChannel] = None,
+        duration_secs: Optional[float] = None,
+    ):
+        self.config = config
+        self.sink = sink if sink is not None else ArraySink()
+        self.input_source = input_source
+        self._err = err_channel
+        self._processor = processor
+        self._duration = duration_secs
+
+        cap = (
+            config.buffer_frames
+            * config.num_out_channels
+            * max(2, config.lookahead_buffers + 1)
+        )
+        self._ring = RingBuffer(cap)
+        self._stop = threading.Event()
+        self._underflow_flag = threading.Event()
+        self._consumer_thread: Optional[threading.Thread] = None
+        self._frames_rendered = 0
+        self._underflow_count = 0
+        self._playing = False
+        self._dropped = False
+        self.error: Optional[BaseException] = None
+
+        n_out = config.num_out_channels
+        self._out_buf = np.zeros(config.buffer_frames * n_out, np.float32)
+        self._in_buf = np.zeros(
+            config.buffer_frames * config.num_in_channels, np.float32
+        )
+
+    # -- lifecycle ------------------------------------------------------------
+    def play(self):
+        self._playing = True
+        if self.config.realtime:
+            self._consumer_thread = threading.Thread(
+                target=self._paced_consumer, name="fw-stream", daemon=True
+            )
+            self._consumer_thread.start()
+
+    def stop(self, timeout: float = 10.0):
+        self._playing = False
+        self._stop.set()
+        if self._consumer_thread is not None:
+            self._consumer_thread.join(timeout)
+            self._consumer_thread = None
+        if hasattr(self.sink, "close"):
+            try:
+                self.sink.close()
+            except Exception:
+                pass
+
+    @property
+    def frames_rendered(self) -> int:
+        return self._frames_rendered
+
+    @property
+    def underflow_count(self) -> int:
+        return self._underflow_count
+
+    @property
+    def finished(self) -> bool:
+        """True once a fixed-duration render has produced every frame."""
+        return (
+            self._duration is not None
+            and self._frames_rendered >= self._duration * self.config.sample_rate
+        )
+
+    # -- render side (caller's thread; the cpal callback body) ----------------
+    def pump(self, max_buffers: int = 8) -> int:
+        """Render up to ``max_buffers`` stream buffers; returns frames
+        rendered.  Called from the context's ``update()``.
+
+        Realtime mode renders only as far ahead as the ring has space
+        (backpressure = lookahead depth); offline mode is bounded only by
+        ``max_buffers`` and the configured duration.
+        """
+        if not self._playing or self.error is not None or self._dropped:
+            return 0
+        cfg = self.config
+        frames = cfg.buffer_frames
+        n_out = cfg.num_out_channels
+        n_in = cfg.num_in_channels
+        sample_rate_recip = 1.0 / cfg.sample_rate
+        max_frames = (
+            int(self._duration * cfg.sample_rate)
+            if self._duration is not None
+            else None
+        )
+
+        rendered = 0
+        try:
+            for _ in range(max_buffers):
+                if max_frames is not None and self._frames_rendered >= max_frames:
+                    break
+                if cfg.realtime and self._ring.writable() < frames * n_out:
+                    break
+
+                stream_time_secs = self._frames_rendered * sample_rate_recip
+                status = StreamStatus.NONE
+                if self._underflow_flag.is_set():
+                    self._underflow_flag.clear()
+                    status |= StreamStatus.OUTPUT_UNDERFLOW
+                    self._underflow_count += 1
+
+                if self.input_source is not None and n_in > 0:
+                    self._in_buf[:] = np.asarray(
+                        self.input_source(frames), np.float32
+                    ).reshape(-1)
+
+                st = self._processor.process_interleaved(
+                    self._in_buf,
+                    self._out_buf,
+                    n_in,
+                    n_out,
+                    frames,
+                    stream_time_secs,
+                    status,
+                )
+                self._frames_rendered += frames
+                rendered += frames
+
+                if cfg.realtime:
+                    written = 0
+                    while written < self._out_buf.size:
+                        w = self._ring.write(self._out_buf[written:])
+                        written += w
+                        if written < self._out_buf.size:
+                            time.sleep(0.0005)
+                else:
+                    self.sink.write(self._out_buf, n_out)
+
+                if st == ProcessorStatus.DROP_PROCESSOR:
+                    self._processor.drop()
+                    self._dropped = True
+                    self._playing = False
+                    break
+        except Exception as e:  # fault tolerance (lib.rs:212-214, 286-297)
+            log.error("stream error: %s", e)
+            self.error = e
+            if self._err is not None:
+                try:
+                    self._err.push(e)
+                except Exception:
+                    pass
+        return rendered
+
+    def drain(self) -> None:
+        """Finish the processor drop handshake if a stop arrived
+        (offline streams with no paced thread)."""
+        if not self._dropped and self._processor is not None:
+            st = self._processor.process_interleaved(
+                self._in_buf,
+                self._out_buf,
+                self.config.num_in_channels,
+                self.config.num_out_channels,
+                self.config.buffer_frames,
+                self._frames_rendered / self.config.sample_rate,
+            )
+            if st == ProcessorStatus.DROP_PROCESSOR:
+                self._processor.drop()
+                self._dropped = True
+
+    # -- paced consumer (realtime mode; no JAX on this thread) ----------------
+    def _paced_consumer(self):
+        cfg = self.config
+        period = cfg.buffer_frames / cfg.sample_rate
+        buf = np.zeros(cfg.buffer_frames * cfg.num_out_channels, np.float32)
+        # underflow heuristic mirrors lib.rs:404-418: wall clock past the
+        # predicted stream time (with ×1.2 wiggle) means a break occurred.
+        next_deadline = time.monotonic() + period
+        predicted_wiggle = period * 1.2
+        while not self._stop.is_set():
+            now = time.monotonic()
+            delay = next_deadline - now
+            if delay > 0:
+                time.sleep(delay)
+            elif -delay > predicted_wiggle:
+                self._underflow_flag.set()
+            next_deadline += period
+
+            got = self._ring.read(buf)
+            if got < buf.size:
+                buf[got:] = 0.0
+                self._underflow_flag.set()
+            try:
+                self.sink.write(buf, cfg.num_out_channels)
+            except Exception as e:
+                self.error = e
+                if self._err is not None:
+                    try:
+                        self._err.push(e)
+                    except Exception:
+                        pass
+                return

@@ -175,6 +175,20 @@ class ScheduleProgram:
         )
         return out, out_mask, new_state
 
+    def warmup(self, params, state) -> None:
+        """Compile the block renderer by executing one throwaway block.
+
+        Rendering is pure, so executing with the current state and silent
+        inputs and *discarding* the results advances nothing.  (A plain
+        ``lower().compile()`` is not enough: some backends — e.g. the axon
+        TPU tunnel — defer the real device compile to first execution.)
+        """
+        gi = jnp.zeros((self.num_graph_inputs, self.max_block_frames), jnp.float32)
+        im = jnp.zeros((self.num_graph_inputs,), bool)
+        info = BlockInfo.make()
+        out, _, _ = self._jit_block(params, state, gi, im, info)
+        jax.block_until_ready(out)
+
     # -- public render entry points ------------------------------------------
     @property
     def render_fn(self):

@@ -1,0 +1,307 @@
+"""The graph processor: the render-side executor with live schedule swaps.
+
+Mirrors ``crates/firewheel-graph/src/processor.rs`` (``FirewheelProcessor``):
+it owns the node processors and their recurrent state, receives compiled
+schedules over a bounded channel, chunks stream buffers into blocks, and
+ships retired schedules/processors back to the context thread so nothing is
+deallocated on the render path (processor.rs:167-206, 251-263).
+
+TPU twist: "processing a block" is dispatching the fused XLA program
+(:class:`~firewheel_tpu.executor.ScheduleProgram`); node state is a pytree
+dict that *migrates* across schedule swaps — surviving nodes keep their
+state arrays (the ``ScheduleHeapData`` round-trip made functional), new
+nodes get ``init_state()``, removed nodes' processors are returned for
+deactivation off the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .channels import ChannelFull, MessageChannel
+from .core.interleave import deinterleave, interleave, interleave_stereo
+from .core.node import BlockInfo, NodeProcessor, StreamStatus
+from .core.silence_mask import SilenceMask, mask_from_bools, mask_to_bools
+from .executor import ScheduleProgram, node_key
+from .graph.compiler import NodeID
+from .graph.graph import SchedulePackage
+
+log = logging.getLogger(__name__)
+
+__all__ = [
+    "ProcessorStatus",
+    "ContextToProcessorMsg",
+    "ProcessorToContextMsg",
+    "GraphProcessor",
+]
+
+
+class ProcessorStatus(enum.Enum):
+    """processor.rs:11-16."""
+
+    OK = "ok"
+    DROP_PROCESSOR = "drop_processor"
+
+
+@dataclasses.dataclass
+class ContextToProcessorMsg:
+    """processor.rs:265-268: NewSchedule(package) | Stop."""
+
+    new_schedule: Optional[SchedulePackage] = None
+    stop: bool = False
+
+
+@dataclasses.dataclass
+class ProcessorToContextMsg:
+    """processor.rs:270-277: ReturnSchedule(package) | Dropped{...}."""
+
+    returned_schedule: Optional[SchedulePackage] = None
+    dropped_nodes: Optional[dict[NodeID, NodeProcessor]] = None
+    dropped_user_cx: Any = None
+    is_dropped: bool = False
+
+
+class GraphProcessor:
+    """Render-side half of the engine (FirewheelProcessor analog)."""
+
+    def __init__(
+        self,
+        from_ctx: MessageChannel,
+        to_ctx: MessageChannel,
+        num_stream_in_channels: int,
+        num_stream_out_channels: int,
+        sample_rate: int,
+        max_block_frames: int,
+        user_cx: Any = None,
+    ):
+        assert num_stream_in_channels <= 64
+        assert num_stream_out_channels <= 64
+        self._from_ctx = from_ctx
+        self._to_ctx = to_ctx
+        self.num_stream_in_channels = num_stream_in_channels
+        self.num_stream_out_channels = num_stream_out_channels
+        self.sample_rate = int(sample_rate)
+        self.max_block_frames = int(max_block_frames)
+        self.user_cx = user_cx
+
+        self._processors: dict[NodeID, NodeProcessor] = {}
+        self._package: Optional[SchedulePackage] = None
+        self._program: Optional[ScheduleProgram] = None
+        self._state: dict[str, Any] = {}
+        self._running = True
+
+        # scratch for host-side (de)interleaving
+        self._in_scratch = np.zeros(
+            (num_stream_in_channels, max_block_frames), np.float32
+        )
+
+    # -- message pump (processor.rs:167-206) ----------------------------------
+    def poll_messages(self) -> None:
+        while True:
+            msg = self._from_ctx.pop()
+            if msg is None:
+                return
+            if msg.stop:
+                self._running = False
+            elif msg.new_schedule is not None:
+                self._install_schedule(msg.new_schedule)
+
+    def _install_schedule(self, new_package: SchedulePackage) -> None:
+        assert new_package.schedule.max_block_frames == self.max_block_frames
+
+        old_package = self._package
+
+        # Retire removed nodes: processors go back for deactivation
+        # (processor.rs:176-193); their state is dropped.
+        if old_package is not None:
+            for node_id in new_package.nodes_to_remove:
+                proc = self._processors.pop(node_id, None)
+                if proc is not None:
+                    old_package.removed_node_processors.append((node_id, proc))
+                self._state.pop(node_key(node_id), None)
+            try:
+                self._to_ctx.push(
+                    ProcessorToContextMsg(returned_schedule=old_package)
+                )
+            except ChannelFull:  # pragma: no cover
+                log.error("processor→context channel full; dropping schedule")
+
+        # Install new processors + init their state.
+        for node_id, proc in new_package.new_node_processors:
+            assert node_id not in self._processors
+            self._processors[node_id] = proc
+            self._state[node_key(node_id)] = proc.init_state()
+        new_package.new_node_processors = []
+
+        self._package = new_package
+        self._program = ScheduleProgram(
+            new_package.schedule, self._processors, self.sample_rate
+        )
+        # Prune state for nodes no longer scheduled (e.g. after deactivate).
+        live = {node_key(nid) for nid in self._processors}
+        self._state = {k: v for k, v in self._state.items() if k in live}
+
+    def warmup(self) -> None:
+        """Install any pending schedule and AOT-compile its program so the
+        first stream buffer doesn't stall on XLA compilation."""
+        self.poll_messages()
+        if self._program is not None:
+            try:
+                self._program.warmup(
+                    self._program.collect_params(), self._state
+                )
+            except Exception as e:  # pragma: no cover
+                log.warning("warmup compile failed: %s", e)
+
+    # -- hot path (processor.rs:61-165) ---------------------------------------
+    def process_interleaved(
+        self,
+        input_buffer: np.ndarray,
+        output_buffer: np.ndarray,
+        num_in_channels: int,
+        num_out_channels: int,
+        frames: int,
+        stream_time_secs: float,
+        stream_status: StreamStatus = StreamStatus.NONE,
+    ) -> ProcessorStatus:
+        if not self._running:
+            output_buffer[:] = 0.0
+            return ProcessorStatus.DROP_PROCESSOR
+
+        if self._program is None:
+            self.poll_messages()
+            if not self._running:
+                output_buffer[:] = 0.0
+                return ProcessorStatus.DROP_PROCESSOR
+
+        if self._program is None or frames == 0:
+            output_buffer[:] = 0.0
+            return ProcessorStatus.OK
+
+        assert input_buffer.size == frames * num_in_channels
+        assert output_buffer.size == frames * num_out_channels
+
+        program = self._program
+        n_gi = program.num_graph_inputs
+        n_go = program.num_graph_outputs
+
+        frames_processed = 0
+        while frames_processed < frames:
+            block = min(frames - frames_processed, self.max_block_frames)
+
+            self.poll_messages()
+            if not self._running:
+                output_buffer[frames_processed * num_out_channels :] = 0.0
+                break
+            program = self._program
+
+            # prepare graph inputs: deinterleave + silence mask
+            # (processor.rs:99-115 → schedule.rs:213)
+            gi = np.zeros((n_gi, self.max_block_frames), np.float32)
+            if n_gi > 0 and num_in_channels > 0:
+                mask = deinterleave(
+                    gi[:, :block],
+                    input_buffer[
+                        frames_processed * num_in_channels : (frames_processed + block)
+                        * num_in_channels
+                    ],
+                    num_in_channels,
+                    True,
+                )
+            else:
+                mask = SilenceMask.new_all_silent(n_gi)
+            im = mask_to_bools(mask, n_gi)
+
+            sample = frames_processed + int(
+                round(stream_time_secs * self.sample_rate)
+            )
+            info = BlockInfo.make(
+                stream_time_secs=np.float32(stream_time_secs),
+                stream_sample=np.uint32(sample & 0xFFFFFFFF),
+                stream_status=np.uint32(int(stream_status)),
+            )
+            # NOTE: blocks shorter than max_block_frames are rendered at full
+            # block size and truncated on read-out; phase-bearing state is
+            # rewound by re-rendering only at stream end, so we simply render
+            # `block` frames by slicing — state advance must match `block`.
+            if block == self.max_block_frames:
+                out, om, self._state = program.render_block(
+                    program.collect_params(),
+                    self._state,
+                    jnp.asarray(gi),
+                    jnp.asarray(im),
+                    info,
+                )
+                out_np = np.asarray(out)
+            else:
+                out_np, om = self._render_partial(program, gi, im, info, block)
+
+            out_mask = mask_from_bools(np.asarray(om))
+            out_view = output_buffer[
+                frames_processed * num_out_channels : (frames_processed + block)
+                * num_out_channels
+            ]
+            if n_go == 2 and num_out_channels == 2:
+                interleave_stereo(
+                    out_np[0, :block], out_np[1, :block], out_view, out_mask
+                )
+            else:
+                interleave(
+                    out_np[:, :block], out_view, num_out_channels, out_mask
+                )
+
+            frames_processed += block
+
+        return ProcessorStatus.OK if self._running else ProcessorStatus.DROP_PROCESSOR
+
+    def _render_partial(self, program, gi, im, info, block):
+        """Render a partial block (stream tail): trace a dedicated program
+        for this block size so recurrent state advances by exactly ``block``
+        frames, mirroring the reference's `frames.min(max_block_frames)`
+        chunking (processor.rs:95-158)."""
+        import functools
+
+        cache = getattr(self, "_partial_cache", None)
+        if cache is None:
+            cache = self._partial_cache = {}
+        fn = cache.get((id(program), block))
+        if fn is None:
+            import jax
+
+            fn = jax.jit(functools.partial(program._render, block))
+            cache[(id(program), block)] = fn
+        out, om, self._state = fn(
+            program.collect_params(),
+            self._state,
+            jnp.asarray(gi[:, :block]),
+            jnp.asarray(im),
+            info,
+        )
+        return np.asarray(out), om
+
+    # -- shutdown (processor.rs:251-263) --------------------------------------
+    def drop(self) -> None:
+        """Ship all node processors back to the context for deactivation."""
+        nodes = dict(self._processors)
+        self._processors = {}
+        try:
+            self._to_ctx.push(
+                ProcessorToContextMsg(
+                    dropped_nodes=nodes,
+                    dropped_user_cx=self.user_cx,
+                    is_dropped=True,
+                )
+            )
+        except ChannelFull:  # pragma: no cover
+            log.error("could not return dropped nodes: channel full")
+        self.user_cx = None
+
+    @property
+    def running(self) -> bool:
+        return self._running

@@ -1,0 +1,5 @@
+"""Utility helpers: WAV IO, schedule visualization, profiling."""
+
+from .wav import read_wav, write_wav
+
+__all__ = ["read_wav", "write_wav"]
