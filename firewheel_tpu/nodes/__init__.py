@@ -9,8 +9,11 @@ from .volume import VolumeNode
 from .sum import SumNode
 from .hard_clip import HardClipNode
 from .channel import MonoToStereoNode, StereoToMonoNode
+from .sampler import LoopRange, SamplerNode
 
 __all__ = [
+    "LoopRange",
+    "SamplerNode",
     "DummyAudioNode",
     "DummyProcessor",
     "BeepTestNode",

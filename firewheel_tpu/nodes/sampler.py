@@ -1,0 +1,364 @@
+"""Sampler node: PCM sample playback with loop ranges, gain smoothing, and
+(beyond the reference) resampling / doppler pitch.
+
+Reference: ``crates/firewheel-graph/src/basic_nodes/sampler.rs`` — a
+message-driven sample player (Play/Pause/Stop/SetPlayhead/SetLoopRange/
+SetSample over a private rtrb channel, sampler.rs:21-28), loop-range
+playback with a wraparound two-part copy (sampler.rs:445-484), one-shot end
+handling (sampler.rs:486-517), smoothed gain (sampler.rs:432-443), and
+mono→stereo auto-duplication (sampler.rs:545-552).
+
+TPU-native design
+-----------------
+* **Playback is a gather.**  Per-block sample positions are
+  ``playhead + k*rate`` (fixed-point integer playhead + f32 fractional
+  carry, so nothing drifts across blocks); looping wraps positions with a
+  modulo — equivalent to the reference's two-part copy but valid for any
+  number of wraps per block; one-shot masks positions past the end.
+  Linear interpolation between adjacent frames gives resampling/doppler
+  (``rate`` = playback speed; 1.0 is bit-exact non-resampled playback).
+* **Commands are sequence-numbered params.**  The reference drains an SPSC
+  message queue on the audio thread; here the host collapses commands into
+  the *effective* control state (playing flag, latest seek, loop range) plus
+  monotonically increasing sequence numbers; the kernel applies a seek/loop
+  change exactly once by comparing sequence numbers carried in its state.
+  This preserves the reference's semantics with zero retraces.
+* **The sample is a param**, a device-resident ``f32[ch, frames]`` array:
+  swapping samples of the same shape is free; a different shape retraces
+  once (``SetSample`` is rare).  The old sample array is simply dropped —
+  JAX's immutable buffers make the reference's return-for-deallocation dance
+  (sampler.rs:337-341, 563-571) unnecessary.
+
+Declicking remains TODO exactly as in the reference (sampler.rs:359-522).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.node import (
+    AudioNode,
+    AudioNodeInfo,
+    NodeProcessor,
+    MAX_PORTS,
+)
+from ..core.sample_resource import SampleResource
+from ..core.smoother import (
+    SmootherConfig,
+    smoother_coeffs,
+    smoother_init,
+    smoother_set_and_process,
+)
+from ..core.units import percent_volume_to_raw_gain
+
+__all__ = ["LoopRange", "SamplerNode", "SamplerProcessor"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopRange:
+    """``Full`` or a seconds range (sampler.rs:16-19)."""
+
+    start_secs: float = 0.0
+    end_secs: Optional[float] = None  # None in full-range mode
+    full: bool = False
+
+    FULL = None  # assigned below
+
+    @staticmethod
+    def range_secs(start: float, end: float) -> "LoopRange":
+        return LoopRange(start_secs=start, end_secs=end, full=False)
+
+
+LoopRange.FULL = LoopRange(full=True)
+
+_EMPTY_SAMPLE = np.zeros((1, 1), np.float32)
+
+
+class SamplerNode(AudioNode):
+    debug_name = "sampler"
+
+    def __init__(self, percent_volume: float = 100.0):
+        self._percent_volume = max(float(percent_volume), 0.0)
+        self._raw_gain = float(
+            percent_volume_to_raw_gain(np.float32(percent_volume))
+        )
+        self._playing = False
+        self._rate = 1.0
+        self._sample: Optional[SampleResource] = None
+        self._loop: Optional[LoopRange] = None
+        # control-plane sequence numbers (the rtrb message queue analog)
+        self._seek_seq = 0
+        self._seek_pos = 0
+        self._loop_seq = 0
+        self._sample_rate = 48000  # set at activate
+
+    # -- control API (sampler.rs:67-181) --------------------------------------
+    def set_sample(self, sample: SampleResource, stop_playback: bool = True):
+        self._sample = sample
+        if stop_playback:
+            self._seek_seq += 1
+            self._seek_pos = self._loop_start_frame()
+            self._playing = False
+
+    def play(self):
+        self._playing = True
+
+    def pause(self):
+        self._playing = False
+
+    def stop(self):
+        """Stop playback and rewind to the loop start (sampler.rs:379-391)."""
+        self._playing = False
+        self._seek_seq += 1
+        self._seek_pos = self._loop_start_frame()
+
+    def set_playhead(self, playhead_secs: float):
+        self._seek_seq += 1
+        self._seek_pos = int(round(playhead_secs * self._sample_rate))
+
+    def set_loop_range(self, loop_range: Optional[LoopRange]):
+        self._loop = loop_range
+        self._loop_seq += 1
+
+    def set_playback_rate(self, rate: float):
+        """Resampling / doppler pitch (beyond-reference; BASELINE scope).
+        1.0 = native speed."""
+        self._rate = max(float(rate), 0.0)
+
+    def is_playing(self) -> bool:
+        return self._playing
+
+    def percent_volume(self) -> float:
+        return self._percent_volume
+
+    def set_percent_volume(self, percent_volume: float):
+        self._raw_gain = float(
+            percent_volume_to_raw_gain(np.float32(percent_volume))
+        )
+        self._percent_volume = max(float(percent_volume), 0.0)
+
+    def raw_gain(self) -> float:
+        return self._raw_gain
+
+    def _loop_start_frame(self) -> int:
+        if self._loop is None or self._loop.full:
+            return 0
+        return int(round(self._loop.start_secs * self._sample_rate))
+
+    def _loop_params(self):
+        """(loop_on, start_frame, end_frame) honoring full-range mode
+        (sampler.rs:240-277)."""
+        n = self._sample.len_frames if self._sample is not None else 0
+        if self._loop is None:
+            return False, 0, n
+        if self._loop.full:
+            return True, 0, n
+        return (
+            True,
+            int(round(self._loop.start_secs * self._sample_rate)),
+            int(round(self._loop.end_secs * self._sample_rate)),
+        )
+
+    # -- node plumbing --------------------------------------------------------
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(
+            num_min_supported_outputs=1,
+            num_max_supported_outputs=MAX_PORTS,
+            updates=True,
+        )
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        self._sample_rate = int(sample_rate)
+        return SamplerProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )
+
+    def update(self):
+        """Main-thread hook (sampler.rs:224-232).  Sample returns are
+        unnecessary here (immutable device buffers); kept for API parity."""
+
+
+class SamplerProcessor(NodeProcessor):
+    def __init__(self, node: SamplerNode, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+        self._coeffs = smoother_coeffs(sample_rate, SmootherConfig())
+        self._eps = SmootherConfig().settle_epsilon
+        self._sample_cache = None
+        self._sample_cache_src = None
+
+    def init_state(self):
+        return {
+            "gain": smoother_init(np.float32(self._node.raw_gain())),
+            "playhead": jnp.zeros((), jnp.uint32),
+            "frac": jnp.zeros((), jnp.float32),
+            "ended": jnp.zeros((), bool),
+            "prev_playing": jnp.zeros((), bool),
+            "seek_seq": jnp.zeros((), jnp.uint32),
+            "loop_seq": jnp.zeros((), jnp.uint32),
+        }
+
+    def collect_params(self):
+        node = self._node
+        if node._sample is not None:
+            if self._sample_cache_src is not node._sample:
+                self._sample_cache = jnp.asarray(node._sample.data)
+                self._sample_cache_src = node._sample
+            data = self._sample_cache
+            has_sample = True
+        else:
+            data = jnp.asarray(_EMPTY_SAMPLE)
+            has_sample = False
+        loop_on, loop_start, loop_end = node._loop_params()
+        return {
+            "raw_gain": np.float32(node.raw_gain()),
+            "playing": np.asarray(node._playing and has_sample, bool),
+            "rate": np.float32(node._rate),
+            "seek_seq": np.uint32(node._seek_seq),
+            "seek_pos": np.uint32(node._seek_pos),
+            "loop_on": np.asarray(loop_on, bool),
+            "loop_seq": np.uint32(node._loop_seq),
+            "loop_start": np.uint32(loop_start),
+            "loop_end": np.uint32(min(loop_end, 0xFFFFFFFF)),
+            "sample": data,
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        frames = self.max_block_frames if inputs.ndim < 2 else inputs.shape[-1]
+        n_out = self.num_outputs
+        sample = params["sample"]
+        sample_channels, sample_len = sample.shape
+
+        # ---- apply queued control state (the message-drain analog,
+        # sampler.rs:331-414)
+        playhead = state["playhead"]
+        frac = state["frac"]
+        ended = state["ended"]
+
+        seek_new = params["seek_seq"] != state["seek_seq"]
+        playhead = jnp.where(seek_new, params["seek_pos"], playhead)
+        frac = jnp.where(seek_new, jnp.float32(0.0), frac)
+        ended = jnp.where(seek_new, False, ended)
+
+        loop_new = params["loop_seq"] != state["loop_seq"]
+        in_range = (playhead >= params["loop_start"]) & (
+            playhead < params["loop_end"]
+        )
+        playhead = jnp.where(
+            loop_new & params["loop_on"] & in_range,
+            params["loop_start"],
+            playhead,
+        )
+
+        # rising play edge clears the auto-stop latch (reference replays
+        # from the rewound playhead after Stop/Play, sampler.rs:365-371)
+        rising = params["playing"] & ~state["prev_playing"]
+        ended = jnp.where(rising, False, ended)
+
+        playing = params["playing"] & ~ended
+
+        # ---- gain ramp + mute short-circuit (sampler.rs:432-443).
+        # The reference only runs the smoother when a sample is playing
+        # (early returns at sampler.rs:416-430 skip it) — gate the state
+        # update identically.
+        ramp, gain_processed, smoothing = smoother_set_and_process(
+            state["gain"], params["raw_gain"], frames, self._coeffs, self._eps
+        )
+        gain_state = jax.tree.map(
+            lambda new, old: jnp.where(playing, new, old),
+            gain_processed,
+            state["gain"],
+        )
+        muted = ~smoothing & (ramp[0] < jnp.float32(0.00001))
+
+        # ---- playback positions (fixed-point integer + f32 frac carry)
+        rate = params["rate"]
+        k = jnp.arange(frames, dtype=jnp.float32)
+        off = frac + k * rate  # offset in frames from integer playhead
+        off_int = jnp.floor(off).astype(jnp.uint32)
+        interp_w = off - jnp.floor(off)
+
+        loop_on = params["loop_on"]
+        lstart = params["loop_start"]
+        lend = jnp.maximum(params["loop_end"], lstart + 1)
+        llen = lend - lstart
+        # out-of-range playhead returns to loop start (sampler.rs:446-453)
+        playhead_eff = jnp.where(
+            loop_on & (playhead >= lend), lstart, playhead
+        )
+
+        pos = playhead_eff + off_int
+        pos_rel = pos - lstart
+        pos_loop = lstart + jax.lax.rem(pos_rel, llen)
+        idx0 = jnp.where(loop_on, pos_loop, jnp.minimum(pos, sample_len - 1))
+        idx1_raw = idx0 + 1
+        idx1 = jnp.where(
+            loop_on,
+            lstart + jax.lax.rem(idx1_raw - lstart, llen),
+            jnp.minimum(idx1_raw, sample_len - 1),
+        )
+        valid = loop_on | (pos < sample_len)
+
+        s0 = sample[:, idx0.astype(jnp.int32)]
+        s1 = sample[:, idx1.astype(jnp.int32)]
+        frames_out = s0 + (s1 - s0) * interp_w[None, :]
+        frames_out = jnp.where(valid[None, :], frames_out, 0.0)
+
+        # ---- advance the carry
+        adv = frac + jnp.float32(frames) * rate
+        adv_int = jnp.floor(adv)
+        new_playhead = playhead_eff + adv_int.astype(jnp.uint32)
+        new_frac = adv - adv_int
+        # loop: fold the playhead back into range to keep it bounded
+        np_rel = new_playhead - lstart
+        new_playhead = jnp.where(
+            loop_on & (new_playhead >= lend),
+            lstart + jax.lax.rem(np_rel, llen),
+            new_playhead,
+        )
+        finished = ~loop_on & (new_playhead >= sample_len)
+        # one-shot finish rewinds to 0 and latches ended
+        # (sampler.rs:503-513; finish-notify is TODO there too)
+        new_playhead = jnp.where(finished, jnp.uint32(0), new_playhead)
+        new_frac = jnp.where(finished, jnp.float32(0.0), new_frac)
+
+        silent = ~playing | muted
+        new_ended = jnp.where(playing & finished, True, ended)
+        new_playhead = jnp.where(playing, new_playhead, playhead)
+        new_frac = jnp.where(playing, new_frac, frac)
+
+        # ---- gain apply to the sample's channels (sampler.rs:521-543)
+        gained = frames_out * ramp[None, :]
+
+        # ---- channel layout (sampler.rs:545-558)
+        rows = []
+        mask_rows = []
+        for ch in range(n_out):
+            if ch < sample_channels:
+                rows.append(gained[ch])
+                mask_rows.append(silent)
+            elif n_out == 2 and sample_channels == 1:
+                rows.append(gained[0])  # mono→stereo duplicate
+                mask_rows.append(silent)
+            else:
+                rows.append(jnp.zeros((frames,), jnp.float32))
+                mask_rows.append(jnp.asarray(True))
+        out = jnp.stack(rows)
+        out = jnp.where(silent, jnp.zeros_like(out), out)
+        out_mask = jnp.stack(mask_rows)
+
+        new_state = {
+            "gain": gain_state,
+            "playhead": new_playhead,
+            "frac": new_frac,
+            "ended": new_ended,
+            "prev_playing": params["playing"],
+            "seek_seq": jnp.asarray(params["seek_seq"], jnp.uint32),
+            "loop_seq": jnp.asarray(params["loop_seq"], jnp.uint32),
+        }
+        return out, new_state, out_mask

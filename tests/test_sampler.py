@@ -1,0 +1,260 @@
+"""Sampler node tests: playback, loops, seeks, one-shot end, resampling —
+against a scalar golden model of the reference semantics
+(sampler.rs:323-560).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from firewheel_tpu.core.node import BlockInfo
+from firewheel_tpu.core.sample_resource import SampleResource
+from firewheel_tpu.nodes import LoopRange, SamplerNode
+
+SR = 48000
+F = 128
+INFO = BlockInfo.make()
+RNG = np.random.default_rng(7)
+
+
+def make_clip(frames=1000, channels=2):
+    data = RNG.standard_normal((channels, frames)).astype(np.float32)
+    return SampleResource(data, device=False), data
+
+
+def run_blocks(node, proc, state, n_blocks):
+    """Render n blocks; returns concatenated [ch, n*F] audio + final state."""
+    outs = []
+    empty = jnp.zeros((0, F), jnp.float32)
+    emask = jnp.zeros((0,), bool)
+    for _ in range(n_blocks):
+        p = proc.collect_params()
+        out, state, om = proc.kernel(p, state, empty, emask, INFO)
+        outs.append(np.asarray(out))
+    return np.concatenate(outs, axis=1), state
+
+
+def fresh(node, num_out=2):
+    proc = node.activate(SR, F, 0, num_out)
+    return proc, proc.init_state()
+
+
+def test_not_playing_is_silent():
+    clip, data = make_clip()
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    proc, state = fresh(node)
+    audio, state = run_blocks(node, proc, state, 2)
+    assert (audio == 0).all()
+
+
+def test_no_sample_is_silent():
+    node = SamplerNode(100.0)
+    node.play()
+    proc, state = fresh(node)
+    audio, _ = run_blocks(node, proc, state, 1)
+    assert (audio == 0).all()
+
+
+def test_oneshot_playback_bit_exact():
+    clip, data = make_clip(frames=300)
+    node = SamplerNode(100.0)  # unity gain, no smoothing needed
+    node.set_sample(clip)
+    node.play()
+    proc, state = fresh(node)
+    audio, state = run_blocks(node, proc, state, 3)  # 384 frames > 300
+    np.testing.assert_array_equal(audio[:, :300], data)
+    assert (audio[:, 300:] == 0).all()
+    # ended: further blocks silent
+    audio2, state = run_blocks(node, proc, state, 1)
+    assert (audio2 == 0).all()
+    # reference semantics: play() while host-playing is a no-op; stop+play replays
+    node.stop()
+    node.play()
+    audio3, state = run_blocks(node, proc, state, 1)
+    np.testing.assert_array_equal(audio3, data[:, :F])
+
+
+def test_full_loop_wraps():
+    clip, data = make_clip(frames=100)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    node.set_loop_range(LoopRange.FULL)
+    node.play()
+    proc, state = fresh(node)
+    audio, _ = run_blocks(node, proc, state, 2)  # 256 frames over a 100-loop
+    expected = data[:, np.arange(256) % 100]
+    np.testing.assert_array_equal(audio, expected)
+
+
+def test_loop_range_secs():
+    clip, data = make_clip(frames=1000)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    start_f, end_f = 200, 500
+    node.set_loop_range(LoopRange.range_secs(start_f / SR, end_f / SR))
+    node.set_playhead(start_f / SR)
+    node.play()
+    proc, state = fresh(node)
+    audio, _ = run_blocks(node, proc, state, 4)  # 512 frames over a 300-loop
+    pos = start_f + (np.arange(512) % (end_f - start_f))
+    np.testing.assert_array_equal(audio, data[:, pos])
+
+
+def test_seek_mid_playback():
+    clip, data = make_clip(frames=2000)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    node.play()
+    proc, state = fresh(node)
+    a1, state = run_blocks(node, proc, state, 1)
+    node.set_playhead(1000 / SR)
+    a2, state = run_blocks(node, proc, state, 1)
+    np.testing.assert_array_equal(a1, data[:, :F])
+    np.testing.assert_array_equal(a2, data[:, 1000 : 1000 + F])
+
+
+def test_pause_freezes_playhead():
+    clip, data = make_clip(frames=2000)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    node.play()
+    proc, state = fresh(node)
+    a1, state = run_blocks(node, proc, state, 1)
+    node.pause()
+    a2, state = run_blocks(node, proc, state, 2)
+    assert (a2 == 0).all()
+    node.play()
+    a3, state = run_blocks(node, proc, state, 1)
+    np.testing.assert_array_equal(a3, data[:, F : 2 * F])
+
+
+def test_gain_smoothing_applied():
+    clip, data = make_clip(frames=8000)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    node.play()
+    proc, state = fresh(node)
+    a1, state = run_blocks(node, proc, state, 1)
+    node.set_percent_volume(50.0)  # raw gain 0.25
+    a2, state = run_blocks(node, proc, state, 55)  # > settle time (~10 ms
+    # time constant, epsilon 1e-5 → ~11 tau ≈ 5300 samples)
+    np.testing.assert_allclose(
+        a2[:, -F:], data[:, 55 * F : 56 * F] * np.float32(0.25), atol=1e-6
+    )
+
+
+def test_muted_is_silent():
+    clip, data = make_clip()
+    node = SamplerNode(0.0)
+    node.set_sample(clip)
+    node.play()
+    proc, state = fresh(node)
+    audio, _ = run_blocks(node, proc, state, 2)
+    assert (audio == 0).all()
+
+
+def test_mono_sample_duplicates_to_stereo():
+    clip, data = make_clip(frames=500, channels=1)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    node.play()
+    proc, state = fresh(node, num_out=2)
+    audio, _ = run_blocks(node, proc, state, 1)
+    np.testing.assert_array_equal(audio[0], data[0, :F])
+    np.testing.assert_array_equal(audio[1], data[0, :F])
+
+
+def test_extra_outputs_silent():
+    clip, data = make_clip(frames=500, channels=2)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    node.play()
+    proc, state = fresh(node, num_out=4)
+    p = proc.collect_params()
+    out, _, om = proc.kernel(
+        p, proc.init_state(), jnp.zeros((0, F), jnp.float32),
+        jnp.zeros((0,), bool), INFO,
+    )
+    om = np.asarray(om)
+    assert not om[0] and not om[1] and om[2] and om[3]
+    assert (np.asarray(out)[2:] == 0).all()
+
+
+class TestResampling:
+    def test_rate_half_linear_interp(self):
+        frames = 400
+        data = np.arange(frames, dtype=np.float32)[None, :] / frames
+        clip = SampleResource(data, device=False)
+        node = SamplerNode(100.0)
+        node.set_sample(clip)
+        node.set_playback_rate(0.5)
+        node.play()
+        proc, state = fresh(node, num_out=1)
+        audio, _ = run_blocks(node, proc, state, 1)
+        # positions k*0.5 → linear ramp at half slope
+        expected = (np.arange(F) * 0.5 / frames).astype(np.float32)
+        np.testing.assert_allclose(audio[0], expected, atol=1e-6)
+
+    def test_rate_double_skips(self):
+        clip, data = make_clip(frames=4000, channels=1)
+        node = SamplerNode(100.0)
+        node.set_sample(clip)
+        node.set_playback_rate(2.0)
+        node.play()
+        proc, state = fresh(node, num_out=1)
+        audio, state = run_blocks(node, proc, state, 2)
+        np.testing.assert_allclose(
+            audio[0], data[0, : 2 * 2 * F : 2], atol=1e-6
+        )
+
+    def test_fractional_rate_carries_across_blocks(self):
+        frames = 10000
+        data = RNG.standard_normal((1, frames)).astype(np.float32)
+        clip = SampleResource(data, device=False)
+        node = SamplerNode(100.0)
+        node.set_sample(clip)
+        rate = 1.2345
+        node.set_playback_rate(rate)
+        node.play()
+        proc, state = fresh(node, num_out=1)
+        audio, _ = run_blocks(node, proc, state, 8)
+        n = 8 * F
+        # golden: positions accumulated per block with integer+frac carry
+        pos = []
+        ph, fr = 0, np.float32(0.0)
+        for blk in range(8):
+            off = fr + np.arange(F, dtype=np.float32) * np.float32(rate)
+            pos.append(ph + np.floor(off))
+            w = off - np.floor(off)
+            adv = fr + np.float32(F) * np.float32(rate)
+            ph += int(np.floor(adv))
+            fr = np.float32(adv - np.floor(adv))
+        pos = np.concatenate(pos).astype(np.int64)
+        off_all = []
+        ph, fr = 0, np.float32(0.0)
+        got = audio[0]
+        # verify: each output sample interpolates adjacent input frames
+        i0 = pos
+        i1 = np.minimum(pos + 1, frames - 1)
+        # reconstruct weights identically
+        ws = []
+        fr = np.float32(0.0)
+        for blk in range(8):
+            off = fr + np.arange(F, dtype=np.float32) * np.float32(rate)
+            ws.append(off - np.floor(off))
+            adv = fr + np.float32(F) * np.float32(rate)
+            fr = np.float32(adv - np.floor(adv))
+        w = np.concatenate(ws)
+        expected = data[0, i0] + (data[0, i1] - data[0, i0]) * w
+        np.testing.assert_allclose(got, expected, atol=2e-6)
+
+    def test_rate_one_is_bit_exact(self):
+        clip, data = make_clip(frames=1000, channels=1)
+        node = SamplerNode(100.0)
+        node.set_sample(clip)
+        node.set_playback_rate(1.0)
+        node.play()
+        proc, state = fresh(node, num_out=1)
+        audio, _ = run_blocks(node, proc, state, 4)
+        np.testing.assert_array_equal(audio[0], data[0, : 4 * F])
