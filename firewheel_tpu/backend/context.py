@@ -39,8 +39,12 @@ class FirewheelCtx:
     """The engine facade (``FirewheelCtx`` alias, src/lib.rs:8)."""
 
     def __init__(self, graph_config: AudioGraphConfig = AudioGraphConfig()):
+        from ..core.automation import ParamAutomator
+
         self._cx = GraphContext(graph_config)
         self._active: Optional[_ActiveStream] = None
+        #: bind automation curves to node setters; ticked in update()
+        self.automation = ParamAutomator()
 
     # -- graph access (lib.rs:37-42) ------------------------------------------
     @property
@@ -131,6 +135,11 @@ class FirewheelCtx:
                 )
         result = self._cx.update()
         if self._active is not None:
+            # automation runs on the stream clock (DESIGN_DOC.md:31 scope)
+            self.automation.tick(
+                self._active.stream.frames_rendered
+                / self._active.config.sample_rate
+            )
             # Render ahead on this thread (see backend/stream.py: all device
             # work rides the caller's thread).
             self._active.stream.pump()
@@ -157,6 +166,12 @@ class FirewheelCtx:
         return user_cx
 
     # -- conveniences ---------------------------------------------------------
+    def node_state(self, node_id):
+        """Host copy of a node's recurrent state (meter readback etc.)."""
+        if self._active is None:
+            return None
+        return self._active.stream._processor.node_state(node_id)
+
     def render_offline(self, duration_secs: float) -> None:
         """Render ``duration_secs`` of audio to the sink as fast as the
         device allows (bounce-to-disk), pumping ``update()`` throughout so

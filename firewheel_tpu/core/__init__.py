@@ -35,6 +35,7 @@ from .node import (
     MAX_PORTS,
 )
 from .sample_resource import SampleResource, pcm_i16_to_f32, pcm_u16_to_f32
+from .automation import AutomationCurve, Keyframe, ParamAutomator
 from . import interleave
 
 __all__ = [

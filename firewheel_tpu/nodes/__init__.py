@@ -10,10 +10,26 @@ from .sum import SumNode
 from .hard_clip import HardClipNode
 from .channel import MonoToStereoNode, StereoToMonoNode
 from .sampler import LoopRange, SamplerNode
+from .pan import StereoPanNode
+from .stereo_width import StereoWidthNode
+from .filter import FilterNode, FilterType
+from .delay import DelayCompNode, EchoNode
+from .reverb import ConvolutionReverbNode
+from .spatial import Spatializer3DNode
+from .meter import DbMeterNode
 
 __all__ = [
     "LoopRange",
     "SamplerNode",
+    "StereoPanNode",
+    "StereoWidthNode",
+    "FilterNode",
+    "FilterType",
+    "DelayCompNode",
+    "EchoNode",
+    "ConvolutionReverbNode",
+    "Spatializer3DNode",
+    "DbMeterNode",
     "DummyAudioNode",
     "DummyProcessor",
     "BeepTestNode",

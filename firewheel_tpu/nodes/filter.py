@@ -1,0 +1,150 @@
+"""Filter node: biquad lowpass/highpass/bandpass/notch/peak/shelf sections.
+
+Reference scope: "filters (lowpass, highpass, bandpass)"
+(``DESIGN_DOC.md:16``, unimplemented there).  Each channel runs one biquad
+section via the parallel-scan kernel (``ops/iir.py``); cutoff/Q/gain are
+live params — coefficients are recomputed per block from the staged values
+(block-rate parameter updates; the audible difference from sample-rate
+coefficient ramps is negligible at ≤ 21 ms blocks and is the standard
+trade-off in block-based engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.node import (
+    AudioNode,
+    AudioNodeInfo,
+    NodeActivationError,
+    NodeProcessor,
+    MAX_PORTS,
+)
+from ..ops.iir import (
+    biquad_allpass,
+    biquad_bandpass,
+    biquad_high_shelf,
+    biquad_highpass,
+    biquad_low_shelf,
+    biquad_lowpass,
+    biquad_notch,
+    biquad_peaking,
+    biquad_scan,
+)
+
+__all__ = ["FilterType", "FilterNode", "FilterProcessor"]
+
+
+class FilterType:
+    LOWPASS = "lowpass"
+    HIGHPASS = "highpass"
+    BANDPASS = "bandpass"
+    NOTCH = "notch"
+    ALLPASS = "allpass"
+    PEAKING = "peaking"
+    LOW_SHELF = "low_shelf"
+    HIGH_SHELF = "high_shelf"
+
+
+_BUILDERS = {
+    FilterType.LOWPASS: lambda f, q, g, sr: biquad_lowpass(f, q, sr),
+    FilterType.HIGHPASS: lambda f, q, g, sr: biquad_highpass(f, q, sr),
+    FilterType.BANDPASS: lambda f, q, g, sr: biquad_bandpass(f, q, sr),
+    FilterType.NOTCH: lambda f, q, g, sr: biquad_notch(f, q, sr),
+    FilterType.ALLPASS: lambda f, q, g, sr: biquad_allpass(f, q, sr),
+    FilterType.PEAKING: biquad_peaking,
+    FilterType.LOW_SHELF: biquad_low_shelf,
+    FilterType.HIGH_SHELF: biquad_high_shelf,
+}
+
+
+class FilterProcessor(NodeProcessor):
+    def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+        self._builder = _BUILDERS[node.filter_type]
+
+    def init_state(self):
+        ch = self.num_inputs
+        return {
+            "z1": jnp.zeros((ch,), jnp.float32),
+            "z2": jnp.zeros((ch,), jnp.float32),
+        }
+
+    def collect_params(self):
+        n = self._node
+        return {
+            "freq": np.float32(n.frequency()),
+            "q": np.float32(n.q()),
+            "gain_db": np.float32(n.gain_db()),
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        coeffs = self._builder(
+            params["freq"], params["q"], params["gain_db"], self.sample_rate
+        )
+        y, (z1, z2) = biquad_scan(inputs, (state["z1"], state["z2"]), coeffs)
+
+        # All-silent input with settled (zero) filter state stays silent;
+        # with ringing state the filter tail is real audio — only flag
+        # channels whose input AND state are quiet.
+        state_quiet = (jnp.abs(state["z1"]) < 1e-10) & (
+            jnp.abs(state["z2"]) < 1e-10
+        )
+        out_mask = in_mask & state_quiet
+        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        return y, {"z1": z1, "z2": z2}, out_mask
+
+
+class FilterNode(AudioNode):
+    debug_name = "filter"
+
+    def __init__(
+        self,
+        filter_type: str = FilterType.LOWPASS,
+        frequency_hz: float = 1000.0,
+        q: float = 0.7071,
+        gain_db: float = 0.0,
+    ):
+        assert filter_type in _BUILDERS, f"unknown filter type {filter_type!r}"
+        self.filter_type = filter_type
+        self._freq = float(np.clip(frequency_hz, 1.0, 20_000.0))
+        self._q = max(float(q), 1e-3)
+        self._gain_db = float(gain_db)
+
+    def frequency(self) -> float:
+        return self._freq
+
+    def set_frequency(self, hz: float):
+        self._freq = float(np.clip(hz, 1.0, 20_000.0))
+
+    def q(self) -> float:
+        return self._q
+
+    def set_q(self, q: float):
+        self._q = max(float(q), 1e-3)
+
+    def gain_db(self) -> float:
+        return self._gain_db
+
+    def set_gain_db(self, db: float):
+        self._gain_db = float(db)
+
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(
+            num_min_supported_inputs=1,
+            num_max_supported_inputs=MAX_PORTS,
+            num_min_supported_outputs=1,
+            num_max_supported_outputs=MAX_PORTS,
+        )
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        if num_inputs != num_outputs:
+            raise NodeActivationError(
+                "FilterNode requires num_inputs == num_outputs; "
+                f"got {num_inputs} in, {num_outputs} out"
+            )
+        return FilterProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )

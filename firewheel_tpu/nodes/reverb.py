@@ -1,0 +1,129 @@
+"""Convolutional reverb node: partitioned FFT convolution with a live IR.
+
+Reference scope: "convolutional reverb" (``DESIGN_DOC.md:20``, unimplemented
+there).  The impulse response is a device-resident array param; its
+partition spectra are computed once per IR (cached host-side, like the
+sampler's sample cache) so swapping IRs of the same length is free and the
+per-block cost is the complex multiply-reduce over the frequency-domain
+delay line (``ops/fft_conv.py``).
+
+Note: the partition size is the engine block size, so the wet path has one
+block of inherent latency (standard for uniform-partition convolution);
+pair with :class:`DelayCompNode` on parallel dry paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.node import (
+    AudioNode,
+    AudioNodeInfo,
+    NodeActivationError,
+    NodeProcessor,
+    MAX_PORTS,
+)
+from ..ops.fft_conv import fdl_init, fdl_step, partition_ir
+
+__all__ = ["ConvolutionReverbNode", "ConvolutionReverbProcessor"]
+
+
+class ConvolutionReverbProcessor(NodeProcessor):
+    def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+        self._h_cache = None
+        self._h_cache_src = None
+        self._partitions = max(
+            1, -(-node.ir_frames() // max_block_frames)
+        )
+
+    def _spectra(self):
+        node = self._node
+        if self._h_cache_src is not node._ir:
+            ir = np.atleast_2d(np.asarray(node._ir, np.float32))
+            self._h_cache = partition_ir(ir, self.max_block_frames)
+            self._h_cache_src = node._ir
+        return self._h_cache
+
+    def init_state(self):
+        fdl, tail = fdl_init(
+            self._partitions, self.num_inputs, self.max_block_frames
+        )
+        return {"fdl": fdl, "tail": tail}
+
+    def collect_params(self):
+        return {
+            "H": self._spectra(),
+            "wet": np.float32(self._node.wet()),
+            "dry": np.float32(self._node.dry()),
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        wet, new_state_pair = fdl_step(
+            inputs, (state["fdl"], state["tail"]), params["H"]
+        )
+        fdl, tail = new_state_pair
+        y = params["dry"] * inputs + params["wet"] * wet
+
+        # the reverb tail rings after the input goes silent
+        line_quiet = jnp.all(
+            jnp.abs(state["fdl"]) < 1e-12, axis=(0, 2)
+        ) & jnp.all(jnp.abs(state["tail"]) < 1e-12, axis=-1)
+        out_mask = in_mask & line_quiet
+        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        return y, {"fdl": fdl, "tail": tail}, out_mask
+
+
+class ConvolutionReverbNode(AudioNode):
+    debug_name = "convolution_reverb"
+
+    def __init__(self, ir, wet: float = 0.3, dry: float = 1.0):
+        """``ir``: impulse response, ``[frames]`` (shared across channels) or
+        ``[channels, frames]``."""
+        self._ir = np.atleast_2d(np.asarray(ir, np.float32))
+        self._wet = max(float(wet), 0.0)
+        self._dry = max(float(dry), 0.0)
+
+    def ir_frames(self) -> int:
+        return self._ir.shape[-1]
+
+    def set_ir(self, ir):
+        """Swap the impulse response.  Same padded length → no retrace."""
+        self._ir = np.atleast_2d(np.asarray(ir, np.float32))
+
+    def wet(self) -> float:
+        return self._wet
+
+    def set_wet(self, wet: float):
+        self._wet = max(float(wet), 0.0)
+
+    def dry(self) -> float:
+        return self._dry
+
+    def set_dry(self, dry: float):
+        self._dry = max(float(dry), 0.0)
+
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(
+            num_min_supported_inputs=1,
+            num_max_supported_inputs=MAX_PORTS,
+            num_min_supported_outputs=1,
+            num_max_supported_outputs=MAX_PORTS,
+        )
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        if num_inputs != num_outputs:
+            raise NodeActivationError(
+                "ConvolutionReverbNode requires num_inputs == num_outputs; "
+                f"got {num_inputs} in, {num_outputs} out"
+            )
+        ir_ch = self._ir.shape[0]
+        if ir_ch not in (1, num_inputs):
+            raise NodeActivationError(
+                f"IR has {ir_ch} channels; expected 1 or {num_inputs}"
+            )
+        return ConvolutionReverbProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )

@@ -147,6 +147,16 @@ class GraphProcessor:
         live = {node_key(nid) for nid in self._processors}
         self._state = {k: v for k, v in self._state.items() if k in live}
 
+    def node_state(self, node_id: NodeID):
+        """Host copy of a node's current recurrent state (e.g. for meter
+        readback).  Returns None for unknown/stateless nodes."""
+        import jax
+
+        st = self._state.get(node_key(node_id))
+        if st is None:
+            return None
+        return jax.tree.map(lambda x: np.asarray(x), st)
+
     def warmup(self) -> None:
         """Install any pending schedule and AOT-compile its program so the
         first stream buffer doesn't stall on XLA compilation."""
