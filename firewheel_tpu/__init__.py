@@ -13,20 +13,30 @@ This module mirrors the reference's umbrella crate (``src/lib.rs:1-8``).
 
 import os as _os
 
-# Persistent XLA compilation cache: live graph edits retrace/recompile, and
-# first compiles through remote TPU tunnels are slow (minutes); the cache
-# makes every schedule shape a one-time cost across processes.  Opt out with
-# FIREWHEEL_TPU_NO_CACHE=1; relocate with FIREWHEEL_TPU_CACHE_DIR.
-if not _os.environ.get("FIREWHEEL_TPU_NO_CACHE"):
+# Backend override: FIREWHEEL_TPU_PLATFORM=cpu forces the CPU backend even
+# when an accelerator plugin (e.g. the axon TPU tunnel, which ignores
+# JAX_PLATFORMS) is present.  Must run before first backend use.
+if _os.environ.get("FIREWHEEL_TPU_PLATFORM"):
     try:
         import jax as _jax
 
-        _cache_dir = _os.environ.get(
-            "FIREWHEEL_TPU_CACHE_DIR",
-            _os.path.join(
-                _os.path.expanduser("~"), ".cache", "firewheel_tpu", "xla"
-            ),
+        _jax.config.update(
+            "jax_platforms", _os.environ["FIREWHEEL_TPU_PLATFORM"]
         )
+    except Exception:
+        pass
+
+# Persistent XLA compilation cache (opt-in): live graph edits
+# retrace/recompile, so caching every schedule shape across processes can
+# help long-lived deployments.  Opt in with FIREWHEEL_TPU_CACHE_DIR=<path>.
+# (Not enabled by default: XLA:CPU AOT artifacts are machine-feature
+# sensitive, and the axon TPU tunnel compiles server-side where the cache
+# never populates.)
+if _os.environ.get("FIREWHEEL_TPU_CACHE_DIR"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ["FIREWHEEL_TPU_CACHE_DIR"]
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

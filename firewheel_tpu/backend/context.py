@@ -165,6 +165,29 @@ class FirewheelCtx:
             self._active = None
         return user_cx
 
+    # -- checkpoint/resume ----------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Persist all recurrent audio state + stream position to ``path``."""
+        from ..checkpoint import save_checkpoint
+
+        assert self._active is not None, "activate() first"
+        save_checkpoint(
+            path,
+            self._active.stream._processor,
+            extra_meta={"frames_rendered": self._active.stream.frames_rendered},
+        )
+
+    def load_checkpoint(self, path: str) -> dict:
+        """Restore state saved by :meth:`save_checkpoint` into the running
+        engine (same graph topology required); resumes the stream clock."""
+        from ..checkpoint import restore_into
+
+        assert self._active is not None, "activate() first"
+        meta = restore_into(path, self._active.stream._processor)
+        if "frames_rendered" in meta:
+            self._active.stream._frames_rendered = int(meta["frames_rendered"])
+        return meta
+
     # -- conveniences ---------------------------------------------------------
     def node_state(self, node_id):
         """Host copy of a node's recurrent state (meter readback etc.)."""

@@ -141,6 +141,10 @@ class OutputStream:
         self._playing = False
         self._dropped = False
         self.error: Optional[BaseException] = None
+        # per-buffer render wall times (seconds), last 512 buffers
+        self._render_times: "collections.deque[float]" = __import__(
+            "collections"
+        ).deque(maxlen=512)
 
         n_out = config.num_out_channels
         self._out_buf = np.zeros(config.buffer_frames * n_out, np.float32)
@@ -176,6 +180,29 @@ class OutputStream:
     @property
     def underflow_count(self) -> int:
         return self._underflow_count
+
+    def stats(self) -> dict:
+        """Render-path health: frames, underflows, and per-buffer render
+        latency percentiles vs the realtime budget (the block-p99 metric
+        from BASELINE.md)."""
+        times = np.asarray(self._render_times, np.float64)
+        budget = self.config.buffer_frames / self.config.sample_rate
+        out = {
+            "frames_rendered": self._frames_rendered,
+            "underflow_count": self._underflow_count,
+            "buffer_budget_ms": budget * 1e3,
+            "buffers_timed": int(times.size),
+        }
+        if times.size:
+            out.update(
+                render_ms_p50=float(np.percentile(times, 50) * 1e3),
+                render_ms_p99=float(np.percentile(times, 99) * 1e3),
+                render_ms_max=float(times.max() * 1e3),
+                realtime_headroom=float(
+                    budget / max(float(np.percentile(times, 99)), 1e-12)
+                ),
+            )
+        return out
 
     @property
     def finished(self) -> bool:
@@ -227,6 +254,7 @@ class OutputStream:
                         self.input_source(frames), np.float32
                     ).reshape(-1)
 
+                t_render = time.perf_counter()
                 st = self._processor.process_interleaved(
                     self._in_buf,
                     self._out_buf,
@@ -236,6 +264,7 @@ class OutputStream:
                     stream_time_secs,
                     status,
                 )
+                self._render_times.append(time.perf_counter() - t_render)
                 self._frames_rendered += frames
                 rendered += frames
 

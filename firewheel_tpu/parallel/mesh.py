@@ -1,0 +1,299 @@
+"""Scale-out: batched instances and voice-parallel mixing over device meshes.
+
+The reference is a single-process, two-thread engine; multi-threaded graph
+processing is an explicit non-goal (``DESIGN_DOC.md:48``).  The TPU-native
+parallelism story replaces that (SURVEY §2 component #14):
+
+* **Instance batching ("dp")** — a game server renders many independent
+  game instances; their graphs are identical programs with per-instance
+  params/state.  ``vmap`` over the instance axis turns the whole graph into
+  one wide computation, and a ``Mesh`` axis shards it across chips with NO
+  collectives (embarrassingly parallel — the sharding rides ICI only for
+  resharding, never in the hot loop).
+* **Voice parallelism ("vp")** — one big mix (e.g. a 64-voice scene) shards
+  its *voices* across chips: each shard renders its voice slice and the mix
+  is an ``lax.psum`` over the voice axis (the tensor-parallel analog, the
+  collective rides ICI), after which a replicated master-bus program shapes
+  the mix.
+
+Both compose: a 2D mesh ``("dp", "vp")`` shards instances × voices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.node import BlockInfo
+from ..executor import ScheduleProgram
+
+__all__ = ["make_mesh", "BatchRenderer", "VoiceParallelMixer"]
+
+
+def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
+    """Build a mesh from the available devices, e.g.
+    ``make_mesh({"dp": 4, "vp": 2})``."""
+    devices = devices if devices is not None else jax.devices()
+    shape = tuple(axis_sizes.values())
+    n = int(np.prod(shape))
+    assert n <= len(devices), f"need {n} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, tuple(axis_sizes.keys()))
+
+
+def _stack(trees: Sequence[Any]):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+class BatchRenderer:
+    """Render B independent graph instances per dispatch, optionally sharded
+    over a mesh axis.
+
+    One compiled program serves every instance; per-instance params and
+    state carry a leading batch axis.  ``render_chunk`` scans K blocks per
+    dispatch so wall-clock amortizes dispatch overhead — the serving-path
+    hot loop.
+    """
+
+    def __init__(
+        self,
+        program: ScheduleProgram,
+        batch: int,
+        mesh: Optional[Mesh] = None,
+        axis: str = "dp",
+    ):
+        self.program = program
+        self.batch = int(batch)
+        self.mesh = mesh
+        self.axis = axis
+        self._chunk_cache: dict[int, Any] = {}
+
+        if mesh is not None:
+            assert batch % mesh.shape[axis] == 0, (
+                f"batch {batch} must divide over mesh axis "
+                f"{axis}={mesh.shape[axis]}"
+            )
+            self._batched_sharding = NamedSharding(mesh, P(axis))
+            self._shard_leaf = lambda spec_first: NamedSharding(
+                mesh, P(axis) if spec_first else P()
+            )
+        else:
+            self._batched_sharding = None
+
+    # -- state/params with a leading batch axis -------------------------------
+    def init_state(self):
+        state = _stack([self.program.init_state() for _ in range(self.batch)])
+        return self._constrain(state)
+
+    def stack_params(self, params_list: Optional[Sequence[Any]] = None):
+        """Stack per-instance param pytrees (or broadcast one snapshot)."""
+        if params_list is None:
+            params_list = [self.program.collect_params()] * self.batch
+        assert len(params_list) == self.batch
+        return self._constrain(_stack(params_list))
+
+    def _constrain(self, tree):
+        if self._batched_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._batched_sharding), tree
+        )
+
+    # -- rendering ------------------------------------------------------------
+    def _build(self, num_blocks: int):
+        chunk = self.program.chunk_fn(num_blocks)
+        # vmap over instances; stream clock is shared across instances.
+        vchunk = jax.vmap(chunk, in_axes=(0, 0, 0, 0, None, None))
+
+        if self.mesh is None:
+            return jax.jit(vchunk)
+        # Inputs arrive batch-sharded (device_put in _constrain); constrain
+        # outputs to stay batch-sharded so nothing gathers between chunks.
+        shard = self._batched_sharding
+        return jax.jit(vchunk, out_shardings=(shard, shard, shard))
+
+    def render_chunk(self, params, state, graph_in=None, in_mask=None,
+                     start_sample=0, status=0, num_blocks: int = 8):
+        """Render ``num_blocks`` blocks for every instance.
+
+        ``graph_in``: ``f32[B, K, Ni, F]`` (zeros if None).
+        Returns ``(out [B, K, No, F], out_mask [B, K, No], state')``.
+        """
+        f = self.program.max_block_frames
+        ni = self.program.num_graph_inputs
+        b, k = self.batch, num_blocks
+        if graph_in is None:
+            graph_in = jnp.zeros((b, k, ni, f), jnp.float32)
+            in_mask = jnp.ones((b, k, ni), bool)
+        fn = self._chunk_cache.get(k)
+        if fn is None:
+            fn = self._build(k)
+            self._chunk_cache[k] = fn
+        return fn(
+            params,
+            state,
+            graph_in,
+            in_mask,
+            jnp.asarray(start_sample, jnp.uint32),
+            jnp.asarray(status, jnp.uint32),
+        )
+
+
+class VoiceParallelMixer:
+    """Shard a many-voice mix across chips: per-shard voice rendering, a
+    ``psum`` mixdown over the voice axis, then a replicated master bus.
+
+    ``voice_program``: compiled single-voice graph (V params/state stacked
+    on a leading axis).  ``master_program``: optional bus chain applied to
+    the summed mix; its graph must take ``num_graph_inputs == num channels
+    of the voice output``.
+    """
+
+    def __init__(
+        self,
+        voice_program: ScheduleProgram,
+        num_voices: int,
+        master_program: Optional[ScheduleProgram] = None,
+        mesh: Optional[Mesh] = None,
+        axis: str = "vp",
+    ):
+        self.voice_program = voice_program
+        self.master_program = master_program
+        self.num_voices = int(num_voices)
+        self.mesh = mesh
+        self.axis = axis
+        if mesh is not None:
+            assert num_voices % mesh.shape[axis] == 0
+        self._jit_cache: dict[int, Any] = {}
+
+    def init_state(self):
+        voices = _stack(
+            [self.voice_program.init_state() for _ in range(self.num_voices)]
+        )
+        master = (
+            self.master_program.init_state()
+            if self.master_program is not None
+            else {}
+        )
+        state = {"voices": voices, "master": master}
+        return self._constrain(state)
+
+    def stack_voice_params(self, params_list: Optional[Sequence[Any]] = None):
+        if params_list is None:
+            params_list = [
+                self.voice_program.collect_params()
+            ] * self.num_voices
+        params = {
+            "voices": _stack(params_list),
+            "master": (
+                self.master_program.collect_params()
+                if self.master_program is not None
+                else {}
+            ),
+        }
+        return self._constrain(params)
+
+    def _constrain(self, tree):
+        if self.mesh is None:
+            return tree
+        vshard = NamedSharding(self.mesh, P(self.axis))
+        rshard = NamedSharding(self.mesh, P())
+        return {
+            "voices": jax.tree.map(
+                lambda x: jax.device_put(x, vshard), tree["voices"]
+            ),
+            "master": jax.tree.map(
+                lambda x: jax.device_put(x, rshard), tree["master"]
+            ),
+        }
+
+    # -- the step -------------------------------------------------------------
+    def _step_local(self, params, state, info: BlockInfo, axis_name=None):
+        """One block: render the (local slice of) voices, mix, master."""
+        f = self.voice_program.max_block_frames
+        nv_out = self.voice_program.num_graph_outputs
+
+        def one_voice(p, s):
+            gi = jnp.zeros((self.voice_program.num_graph_inputs, f), jnp.float32)
+            im = jnp.ones((self.voice_program.num_graph_inputs,), bool)
+            out, om, s2 = self.voice_program.render_fn(p, s, gi, im, info)
+            return out, s2
+
+        outs, vstate = jax.vmap(one_voice)(params["voices"], state["voices"])
+        mix = jnp.sum(outs, axis=0)  # [ch, F]
+        if axis_name is not None:
+            mix = jax.lax.psum(mix, axis_name)
+
+        if self.master_program is not None:
+            mout, mmask, mstate = self.master_program.render_fn(
+                params["master"],
+                state["master"],
+                mix,
+                jnp.zeros((nv_out,), bool),
+                info,
+            )
+        else:
+            mout, mmask, mstate = mix, jnp.zeros((nv_out,), bool), {}
+        return mout, mmask, {"voices": vstate, "master": mstate}
+
+    def step_fn(self, num_blocks: int):
+        """K-block scan step, shard_map'ed over the voice axis when meshed."""
+        f = self.voice_program.max_block_frames
+        sr = jnp.float32(self.voice_program.sample_rate)
+
+        def chunk(params, state, start_sample):
+            def body(carry, _):
+                st, sample = carry
+                info = BlockInfo(
+                    stream_time_secs=sample.astype(jnp.float32) / sr,
+                    stream_sample=sample,
+                    stream_status=jnp.zeros((), jnp.uint32),
+                )
+                out, om, st = self._step_local(
+                    params, st, info,
+                    axis_name=self.axis if self.mesh is not None else None,
+                )
+                return (st, sample + jnp.uint32(f)), (out, om)
+
+            (state, _), (outs, oms) = jax.lax.scan(
+                body,
+                (state, jnp.asarray(start_sample, jnp.uint32)),
+                None,
+                length=num_blocks,
+            )
+            return outs, oms, state
+
+        if self.mesh is None:
+            return jax.jit(chunk)
+
+        vspec = P(self.axis)
+        rspec = P()
+        in_specs = (
+            {"voices": vspec, "master": rspec},
+            {"voices": vspec, "master": rspec},
+            rspec,
+        )
+        out_specs = (rspec, rspec, {"voices": vspec, "master": rspec})
+        smapped = jax.shard_map(
+            chunk,
+            mesh=self.mesh,
+            in_specs=jax.tree.map(
+                lambda spec: spec, in_specs,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
+    def render_chunk(self, params, state, start_sample=0, num_blocks: int = 8):
+        fn = self._jit_cache.get(num_blocks)
+        if fn is None:
+            fn = self.step_fn(num_blocks)
+            self._jit_cache[num_blocks] = fn
+        return fn(params, state, jnp.asarray(start_sample, jnp.uint32))

@@ -1,0 +1,91 @@
+"""Checkpoint/resume tests: sample-exact state restoration across engine
+instances (SURVEY §5 aux subsystem)."""
+
+import numpy as np
+import pytest
+
+from firewheel_tpu import ArraySink, FirewheelCtx, StreamConfig
+from firewheel_tpu.nodes import BeepTestNode, VolumeNode
+
+SR = 48000
+
+
+def build(cx):
+    g = cx.graph_mut()
+    beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+    vol = g.add_node(2, 2, VolumeNode(100.0))
+    g.connect(beep, 0, vol, 0)
+    g.connect(beep, 1, vol, 1)
+    g.connect(vol, 0, g.graph_out_node(), 0)
+    g.connect(vol, 1, g.graph_out_node(), 1)
+    return beep, vol
+
+
+def test_checkpoint_resume_sample_exact(tmp_path):
+    ckpt = str(tmp_path / "ck")
+
+    # session 1: render 0.2 s, checkpoint
+    cx1 = FirewheelCtx()
+    build(cx1)
+    sink1 = ArraySink()
+    cx1.activate(StreamConfig(SR, 2, buffer_frames=512), sink=sink1)
+    cx1.render_offline(0.2)
+    frames1 = cx1.stream.frames_rendered
+    cx1.save_checkpoint(ckpt)
+    # continue rendering in session 1 (the "ground truth" continuation)
+    cx1.render_offline(0.2)
+    cx1.deactivate()
+    truth = sink1.audio(2)
+
+    # session 2: fresh engine, same topology, restore, continue
+    cx2 = FirewheelCtx()
+    build(cx2)
+    sink2 = ArraySink()
+    cx2.activate(StreamConfig(SR, 2, buffer_frames=512), sink=sink2)
+    meta = cx2.load_checkpoint(ckpt)
+    assert meta["frames_rendered"] == frames1
+    assert cx2.stream.frames_rendered == frames1
+    cx2.render_offline(0.2)
+    cx2.deactivate()
+    resumed = sink2.audio(2)
+
+    # the resumed audio must continue exactly where session 1 left off
+    n = min(resumed.shape[1], truth.shape[1] - frames1)
+    np.testing.assert_allclose(
+        resumed[:, :n], truth[:, frames1 : frames1 + n], atol=1e-6
+    )
+
+
+def test_checkpoint_graph_mismatch_rejected(tmp_path):
+    ckpt = str(tmp_path / "ck")
+    cx1 = FirewheelCtx()
+    build(cx1)
+    cx1.activate(StreamConfig(SR, 2), sink=ArraySink())
+    cx1.render_offline(0.05)
+    cx1.save_checkpoint(ckpt)
+    cx1.deactivate()
+
+    cx2 = FirewheelCtx()
+    g = cx2.graph_mut()
+    beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+    g.connect(beep, 0, g.graph_out_node(), 0)  # different topology
+    cx2.activate(StreamConfig(SR, 2), sink=ArraySink())
+    with pytest.raises(ValueError, match="mismatch"):
+        cx2.load_checkpoint(ckpt)
+    cx2.deactivate()
+
+
+def test_checkpoint_sample_rate_mismatch_rejected(tmp_path):
+    ckpt = str(tmp_path / "ck")
+    cx1 = FirewheelCtx()
+    build(cx1)
+    cx1.activate(StreamConfig(SR, 2), sink=ArraySink())
+    cx1.save_checkpoint(ckpt)
+    cx1.deactivate()
+
+    cx2 = FirewheelCtx()
+    build(cx2)
+    cx2.activate(StreamConfig(44100, 2), sink=ArraySink())
+    with pytest.raises(ValueError, match="sample-rate"):
+        cx2.load_checkpoint(ckpt)
+    cx2.deactivate()

@@ -1,0 +1,182 @@
+"""Parallel-layer tests on the 8-device virtual CPU mesh: instance batching
+(dp), voice-parallel mixing with psum (vp), and the 2D combination.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from firewheel_tpu import (
+    AudioGraph,
+    AudioGraphConfig,
+    ScheduleProgram,
+)
+from firewheel_tpu.executor import node_key
+from firewheel_tpu.nodes import (
+    BeepTestNode,
+    HardClipNode,
+    StereoPanNode,
+    VolumeNode,
+)
+from firewheel_tpu.parallel import BatchRenderer, VoiceParallelMixer, make_mesh
+
+SR = 48000
+F = 128
+
+
+def beep_volume_program(freq=440.0):
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    beep = g.add_node(0, 2, BeepTestNode(freq, -12.0, True))
+    vol = g.add_node(2, 2, VolumeNode(100.0))
+    g.connect(beep, 0, vol, 0)
+    g.connect(beep, 1, vol, 1)
+    g.connect(vol, 0, g.graph_out_node(), 0)
+    g.connect(vol, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR), vol
+
+
+def voice_program():
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    beep = g.add_node(0, 2, BeepTestNode(440.0, -24.0, True))
+    pan = g.add_node(2, 2, StereoPanNode(0.0))
+    g.connect(beep, 0, pan, 0)
+    g.connect(beep, 1, pan, 1)
+    g.connect(pan, 0, g.graph_out_node(), 0)
+    g.connect(pan, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+
+def master_program():
+    g = AudioGraph(AudioGraphConfig(num_graph_inputs=2, num_graph_outputs=2))
+    clip = g.add_node(2, 2, HardClipNode(0.0))
+    g.connect(g.graph_in_node(), 0, clip, 0)
+    g.connect(g.graph_in_node(), 1, clip, 1)
+    g.connect(clip, 0, g.graph_out_node(), 0)
+    g.connect(clip, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+
+
+class TestBatchRenderer:
+    def test_unmeshed_batch_matches_single(self):
+        prog, vol = beep_volume_program()
+        br = BatchRenderer(prog, batch=4)
+        params = br.stack_params()
+        state = br.init_state()
+        out, om, state = br.render_chunk(params, state, num_blocks=4)
+        out = np.asarray(out)
+        assert out.shape == (4, 4, 2, F)
+        # all instances identical params → identical audio
+        for b in range(1, 4):
+            np.testing.assert_array_equal(out[0], out[b])
+        # matches a plain chunk render
+        single_state = prog.init_state()
+        souts, soms, _ = prog.render_chunk(
+            prog.collect_params(),
+            single_state,
+            jnp.zeros((4, 0, F), jnp.float32),
+            jnp.zeros((4, 0), bool),
+            0,
+        )
+        np.testing.assert_allclose(out[0], np.asarray(souts), atol=1e-6)
+
+    def test_per_instance_params(self):
+        prog, vol = beep_volume_program()
+        br = BatchRenderer(prog, batch=3)
+        base = prog.collect_params()
+        plist = []
+        gains = [1.0, 0.5, 0.0]
+        for gain in gains:
+            p = dict(base)
+            p[node_key(vol)] = {"raw_gain": np.float32(gain)}
+            plist.append(p)
+        params = br.stack_params(plist)
+        state = br.init_state()
+        # gains ramp from the init value (1.0) over ~10 ms; compare after
+        # the smoothers settle
+        out, om, _ = br.render_chunk(params, state, num_blocks=60)
+        out = np.asarray(out)[:, -8:]  # last 8 blocks
+        a0 = np.abs(out[0]).max()
+        np.testing.assert_allclose(np.abs(out[1]).max(), a0 * 0.5, atol=1e-4)
+        assert np.abs(out[2]).max() < 1e-6
+
+    def test_dp_sharded_matches_unsharded(self):
+        prog, vol = beep_volume_program()
+        mesh = make_mesh({"dp": 8})
+        br = BatchRenderer(prog, batch=16, mesh=mesh)
+        params = br.stack_params()
+        state = br.init_state()
+        out, om, state = br.render_chunk(params, state, num_blocks=2)
+        out = np.asarray(out)
+        assert out.shape == (16, 2, 2, F)
+
+        br0 = BatchRenderer(prog, batch=16)
+        out0, _, _ = br0.render_chunk(
+            br0.stack_params(), br0.init_state(), num_blocks=2
+        )
+        np.testing.assert_allclose(out, np.asarray(out0), atol=1e-6)
+
+
+class TestVoiceParallelMixer:
+    def test_unmeshed_mix(self):
+        vp = voice_program()
+        mp = master_program()
+        mixer = VoiceParallelMixer(vp, num_voices=8, master_program=mp)
+        params = mixer.stack_voice_params()
+        state = mixer.init_state()
+        out, om, state = mixer.render_chunk(params, state, num_blocks=3)
+        out = np.asarray(out)
+        assert out.shape == (3, 2, F)
+        # 8 identical voices at -24 dB each, clipped at 0 dB by the master
+        single, _, _ = vp.render_chunk(
+            vp.collect_params(),
+            vp.init_state(),
+            jnp.zeros((3, 0, F), jnp.float32),
+            jnp.zeros((3, 0), bool),
+            0,
+        )
+        expected = np.clip(np.asarray(single) * 8.0, -1.0, 1.0)
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_vp_sharded_matches_unsharded(self):
+        vp = voice_program()
+        mp = master_program()
+        mesh = make_mesh({"vp": 8})
+        mixer = VoiceParallelMixer(
+            vp, num_voices=16, master_program=mp, mesh=mesh
+        )
+        params = mixer.stack_voice_params()
+        state = mixer.init_state()
+        out, om, state = mixer.render_chunk(params, state, num_blocks=2)
+        out = np.asarray(out)
+
+        ref_mixer = VoiceParallelMixer(vp, num_voices=16, master_program=mp)
+        rout, _, _ = ref_mixer.render_chunk(
+            ref_mixer.stack_voice_params(), ref_mixer.init_state(), num_blocks=2
+        )
+        np.testing.assert_allclose(out, np.asarray(rout), atol=1e-5)
+
+    def test_state_carries_across_chunks(self):
+        vp = voice_program()
+        mesh = make_mesh({"vp": 4})
+        mixer = VoiceParallelMixer(vp, num_voices=8, mesh=mesh)
+        params = mixer.stack_voice_params()
+        state = mixer.init_state()
+        o1, _, state = mixer.render_chunk(params, state, num_blocks=2)
+        o2, _, state = mixer.render_chunk(
+            params, state, start_sample=2 * F, num_blocks=2
+        )
+        sig = np.concatenate(
+            [np.asarray(o1)[:, 0, :].reshape(-1), np.asarray(o2)[:, 0, :].reshape(-1)]
+        )
+        # 8 voices of the same 440 Hz tone sum coherently: continuous sine
+        gain = 8 * 10 ** (-24 / 20) * np.cos(np.pi / 4)
+        ideal = gain * np.sin(2 * np.pi * 440 / SR * np.arange(4 * F))
+        np.testing.assert_allclose(sig, ideal, atol=1e-4)
