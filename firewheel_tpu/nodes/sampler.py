@@ -29,7 +29,12 @@ TPU-native design
   JAX's immutable buffers make the reference's return-for-deallocation dance
   (sampler.rs:337-341, 563-571) unnecessary.
 
-Declicking remains TODO exactly as in the reference (sampler.rs:359-522).
+Beyond the reference, the sampler carries a **gain envelope** (DESIGN_DOC.md
+sampler scope: "gain envelope"): a per-voice attack/release ramp driven by
+the playing state — ``set_envelope(attack_secs, release_secs)``.  During the
+release the voice keeps playing while fading, so pause/stop become clickless
+(the *declicking* the reference left TODO throughout, sampler.rs:359-522).
+The default is 0/0 — the reference's hard-switch behavior, bit-exact.
 """
 
 from __future__ import annotations
@@ -89,6 +94,8 @@ class SamplerNode(AudioNode):
         )
         self._playing = False
         self._rate = 1.0
+        self._attack_secs = 0.0
+        self._release_secs = 0.0
         self._sample: Optional[SampleResource] = None
         self._loop: Optional[LoopRange] = None
         # control-plane sequence numbers (the rtrb message queue analog)
@@ -129,6 +136,12 @@ class SamplerNode(AudioNode):
         """Resampling / doppler pitch (beyond-reference; BASELINE scope).
         1.0 = native speed."""
         self._rate = max(float(rate), 0.0)
+
+    def set_envelope(self, attack_secs: float, release_secs: float):
+        """Gain envelope / declick fade times (0 = instant, the reference's
+        behavior).  ~0.005 s declicks play/pause/stop transitions."""
+        self._attack_secs = max(float(attack_secs), 0.0)
+        self._release_secs = max(float(release_secs), 0.0)
 
     def is_playing(self) -> bool:
         return self._playing
@@ -201,6 +214,7 @@ class SamplerProcessor(NodeProcessor):
             "prev_playing": jnp.zeros((), bool),
             "seek_seq": jnp.zeros((), jnp.uint32),
             "loop_seq": jnp.zeros((), jnp.uint32),
+            "env": jnp.zeros((), jnp.float32),
         }
 
     def collect_params(self):
@@ -215,7 +229,17 @@ class SamplerProcessor(NodeProcessor):
             data = jnp.asarray(_EMPTY_SAMPLE)
             has_sample = False
         loop_on, loop_start, loop_end = node._loop_params()
+        sr = self.sample_rate
+        # per-sample envelope steps; 0-second times jump in one sample
+        attack_step = (
+            1.0 / (node._attack_secs * sr) if node._attack_secs > 0 else 2.0
+        )
+        release_step = (
+            1.0 / (node._release_secs * sr) if node._release_secs > 0 else 2.0
+        )
         return {
+            "attack_step": np.float32(attack_step),
+            "release_step": np.float32(release_step),
             "raw_gain": np.float32(node.raw_gain()),
             "playing": np.asarray(node._playing and has_sample, bool),
             "rate": np.float32(node._rate),
@@ -262,6 +286,20 @@ class SamplerProcessor(NodeProcessor):
 
         playing = params["playing"] & ~ended
 
+        # ---- gain envelope / declick: linear ramp toward the playing state;
+        # during release the voice keeps playing while fading (beyond the
+        # reference's hard switch; see module docstring)
+        env0 = state["env"]
+        slope = jnp.where(
+            playing, params["attack_step"], -params["release_step"]
+        )
+        k1 = jnp.arange(1, frames + 1, dtype=jnp.float32)
+        env_k = jnp.clip(env0 + k1 * slope, 0.0, 1.0)
+        # a voice is active while playing or audibly fading; an instant
+        # release (step 2.0) silences within the first sample, freezing the
+        # playhead exactly like the reference's hard pause
+        active = playing | (env_k[0] > jnp.float32(0.0))
+
         # ---- gain ramp + mute short-circuit (sampler.rs:432-443).
         # The reference only runs the smoother when a sample is playing
         # (early returns at sampler.rs:416-430 skip it) — gate the state
@@ -270,7 +308,7 @@ class SamplerProcessor(NodeProcessor):
             state["gain"], params["raw_gain"], frames, self._coeffs, self._eps
         )
         gain_state = jax.tree.map(
-            lambda new, old: jnp.where(playing, new, old),
+            lambda new, old: jnp.where(active, new, old),
             gain_processed,
             state["gain"],
         )
@@ -327,13 +365,14 @@ class SamplerProcessor(NodeProcessor):
         new_playhead = jnp.where(finished, jnp.uint32(0), new_playhead)
         new_frac = jnp.where(finished, jnp.float32(0.0), new_frac)
 
-        silent = ~playing | muted
-        new_ended = jnp.where(playing & finished, True, ended)
-        new_playhead = jnp.where(playing, new_playhead, playhead)
-        new_frac = jnp.where(playing, new_frac, frac)
+        silent = ~active | muted
+        new_ended = jnp.where(active & finished, True, ended)
+        new_playhead = jnp.where(active, new_playhead, playhead)
+        new_frac = jnp.where(active, new_frac, frac)
 
-        # ---- gain apply to the sample's channels (sampler.rs:521-543)
-        gained = frames_out * ramp[None, :]
+        # ---- gain apply to the sample's channels (sampler.rs:521-543),
+        # shaped by the envelope
+        gained = frames_out * (ramp * env_k)[None, :]
 
         # ---- channel layout (sampler.rs:545-558)
         rows = []
@@ -354,6 +393,7 @@ class SamplerProcessor(NodeProcessor):
 
         new_state = {
             "gain": gain_state,
+            "env": env_k[-1],
             "playhead": new_playhead,
             "frac": new_frac,
             "ended": new_ended,

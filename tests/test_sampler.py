@@ -258,3 +258,49 @@ class TestResampling:
         proc, state = fresh(node, num_out=1)
         audio, _ = run_blocks(node, proc, state, 4)
         np.testing.assert_array_equal(audio[0], data[0, : 4 * F])
+
+
+class TestEnvelope:
+    def test_attack_fades_in(self):
+        clip, data = make_clip(frames=4000, channels=1)
+        node = SamplerNode(100.0)
+        node.set_sample(clip)
+        node.set_envelope(attack_secs=0.005, release_secs=0.005)  # 240 smp
+        node.play()
+        proc, state = fresh(node, num_out=1)
+        audio, state = run_blocks(node, proc, state, 3)
+        env = np.clip(np.arange(1, 3 * F + 1) / (0.005 * SR), 0, 1)
+        np.testing.assert_allclose(
+            audio[0], data[0, : 3 * F] * env.astype(np.float32), atol=1e-5
+        )
+
+    def test_release_fades_out_then_freezes(self):
+        clip, data = make_clip(frames=8000, channels=1)
+        node = SamplerNode(100.0)
+        node.set_sample(clip)
+        node.set_envelope(attack_secs=0.0, release_secs=0.002)  # 96 samples
+        node.play()
+        proc, state = fresh(node, num_out=1)
+        a1, state = run_blocks(node, proc, state, 1)
+        node.pause()
+        a2, state = run_blocks(node, proc, state, 2)
+        # fade continues playback for ~96 samples then silence
+        env = np.clip(1.0 - np.arange(1, 2 * F + 1) / (0.002 * SR), 0, 1)
+        np.testing.assert_allclose(
+            a2[0], data[0, F : 3 * F] * env.astype(np.float32), atol=1e-5
+        )
+        assert (a2[0, 100:] == 0).all()
+        # resume: playhead advanced one fade block, not further
+        node.play()
+        a3, state = run_blocks(node, proc, state, 1)
+        env_in = np.clip(np.arange(1, F + 1) * 2.0, 0, 1)  # attack 0 → instant
+        np.testing.assert_allclose(a3[0], data[0, 2 * F : 3 * F], atol=1e-5)
+
+    def test_zero_envelope_is_reference_exact(self):
+        clip, data = make_clip(frames=1000, channels=1)
+        node = SamplerNode(100.0)
+        node.set_sample(clip)
+        node.play()
+        proc, state = fresh(node, num_out=1)
+        audio, _ = run_blocks(node, proc, state, 2)
+        np.testing.assert_array_equal(audio[0], data[0, : 2 * F])
