@@ -64,6 +64,14 @@ class FilterProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
         self._builder = _BUILDERS[node.filter_type]
+        backend = node.backend
+        if backend == "auto":
+            # The Pallas kernel wins on TPU at large batch (BatchRenderer);
+            # the associative scan is the portable default — a single-
+            # instance stereo filter has only 2 lanes, far below the
+            # kernel's lane tile.
+            backend = "scan"
+        self._backend = backend
 
     def init_state(self):
         ch = self.num_inputs
@@ -84,7 +92,19 @@ class FilterProcessor(NodeProcessor):
         coeffs = self._builder(
             params["freq"], params["q"], params["gain_db"], self.sample_rate
         )
-        y, (z1, z2) = biquad_scan(inputs, (state["z1"], state["z2"]), coeffs)
+        if self._backend == "pallas":
+            from ..ops.pallas_iir import biquad_pallas, pallas_available
+
+            y, (z1, z2) = biquad_pallas(
+                inputs,
+                (state["z1"], state["z2"]),
+                coeffs,
+                interpret=not pallas_available(),
+            )
+        else:
+            y, (z1, z2) = biquad_scan(
+                inputs, (state["z1"], state["z2"]), coeffs
+            )
 
         # All-silent input with settled (zero) filter state stays silent;
         # with ringing state the filter tail is real audio — only flag
@@ -106,9 +126,15 @@ class FilterNode(AudioNode):
         frequency_hz: float = 1000.0,
         q: float = 0.7071,
         gain_db: float = 0.0,
+        backend: str = "auto",
     ):
+        """``backend``: "auto"/"scan" (portable associative scan) or
+        "pallas" (sequential-in-VMEM TPU kernel — exact sequential f32
+        semantics and less HBM traffic; best under large batches)."""
         assert filter_type in _BUILDERS, f"unknown filter type {filter_type!r}"
+        assert backend in ("auto", "scan", "pallas"), backend
         self.filter_type = filter_type
+        self.backend = backend
         self._freq = float(np.clip(frequency_hz, 1.0, 20_000.0))
         self._q = max(float(q), 1e-3)
         self._gain_db = float(gain_db)

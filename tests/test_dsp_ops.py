@@ -227,3 +227,71 @@ class TestPanMath:
         gain, pan, dist = spatial_params(jnp.asarray([5.0, 0.0, 0.0]))
         assert float(pan) > 0.9  # hard right
         assert float(gain) < 0.5  # attenuated with distance
+
+
+class TestPallasIIR:
+    """The Pallas sequential-IIR kernel (interpret mode on CPU; the compiled
+    path is validated on TPU in bench runs)."""
+
+    def test_matches_scan(self):
+        from firewheel_tpu.ops.pallas_iir import biquad_pallas
+
+        coeffs = biquad_lowpass(1000.0, 0.7071, SR)
+        x = RNG.standard_normal((4, 2, 256)).astype(np.float32)
+        z = (jnp.zeros((4, 2)), jnp.zeros((4, 2)))
+        y_s, (s1, s2) = biquad_scan(jnp.asarray(x), z, coeffs)
+        y_p, (p1, p2) = biquad_pallas(jnp.asarray(x), z, coeffs, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y_p), np.asarray(y_s), atol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(s1), atol=2e-5)
+
+    def test_exact_sequential_semantics(self):
+        """The kernel reproduces the scalar float32 recurrence more tightly
+        than the reassociated scan."""
+        from firewheel_tpu.ops.pallas_iir import biquad_pallas
+
+        coeffs = biquad_lowpass(500.0, 2.0, SR)  # resonant: scan drifts
+        x = RNG.standard_normal(512).astype(np.float32)
+        ref, _ = scalar_biquad(x, coeffs)
+        y_p, _ = biquad_pallas(jnp.asarray(x), (jnp.zeros(()), jnp.zeros(())), coeffs, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_p), ref, atol=5e-6)
+
+    def test_state_carry(self):
+        from firewheel_tpu.ops.pallas_iir import biquad_pallas
+
+        coeffs = biquad_highpass(2000.0, 0.7071, SR)
+        x = RNG.standard_normal((2, 256)).astype(np.float32)
+        y_full, _ = biquad_pallas(
+            jnp.asarray(x), (jnp.zeros(2), jnp.zeros(2)), coeffs, interpret=True
+        )
+        z = (jnp.zeros(2), jnp.zeros(2))
+        y1, z = biquad_pallas(jnp.asarray(x[:, :128]), z, coeffs, interpret=True)
+        y2, z = biquad_pallas(jnp.asarray(x[:, 128:]), z, coeffs, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y_full),
+            np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1),
+            atol=1e-6,
+        )
+
+    def test_filter_node_pallas_backend(self):
+        from firewheel_tpu.nodes import FilterNode, FilterType
+        from firewheel_tpu.core.node import BlockInfo
+
+        node = FilterNode(FilterType.LOWPASS, 800.0, backend="pallas")
+        proc = node.activate(SR, 128, 2, 2)
+        state = proc.init_state()
+        x = RNG.standard_normal((2, 128)).astype(np.float32)
+        out, state, om = proc.kernel(
+            proc.collect_params(), state, jnp.asarray(x),
+            jnp.zeros(2, bool), BlockInfo.make(),
+        )
+        node_s = FilterNode(FilterType.LOWPASS, 800.0, backend="scan")
+        proc_s = node_s.activate(SR, 128, 2, 2)
+        out_s, _, _ = proc_s.kernel(
+            proc_s.collect_params(), proc_s.init_state(), jnp.asarray(x),
+            jnp.zeros(2, bool), BlockInfo.make(),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_s), atol=2e-5
+        )
