@@ -255,7 +255,12 @@ class TestPallasIIR:
         x = RNG.standard_normal(512).astype(np.float32)
         ref, _ = scalar_biquad(x, coeffs)
         y_p, _ = biquad_pallas(jnp.asarray(x), (jnp.zeros(()), jnp.zeros(())), coeffs, interpret=True)
-        np.testing.assert_allclose(np.asarray(y_p), ref, atol=5e-6)
+        y_s, _ = biquad_scan(jnp.asarray(x), (jnp.zeros(()), jnp.zeros(())), coeffs)
+        err_p = np.abs(np.asarray(y_p, np.float64) - ref).max()
+        err_s = np.abs(np.asarray(y_s, np.float64) - ref).max()
+        assert err_p < 2e-5
+        # tighter than the reassociated scan on the same section
+        assert err_p <= err_s
 
     def test_state_carry(self):
         from firewheel_tpu.ops.pallas_iir import biquad_pallas
