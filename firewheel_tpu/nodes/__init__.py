@@ -17,6 +17,7 @@ from .delay import DelayCompNode, EchoNode
 from .reverb import ConvolutionReverbNode
 from .spatial import Spatializer3DNode
 from .meter import DbMeterNode
+from .streaming_sampler import CallbackStreamReader, StreamingSamplerNode
 
 __all__ = [
     "LoopRange",
@@ -30,6 +31,8 @@ __all__ = [
     "ConvolutionReverbNode",
     "Spatializer3DNode",
     "DbMeterNode",
+    "CallbackStreamReader",
+    "StreamingSamplerNode",
     "DummyAudioNode",
     "DummyProcessor",
     "BeepTestNode",

@@ -1,0 +1,310 @@
+"""Streaming sampler: play audio longer than device memory wants resident.
+
+Reference scope: the sampler's "disk and network streaming" sub-feature
+(``DESIGN_DOC.md`` sampler list; unimplemented there).
+
+TPU-native design: the device holds only a **sliding window** of the clip
+(``f32[ch, W]``, a param like the in-memory sampler's array); the host
+prefetches ahead of the playhead from a *stream reader* — any object with
+``num_channels / len_frames / sample_rate / read(start, n)``:
+
+* :class:`~firewheel_tpu.utils.wav.WavStreamReader` — memory-mapped disk
+  streaming;
+* :class:`CallbackStreamReader` — wrap a closure (network fetch, procedural
+  generation, a decoder, ...).
+
+The host tracks a shadow playhead: in the streaming path ``collect_params``
+runs once per rendered block, so each call advances the estimate by
+``block × rate`` frames and refills the window when the lookahead margin
+shrinks.  The kernel gathers ``positions − window_start`` and masks samples
+outside the window, so a starved window degrades to silence, never garbage.
+
+Playback is sequential (play/pause/stop/seek; no loop ranges — loop a
+window-sized clip with the in-memory :class:`SamplerNode` instead).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.node import (
+    AudioNode,
+    AudioNodeInfo,
+    NodeProcessor,
+    MAX_PORTS,
+)
+from ..core.smoother import (
+    SmootherConfig,
+    smoother_coeffs,
+    smoother_init,
+    smoother_set_and_process,
+)
+from ..core.units import percent_volume_to_raw_gain
+
+__all__ = ["CallbackStreamReader", "StreamingSamplerNode"]
+
+
+class CallbackStreamReader:
+    """Adapt a ``read(start, n) -> f32[ch, n]`` closure to the stream-reader
+    protocol (the "network streaming" hook)."""
+
+    def __init__(self, read_fn: Callable, num_channels: int, len_frames: int,
+                 sample_rate: int = 48000):
+        self._read = read_fn
+        self.num_channels = num_channels
+        self.len_frames = len_frames
+        self.sample_rate = sample_rate
+
+    def read(self, start_frame: int, num_frames: int) -> np.ndarray:
+        out = np.asarray(
+            self._read(start_frame, num_frames), np.float32
+        ).reshape(self.num_channels, num_frames)
+        return out
+
+
+class StreamingSamplerNode(AudioNode):
+    debug_name = "streaming_sampler"
+
+    def __init__(
+        self,
+        reader=None,
+        percent_volume: float = 100.0,
+        window_secs: float = 2.0,
+    ):
+        self._reader = reader
+        self._percent_volume = max(float(percent_volume), 0.0)
+        self._raw_gain = float(
+            percent_volume_to_raw_gain(np.float32(percent_volume))
+        )
+        self._window_secs = float(window_secs)
+        self._playing = False
+        self._rate = 1.0
+        self._seek_seq = 0
+        self._seek_pos = 0
+        self._sample_rate = 48000
+
+    # -- control --------------------------------------------------------------
+    def set_reader(self, reader):
+        """Swap the stream source; playback restarts from frame 0."""
+        self._reader = reader
+        self.stop()
+
+    def play(self):
+        self._playing = True
+
+    def pause(self):
+        self._playing = False
+
+    def stop(self):
+        self._playing = False
+        self._seek_seq += 1
+        self._seek_pos = 0
+
+    def set_playhead(self, secs: float):
+        self._seek_seq += 1
+        self._seek_pos = int(round(secs * self._sample_rate))
+
+    def set_playback_rate(self, rate: float):
+        self._rate = float(np.clip(rate, 0.0, 4.0))
+
+    def set_percent_volume(self, percent_volume: float):
+        self._raw_gain = float(
+            percent_volume_to_raw_gain(np.float32(percent_volume))
+        )
+        self._percent_volume = max(float(percent_volume), 0.0)
+
+    def raw_gain(self) -> float:
+        return self._raw_gain
+
+    def is_playing(self) -> bool:
+        return self._playing
+
+    # -- plumbing -------------------------------------------------------------
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(
+            num_min_supported_outputs=1,
+            num_max_supported_outputs=MAX_PORTS,
+            updates=True,
+        )
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        self._sample_rate = int(sample_rate)
+        return StreamingSamplerProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )
+
+
+class StreamingSamplerProcessor(NodeProcessor):
+    def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+        self._coeffs = smoother_coeffs(sample_rate, SmootherConfig())
+        self._eps = SmootherConfig().settle_epsilon
+
+        self.window_frames = max(
+            4 * max_block_frames,
+            int(node._window_secs * sample_rate),
+        )
+        self._window = np.zeros((1, self.window_frames), np.float32)
+        self._window_dev = None
+        self._window_start = 0
+        self._window_valid = False
+        # host shadow playhead (frames, float for fractional rates)
+        self._est_playhead = 0.0
+        self._seen_seek_seq = node._seek_seq
+        self.refill_count = 0
+
+    # -- host-side window management -----------------------------------------
+    def _refill(self, start: int):
+        reader = self._node._reader
+        ch = reader.num_channels
+        if self._window.shape[0] != ch:
+            self._window = np.zeros((ch, self.window_frames), np.float32)
+        self._window[:] = reader.read(start, self.window_frames)
+        self._window_dev = jnp.asarray(self._window)
+        self._window_start = start
+        self._window_valid = True
+        self.refill_count += 1
+
+    def collect_params(self):
+        node = self._node
+        reader = node._reader
+        has_reader = reader is not None
+
+        # apply seeks to the shadow playhead
+        if node._seek_seq != self._seen_seek_seq:
+            self._seen_seek_seq = node._seek_seq
+            self._est_playhead = float(node._seek_pos)
+            self._window_valid = False
+
+        if has_reader:
+            # prefetch: keep at least half a window of lookahead
+            need_start = int(self._est_playhead)
+            lookahead_end = int(
+                self._est_playhead
+                + self.max_block_frames * max(node._rate, 1.0) * 2
+            )
+            if (
+                not self._window_valid
+                or need_start < self._window_start
+                or lookahead_end > self._window_start + self.window_frames
+            ):
+                # window begins slightly before the playhead so interpolation
+                # never reads behind it
+                self._refill(max(0, need_start - self.max_block_frames))
+            if node._playing:
+                self._est_playhead += self.max_block_frames * node._rate
+        if self._window_dev is None:
+            self._window_dev = jnp.asarray(self._window)
+
+        return {
+            "raw_gain": np.float32(node.raw_gain()),
+            "playing": np.asarray(bool(node._playing and has_reader), bool),
+            "rate": np.float32(node._rate),
+            "seek_seq": np.uint32(node._seek_seq),
+            "seek_pos": np.uint32(node._seek_pos),
+            "window": self._window_dev,
+            "window_start": np.uint32(self._window_start),
+            "len_frames": np.uint32(
+                reader.len_frames if has_reader else 0
+            ),
+        }
+
+    def init_state(self):
+        return {
+            "gain": smoother_init(np.float32(self._node.raw_gain())),
+            "playhead": jnp.zeros((), jnp.uint32),
+            "frac": jnp.zeros((), jnp.float32),
+            "ended": jnp.zeros((), bool),
+            "prev_playing": jnp.zeros((), bool),
+            "seek_seq": jnp.zeros((), jnp.uint32),
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        frames = self.max_block_frames if inputs.ndim < 2 else inputs.shape[-1]
+        n_out = self.num_outputs
+        window = params["window"]
+        w_ch, w_len = window.shape
+
+        playhead = state["playhead"]
+        frac = state["frac"]
+        ended = state["ended"]
+
+        seek_new = params["seek_seq"] != state["seek_seq"]
+        playhead = jnp.where(seek_new, params["seek_pos"], playhead)
+        frac = jnp.where(seek_new, jnp.float32(0.0), frac)
+        ended = jnp.where(seek_new, False, ended)
+
+        rising = params["playing"] & ~state["prev_playing"]
+        ended = jnp.where(rising, False, ended)
+        playing = params["playing"] & ~ended
+
+        ramp, gain_processed, smoothing = smoother_set_and_process(
+            state["gain"], params["raw_gain"], frames, self._coeffs, self._eps
+        )
+        gain_state = jax.tree.map(
+            lambda new, old: jnp.where(playing, new, old),
+            gain_processed,
+            state["gain"],
+        )
+        muted = ~smoothing & (ramp[0] < jnp.float32(0.00001))
+
+        rate = params["rate"]
+        k = jnp.arange(frames, dtype=jnp.float32)
+        off = frac + k * rate
+        off_int = jnp.floor(off).astype(jnp.uint32)
+        interp_w = off - jnp.floor(off)
+
+        pos = playhead + off_int  # absolute frames
+        rel = pos.astype(jnp.int32) - params["window_start"].astype(jnp.int32)
+        in_window = (rel >= 0) & (rel < w_len - 1)
+        in_clip = pos < params["len_frames"]
+        valid = in_window & in_clip
+        idx0 = jnp.clip(rel, 0, w_len - 1)
+        idx1 = jnp.clip(rel + 1, 0, w_len - 1)
+
+        s0 = window[:, idx0]
+        s1 = window[:, idx1]
+        out_rows = s0 + (s1 - s0) * interp_w[None, :]
+        out_rows = jnp.where(valid[None, :], out_rows, 0.0)
+
+        adv = frac + jnp.float32(frames) * rate
+        adv_int = jnp.floor(adv)
+        new_playhead = playhead + adv_int.astype(jnp.uint32)
+        new_frac = adv - adv_int
+        finished = new_playhead >= params["len_frames"]
+        new_ended = jnp.where(playing & finished, True, ended)
+
+        silent = ~playing | muted
+        new_playhead = jnp.where(playing, new_playhead, playhead)
+        new_frac = jnp.where(playing, new_frac, frac)
+
+        gained = out_rows * ramp[None, :]
+        rows, mask_rows = [], []
+        for ch in range(n_out):
+            if ch < w_ch:
+                rows.append(gained[ch])
+                mask_rows.append(silent)
+            elif n_out == 2 and w_ch == 1:
+                rows.append(gained[0])
+                mask_rows.append(silent)
+            else:
+                rows.append(jnp.zeros((frames,), jnp.float32))
+                mask_rows.append(jnp.asarray(True))
+        out = jnp.stack(rows)
+        out = jnp.where(silent, jnp.zeros_like(out), out)
+        out_mask = jnp.stack(mask_rows)
+
+        new_state = {
+            "gain": gain_state,
+            "playhead": new_playhead,
+            "frac": new_frac,
+            "ended": new_ended,
+            "prev_playing": params["playing"],
+            "seek_seq": jnp.asarray(params["seek_seq"], jnp.uint32),
+        }
+        return out, new_state, out_mask

@@ -1,4 +1,5 @@
-"""Minimal WAV read/write supporting 16-bit PCM and 32-bit IEEE float."""
+"""Minimal WAV read/write supporting 16-bit PCM and 32-bit IEEE float,
+plus a seekable windowed reader for disk streaming."""
 
 from __future__ import annotations
 
@@ -6,7 +7,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["write_wav", "read_wav"]
+__all__ = ["write_wav", "read_wav", "WavStreamReader"]
 
 
 def write_wav(path: str, audio: np.ndarray, sample_rate: int, dtype: str = "f32"):
@@ -71,3 +72,63 @@ def read_wav(path: str):
         raise ValueError(f"unsupported wav format {fmt_code}/{bits}")
     frames = len(x) // ch
     return x[: frames * ch].reshape(frames, ch).T.copy(), sample_rate
+
+
+class WavStreamReader:
+    """Windowed WAV access without loading the file: parses the header once
+    and memory-maps the data chunk, so ``read(start, n)`` touches only the
+    pages it needs.  Satisfies the stream-reader protocol used by
+    :class:`~firewheel_tpu.nodes.streaming_sampler.StreamingSamplerNode`
+    (``num_channels``, ``len_frames``, ``sample_rate``, ``read``)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            head = f.read(12)
+            assert head[:4] == b"RIFF" and head[8:12] == b"WAVE", "not a WAV"
+            fmt = None
+            data_off = data_size = None
+            pos = 12
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", f.read(16))
+                    f.seek(size - 16, 1)
+                elif cid == b"data":
+                    data_off, data_size = f.tell(), size
+                    f.seek(size + (size & 1), 1)
+                else:
+                    f.seek(size + (size & 1), 1)
+        assert fmt is not None and data_off is not None, "malformed WAV"
+        fmt_code, ch, sr, _, _, bits = fmt
+        if fmt_code == 3 and bits == 32:
+            dtype, self._scale = "<f4", None
+        elif fmt_code == 1 and bits == 16:
+            dtype, self._scale = "<i2", np.float32(1.0 / 32767.0)
+        else:
+            raise ValueError(f"unsupported wav format {fmt_code}/{bits}")
+        self.num_channels = ch
+        self.sample_rate = sr
+        self.len_frames = data_size // (ch * bits // 8)
+        self._mm = np.memmap(
+            path,
+            dtype=dtype,
+            mode="r",
+            offset=data_off,
+            shape=(self.len_frames, ch),
+        )
+
+    def read(self, start_frame: int, num_frames: int) -> np.ndarray:
+        """``f32[channels, n]``; reads past EOF are zero-padded."""
+        start = max(0, int(start_frame))
+        end = min(start + num_frames, self.len_frames)
+        out = np.zeros((self.num_channels, num_frames), np.float32)
+        if end > start:
+            chunk = np.asarray(self._mm[start:end]).T
+            if self._scale is not None:
+                chunk = chunk.astype(np.float32) * self._scale
+            out[:, : end - start] = chunk
+        return out
