@@ -36,6 +36,7 @@ from .node import (
 )
 from .sample_resource import SampleResource, pcm_i16_to_f32, pcm_u16_to_f32
 from .automation import AutomationCurve, Keyframe, ParamAutomator
+from .formats import load_audio, register_format, supported_formats
 from . import interleave
 
 __all__ = [
