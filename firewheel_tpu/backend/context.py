@@ -92,6 +92,7 @@ class FirewheelCtx:
             cfg.num_out_channels,
             cfg.buffer_frames,
             user_cx if user_cx is not None else object(),
+            chunk_blocks=cfg.chunk_buffers,
         )
         assert processor is not None
 

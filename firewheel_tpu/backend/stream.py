@@ -57,13 +57,19 @@ class StreamConfig:
         buffer_frames: int = 1024,  # cpal default (lib.rs:190-193)
         realtime: bool = False,
         lookahead_buffers: int = 4,
+        chunk_buffers: int = 1,
     ):
+        """``chunk_buffers``: render up to this many stream buffers per
+        device dispatch (one ``lax.scan``) — amortizes dispatch overhead on
+        high-RTT transports; params/messages then apply at chunk
+        granularity."""
         self.sample_rate = sample_rate
         self.num_out_channels = num_out_channels
         self.num_in_channels = num_in_channels
         self.buffer_frames = buffer_frames
         self.realtime = realtime
-        self.lookahead_buffers = lookahead_buffers
+        self.lookahead_buffers = max(lookahead_buffers, chunk_buffers + 1)
+        self.chunk_buffers = max(1, int(chunk_buffers))
 
 
 class ArraySink:
@@ -235,12 +241,33 @@ class OutputStream:
         )
 
         rendered = 0
+        buffers_left = max_buffers
         try:
-            for _ in range(max_buffers):
+            while buffers_left > 0:
                 if max_frames is not None and self._frames_rendered >= max_frames:
                     break
-                if cfg.realtime and self._ring.writable() < frames * n_out:
-                    break
+                # how many buffers this dispatch
+                n = min(buffers_left, cfg.chunk_buffers)
+                if cfg.realtime:
+                    ring_bufs = self._ring.writable() // (frames * n_out)
+                    n = min(n, ring_bufs)
+                    if n == 0:
+                        break
+                if max_frames is not None:
+                    n = min(
+                        n,
+                        max(
+                            1,
+                            (max_frames - self._frames_rendered + frames - 1)
+                            // frames,
+                        ),
+                    )
+                span = n * frames
+                if self._out_buf.size < span * n_out:
+                    self._out_buf = np.zeros(span * n_out, np.float32)
+                    self._in_buf = np.zeros(span * n_in, np.float32)
+                out_view = self._out_buf[: span * n_out]
+                in_view = self._in_buf[: span * n_in]
 
                 stream_time_secs = self._frames_rendered * sample_rate_recip
                 status = StreamStatus.NONE
@@ -250,33 +277,39 @@ class OutputStream:
                     self._underflow_count += 1
 
                 if self.input_source is not None and n_in > 0:
-                    self._in_buf[:] = np.asarray(
-                        self.input_source(frames), np.float32
-                    ).reshape(-1)
+                    for b in range(n):
+                        in_view[
+                            b * frames * n_in : (b + 1) * frames * n_in
+                        ] = np.asarray(
+                            self.input_source(frames), np.float32
+                        ).reshape(-1)
 
                 t_render = time.perf_counter()
                 st = self._processor.process_interleaved(
-                    self._in_buf,
-                    self._out_buf,
+                    in_view,
+                    out_view,
                     n_in,
                     n_out,
-                    frames,
+                    span,
                     stream_time_secs,
                     status,
                 )
-                self._render_times.append(time.perf_counter() - t_render)
-                self._frames_rendered += frames
-                rendered += frames
+                self._render_times.append(
+                    (time.perf_counter() - t_render) / n
+                )
+                self._frames_rendered += span
+                rendered += span
+                buffers_left -= n
 
                 if cfg.realtime:
                     written = 0
-                    while written < self._out_buf.size:
-                        w = self._ring.write(self._out_buf[written:])
+                    while written < out_view.size:
+                        w = self._ring.write(out_view[written:])
                         written += w
-                        if written < self._out_buf.size:
+                        if written < out_view.size:
                             time.sleep(0.0005)
                 else:
-                    self.sink.write(self._out_buf, n_out)
+                    self.sink.write(out_view, n_out)
 
                 if st == ProcessorStatus.DROP_PROCESSOR:
                     self._processor.drop()
@@ -297,12 +330,13 @@ class OutputStream:
         """Finish the processor drop handshake if a stop arrived
         (offline streams with no paced thread)."""
         if not self._dropped and self._processor is not None:
+            frames = self.config.buffer_frames
             st = self._processor.process_interleaved(
-                self._in_buf,
-                self._out_buf,
+                self._in_buf[: frames * self.config.num_in_channels],
+                self._out_buf[: frames * self.config.num_out_channels],
                 self.config.num_in_channels,
                 self.config.num_out_channels,
-                self.config.buffer_frames,
+                frames,
                 self._frames_rendered / self.config.sample_rate,
             )
             if st == ProcessorStatus.DROP_PROCESSOR:

@@ -68,6 +68,7 @@ class GraphContext:
         num_stream_out_channels: int,
         max_block_frames: int,
         user_cx: Any = None,
+        chunk_blocks: int = 1,
     ) -> Optional[GraphProcessor]:
         """Create the processor; ``None`` if already active."""
         assert sample_rate != 0
@@ -87,6 +88,7 @@ class GraphContext:
             sample_rate=sample_rate,
             max_block_frames=max_block_frames,
             user_cx=user_cx,
+            chunk_blocks=chunk_blocks,
         )
 
     def is_activated(self) -> bool:

@@ -79,9 +79,16 @@ class GraphProcessor:
         sample_rate: int,
         max_block_frames: int,
         user_cx: Any = None,
+        chunk_blocks: int = 1,
     ):
+        """``chunk_blocks``: when > 1, runs of that many full blocks render
+        as ONE device dispatch (``lax.scan``), amortizing dispatch overhead
+        at the cost of message-polling/param granularity (the reference
+        polls per block, processor.rs:214; chunking polls per chunk).
+        Essential on high-RTT transports."""
         assert num_stream_in_channels <= 64
         assert num_stream_out_channels <= 64
+        self.chunk_blocks = max(1, int(chunk_blocks))
         self._from_ctx = from_ctx
         self._to_ctx = to_ctx
         self.num_stream_in_channels = num_stream_in_channels
@@ -203,13 +210,30 @@ class GraphProcessor:
 
         frames_processed = 0
         while frames_processed < frames:
-            block = min(frames - frames_processed, self.max_block_frames)
-
             self.poll_messages()
             if not self._running:
                 output_buffer[frames_processed * num_out_channels :] = 0.0
                 break
             program = self._program
+
+            # chunked fast path: K whole blocks in one dispatch
+            remaining_blocks = (frames - frames_processed) // self.max_block_frames
+            if self.chunk_blocks > 1 and remaining_blocks >= 2:
+                k = min(remaining_blocks, self.chunk_blocks)
+                frames_processed += self._process_chunk(
+                    program,
+                    input_buffer,
+                    output_buffer,
+                    num_in_channels,
+                    num_out_channels,
+                    frames_processed,
+                    k,
+                    stream_time_secs,
+                    stream_status,
+                )
+                continue
+
+            block = min(frames - frames_processed, self.max_block_frames)
 
             # prepare graph inputs: deinterleave + silence mask
             # (processor.rs:99-115 → schedule.rs:213)
@@ -269,6 +293,64 @@ class GraphProcessor:
             frames_processed += block
 
         return ProcessorStatus.OK if self._running else ProcessorStatus.DROP_PROCESSOR
+
+    def _process_chunk(
+        self,
+        program,
+        input_buffer,
+        output_buffer,
+        num_in_channels,
+        num_out_channels,
+        frames_processed,
+        k,
+        stream_time_secs,
+        stream_status,
+    ) -> int:
+        """Render ``k`` full blocks in one ``lax.scan`` dispatch."""
+        f = self.max_block_frames
+        n_gi = program.num_graph_inputs
+        n_go = program.num_graph_outputs
+
+        gi = np.zeros((k, n_gi, f), np.float32)
+        im = np.ones((k, n_gi), bool)
+        if n_gi > 0 and num_in_channels > 0:
+            for b in range(k):
+                off = frames_processed + b * f
+                mask = deinterleave(
+                    gi[b],
+                    input_buffer[
+                        off * num_in_channels : (off + f) * num_in_channels
+                    ],
+                    num_in_channels,
+                    True,
+                )
+                im[b] = mask_to_bools(mask, n_gi)
+
+        start_sample = frames_processed + int(
+            round(stream_time_secs * self.sample_rate)
+        )
+        outs, oms, self._state = program.render_chunk(
+            program.collect_params(),
+            self._state,
+            jnp.asarray(gi),
+            jnp.asarray(im),
+            start_sample=np.uint32(start_sample & 0xFFFFFFFF),
+            status=np.uint32(int(stream_status)),
+        )
+        outs = np.asarray(outs)
+        oms = np.asarray(oms)
+
+        for b in range(k):
+            off = frames_processed + b * f
+            out_view = output_buffer[
+                off * num_out_channels : (off + f) * num_out_channels
+            ]
+            out_mask = mask_from_bools(oms[b])
+            if n_go == 2 and num_out_channels == 2:
+                interleave_stereo(outs[b, 0], outs[b, 1], out_view, out_mask)
+            else:
+                interleave(outs[b], out_view, num_out_channels, out_mask)
+        return k * f
 
     def _render_partial(self, program, gi, im, info, block):
         """Render a partial block (stream tail): trace a dedicated program
