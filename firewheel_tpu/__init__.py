@@ -45,6 +45,12 @@ if _os.environ.get("FIREWHEEL_TPU_CACHE_DIR"):
 
 from .core import (
     AudioNode,
+    AutomationCurve,
+    Keyframe,
+    ParamAutomator,
+    load_audio,
+    register_format,
+    supported_formats,
     AudioNodeInfo,
     BlockInfo,
     NodeActivationError,
@@ -102,6 +108,12 @@ __all__ = [
     "gain_to_db",
     "gain_to_db_clamped_neg_100_db",
     "percent_volume_to_raw_gain",
+    "AutomationCurve",
+    "Keyframe",
+    "ParamAutomator",
+    "load_audio",
+    "register_format",
+    "supported_formats",
     "AudioGraph",
     "AudioGraphConfig",
     "CompiledSchedule",

@@ -280,13 +280,17 @@ class TestMeter:
         node = DbMeterNode()
         proc = node.activate(SR, F, 2, 2)
         state = proc.init_state()
+        import jax
+
         n_blocks = 400  # ~1.07 s ≫ the 125 ms RMS window
         t = np.arange(F * n_blocks, dtype=np.float32)
         sine = (0.5 * np.sin(2 * np.pi * 1000 / SR * t)).astype(np.float32)
+        kernel = jax.jit(proc.kernel)  # compile once; 400 eager traces are slow
+        params = proc.collect_params()
         for i in range(n_blocks):
             x = np.stack([sine[i * F : (i + 1) * F]] * 2)
-            out, state, _ = proc.kernel(
-                proc.collect_params(), state, jnp.asarray(x), jnp.zeros(2, bool), INFO
+            out, state, _ = kernel(
+                params, state, jnp.asarray(x), jnp.zeros(2, bool), INFO
             )
         np.testing.assert_array_equal(np.asarray(out), x)  # passthrough
         reading = DbMeterNode.read(
