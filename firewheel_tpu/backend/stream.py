@@ -229,6 +229,21 @@ class OutputStream:
         """
         if not self._playing or self.error is not None or self._dropped:
             return 0
+        # Reentrancy guard: all device work must ride one thread (see module
+        # docstring); concurrent pumps are a caller bug we surface loudly
+        # rather than corrupt stream order.
+        if getattr(self, "_pumping", False):
+            raise RuntimeError(
+                "OutputStream.pump() re-entered — drive update()/pump() from "
+                "a single thread"
+            )
+        self._pumping = True
+        try:
+            return self._pump_locked(max_buffers)
+        finally:
+            self._pumping = False
+
+    def _pump_locked(self, max_buffers: int) -> int:
         cfg = self.config
         frames = cfg.buffer_frames
         n_out = cfg.num_out_channels
