@@ -23,8 +23,6 @@ import bisect
 import dataclasses
 from typing import Callable, Sequence
 
-import numpy as np
-
 __all__ = ["Keyframe", "AutomationCurve", "ParamAutomator"]
 
 

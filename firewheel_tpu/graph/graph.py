@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Any, Iterator, Optional
+from typing import Iterator, Optional
 
 from ..core.node import AudioNode, NodeActivationError, NodeProcessor, MAX_PORTS
 from .arena import Arena

@@ -26,7 +26,7 @@ from ..core.node import (
     NodeProcessor,
     MAX_PORTS,
 )
-from ..ops.delay import comb_init, comb_step, delay_init, delay_step
+from ..ops.delay import comb_init, delay_init, delay_step
 
 __all__ = ["DelayCompNode", "DelayCompProcessor", "EchoNode", "EchoProcessor"]
 

@@ -25,7 +25,7 @@ window-sized clip with the in-memory :class:`SamplerNode` instead).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import numpy as np

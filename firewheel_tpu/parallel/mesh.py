@@ -21,7 +21,6 @@ Both compose: a 2D mesh ``("dp", "vp")`` shards instances × voices.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Sequence
 
 import jax
