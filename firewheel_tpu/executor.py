@@ -96,10 +96,21 @@ class ScheduleProgram:
     def init_state(self) -> dict[str, Any]:
         return {key: proc.init_state() for key, proc in self._procs.items()}
 
-    def collect_params(self) -> dict[str, Any]:
+    def collect_params(self, blocks: int = 1) -> dict[str, Any]:
         """Host-side param snapshot for the next dispatch (the lock-free
-        param channel; volume.rs:92's atomic load analog)."""
-        return {key: proc.collect_params() for key, proc in self._procs.items()}
+        param channel; volume.rs:92's atomic load analog).
+
+        ``blocks``: how many blocks the upcoming dispatch renders — host-side
+        prefetchers (the streaming sampler's window) advance their shadow
+        clocks by it.  Processors opt in by accepting a ``blocks`` kwarg.
+        """
+        out = {}
+        for key, proc in self._procs.items():
+            if getattr(proc, "collect_accepts_blocks", False):
+                out[key] = proc.collect_params(blocks=blocks)
+            else:
+                out[key] = proc.collect_params()
+        return out
 
     # -- tracing -------------------------------------------------------------
     def _render(self, frames: int, params, state, graph_in, in_mask, info: BlockInfo):

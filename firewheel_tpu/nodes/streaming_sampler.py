@@ -13,10 +13,10 @@ prefetches ahead of the playhead from a *stream reader* — any object with
 * :class:`CallbackStreamReader` — wrap a closure (network fetch, procedural
   generation, a decoder, ...).
 
-The host tracks a shadow playhead: in the streaming path ``collect_params``
-runs once per rendered block, so each call advances the estimate by
-``block × rate`` frames and refills the window when the lookahead margin
-shrinks.  The kernel gathers ``positions − window_start`` and masks samples
+The host tracks a shadow playhead: the executor passes each dispatch's
+block count into ``collect_params(blocks=...)``, the estimate advances by
+``blocks × block × rate`` frames, and the window refills (growing once if a
+chunked dispatch outspans it) when the lookahead margin shrinks.  The kernel gathers ``positions − window_start`` and masks samples
 outside the window, so a starved window degrades to silence, never garbage.
 
 Playback is sequential (play/pause/stop/seek; no loop ranges — loop a
@@ -158,6 +158,10 @@ class StreamingSamplerProcessor(NodeProcessor):
         self._seen_seek_seq = node._seek_seq
         self.refill_count = 0
 
+    # the executor passes the upcoming dispatch's block count so the shadow
+    # playhead stays correct under chunked dispatch (executor.collect_params)
+    collect_accepts_blocks = True
+
     # -- host-side window management -----------------------------------------
     def _refill(self, start: int):
         reader = self._node._reader
@@ -170,7 +174,7 @@ class StreamingSamplerProcessor(NodeProcessor):
         self._window_valid = True
         self.refill_count += 1
 
-    def collect_params(self):
+    def collect_params(self, blocks: int = 1):
         node = self._node
         reader = node._reader
         has_reader = reader is not None
@@ -182,11 +186,20 @@ class StreamingSamplerProcessor(NodeProcessor):
             self._window_valid = False
 
         if has_reader:
-            # prefetch: keep at least half a window of lookahead
+            span = self.max_block_frames * blocks
+            # the whole upcoming dispatch must fit the window (plus an
+            # interpolation guard); grow it for large chunked dispatches
+            # (a growth is a one-time retrace)
+            needed = int(2 * span * max(node._rate, 1.0)) + 3 * self.max_block_frames
+            if needed > self.window_frames:
+                self.window_frames = needed
+                self._window = np.zeros(
+                    (self._window.shape[0], self.window_frames), np.float32
+                )
+                self._window_valid = False
             need_start = int(self._est_playhead)
             lookahead_end = int(
-                self._est_playhead
-                + self.max_block_frames * max(node._rate, 1.0) * 2
+                self._est_playhead + span * max(node._rate, 1.0) * 2
             )
             if (
                 not self._window_valid
@@ -197,7 +210,7 @@ class StreamingSamplerProcessor(NodeProcessor):
                 # never reads behind it
                 self._refill(max(0, need_start - self.max_block_frames))
             if node._playing:
-                self._est_playhead += self.max_block_frames * node._rate
+                self._est_playhead += span * node._rate
         if self._window_dev is None:
             self._window_dev = jnp.asarray(self._window)
 

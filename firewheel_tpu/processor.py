@@ -330,7 +330,7 @@ class GraphProcessor:
             round(stream_time_secs * self.sample_rate)
         )
         outs, oms, self._state = program.render_chunk(
-            program.collect_params(),
+            program.collect_params(blocks=k),
             self._state,
             jnp.asarray(gi),
             jnp.asarray(im),

@@ -140,3 +140,32 @@ def test_seek_and_rate(tmp_path):
     np.testing.assert_allclose(
         got[:, :n], audio[:, start : start + n], atol=1e-6
     )
+
+
+def test_streaming_with_chunked_dispatch(tmp_path):
+    """chunk_buffers > 1 renders K blocks per collect_params — the shadow
+    playhead must advance by the whole chunk or the window starves."""
+    from firewheel_tpu import StreamConfig
+
+    secs = 1.0
+    audio = make_audio(int(SR * secs))
+    path = str(tmp_path / "chunked.wav")
+    write_wav(path, audio, SR)
+
+    cx = FirewheelCtx()
+    g = cx.graph_mut()
+    smp = g.add_node(
+        0, 2, StreamingSamplerNode(WavStreamReader(path), window_secs=0.25)
+    )
+    g.connect(smp, 0, g.graph_out_node(), 0)
+    g.connect(smp, 1, g.graph_out_node(), 1)
+    sink = ArraySink()
+    cx.activate(
+        StreamConfig(SR, 2, buffer_frames=512, chunk_buffers=4), sink=sink
+    )
+    g.node(smp).play()
+    cx.render_offline(0.8)
+    cx.deactivate()
+    got = sink.audio(2)
+    n = int(0.75 * SR)
+    np.testing.assert_allclose(got[:, :n], audio[:, :n], atol=1e-6)
