@@ -21,6 +21,7 @@ and marked silent.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -56,7 +57,12 @@ class BeepTestProcessor(NodeProcessor):
         inc = jnp.uint32(self.phase_inc)
         k = jnp.arange(frames, dtype=jnp.uint32)
         phases_q = state["phase"] + k * inc  # uint32 wraparound == fract
-        phase = phases_q.astype(jnp.float32) * jnp.float32(2.0**-32)
+        # Signed reinterpretation: phase ∈ [-0.5, 0.5) instead of [0, 1) —
+        # identical under the 2π-periodic sine, and it avoids the
+        # uint32→f32 cast Mosaic can't lower (megakernel path).
+        phase = jax.lax.bitcast_convert_type(phases_q, jnp.int32).astype(
+            jnp.float32
+        ) * jnp.float32(2.0**-32)
         tone = jnp.sin(phase * jnp.float32(_TAU)) * jnp.float32(self.gain)
 
         out_row = jnp.where(enabled, tone, jnp.zeros_like(tone))

@@ -1,0 +1,86 @@
+"""Pallas megakernel executor: bit-exact parity with the XLA executor
+(interpret mode — see executor_pallas.py for Mosaic toolchain status)."""
+
+import numpy as np
+import jax
+import pytest
+
+from firewheel_tpu import AudioGraph, AudioGraphConfig, ScheduleProgram
+from firewheel_tpu.executor_pallas import MegaRenderer, supports_megakernel
+from firewheel_tpu.nodes import (
+    BeepTestNode,
+    ConvolutionReverbNode,
+    HardClipNode,
+    StereoPanNode,
+    SumNode,
+    VolumeNode,
+)
+from firewheel_tpu.parallel import BatchRenderer
+
+SR, F = 48000, 128
+
+
+def mixer_program():
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b1 = g.add_node(0, 2, BeepTestNode(440, -18, True))
+    b2 = g.add_node(0, 2, BeepTestNode(660, -18, True))
+    v = g.add_node(2, 2, VolumeNode(80.0))
+    s = g.add_node(4, 2, SumNode())
+    p = g.add_node(2, 2, StereoPanNode(0.2))
+    c = g.add_node(2, 2, HardClipNode(0.0))
+    g.connect(b1, 0, v, 0); g.connect(b1, 1, v, 1)
+    g.connect(v, 0, s, 0); g.connect(v, 1, s, 1)
+    g.connect(b2, 0, s, 2); g.connect(b2, 1, s, 3)
+    g.connect(s, 0, p, 0); g.connect(s, 1, p, 1)
+    g.connect(p, 0, c, 0); g.connect(p, 1, c, 1)
+    g.connect(c, 0, g.graph_out_node(), 0); g.connect(c, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+
+def test_eligibility():
+    prog = mixer_program()
+    assert supports_megakernel(prog)
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b = g.add_node(0, 2, BeepTestNode(440, -18, True))
+    r = g.add_node(2, 2, ConvolutionReverbNode(np.ones(64, np.float32)))
+    g.connect(b, 0, r, 0); g.connect(b, 1, r, 1)
+    g.connect(r, 0, g.graph_out_node(), 0); g.connect(r, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    prog_fft = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    assert not supports_megakernel(prog_fft)  # FFT nodes stay on XLA
+
+
+def test_bit_exact_vs_xla_executor():
+    prog = mixer_program()
+    B, K = 16, 4
+    mega = MegaRenderer(prog, batch=B, num_blocks=K, tile=8, interpret=True)
+    outs, masks, state2 = mega.render_chunk(
+        mega.stack_params(), mega.init_state(), 0
+    )
+
+    br = BatchRenderer(prog, batch=B)
+    bout, bmask, bstate = br.render_chunk(
+        br.stack_params(), br.init_state(), num_blocks=K
+    )
+
+    np.testing.assert_array_equal(np.asarray(outs), np.asarray(bout))
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(bmask))
+    for key in state2:
+        for a, b in zip(jax.tree.leaves(state2[key]), jax.tree.leaves(bstate[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_state_carries_across_chunks():
+    prog = mixer_program()
+    mega = MegaRenderer(prog, batch=8, num_blocks=2, tile=8, interpret=True)
+    params = mega.stack_params()
+    state = mega.init_state()
+    o1, _, state = mega.render_chunk(params, state, 0)
+    o2, _, state = mega.render_chunk(params, state, 2 * F)
+
+    br = BatchRenderer(prog, batch=8)
+    ro, _, rstate = br.render_chunk(br.stack_params(), br.init_state(), num_blocks=4)
+    got = np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(ro), atol=2e-6)
