@@ -140,3 +140,71 @@ def test_chunked_live_param_applies_at_chunk_granularity():
     audio = sink.audio(2)
     assert np.abs(audio[:, :2000]).max() > 0.1
     assert np.abs(audio[:, -2000:]).max() < 1e-5
+
+
+def test_chunked_dispatch_with_stream_inputs():
+    """_process_chunk's per-block deinterleave + mask path (inputs present)."""
+    from firewheel_tpu.graph import AudioGraphConfig
+
+    cx = FirewheelCtx(AudioGraphConfig(num_graph_inputs=2, num_graph_outputs=2))
+    build_passthrough(cx)
+    rng = np.random.default_rng(1)
+    fed = []
+
+    def source(frames):
+        x = (rng.standard_normal((frames, 2)) * 0.4).astype(np.float32)
+        fed.append(x)
+        return x.reshape(-1)
+
+    sink = ArraySink()
+    cx.activate(
+        StreamConfig(
+            SR, 2, num_in_channels=2, buffer_frames=256, chunk_buffers=4
+        ),
+        sink=sink,
+        input_source=source,
+    )
+    cx.render_offline(0.2)
+    cx.deactivate()
+    got = sink.audio(2)
+    want = np.concatenate(fed).T
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_allclose(
+        got[:, :n], np.clip(want[:, :n], -1, 1), atol=1e-6
+    )
+
+
+def test_chunked_input_silence_mask_per_block():
+    """Silent input blocks inside a chunk must come out silent even when
+    neighbors in the same chunk are loud (per-block masks through the scan)."""
+    from firewheel_tpu.graph import AudioGraphConfig
+
+    cx = FirewheelCtx(AudioGraphConfig(num_graph_inputs=1, num_graph_outputs=1))
+    g = cx.graph_mut()
+    g.connect(g.graph_in_node(), 0, g.graph_out_node(), 0)
+
+    calls = [0]
+
+    def source(frames):
+        calls[0] += 1
+        if calls[0] % 2 == 0:
+            return np.zeros(frames, np.float32)
+        return np.full(frames, 0.5, np.float32)
+
+    sink = ArraySink()
+    cx.activate(
+        StreamConfig(
+            SR, 1, num_in_channels=1, buffer_frames=256, chunk_buffers=4
+        ),
+        sink=sink,
+        input_source=source,
+    )
+    cx.render_offline(0.1)
+    cx.deactivate()
+    got = sink.audio(1)[0]
+    blocks = got[: (len(got) // 256) * 256].reshape(-1, 256)
+    for i, blk in enumerate(blocks[: calls[0]]):
+        if i % 2 == 0:
+            assert (blk == np.float32(0.5)).all(), f"block {i}"
+        else:
+            assert (blk == 0).all(), f"block {i}"
