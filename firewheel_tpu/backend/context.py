@@ -190,6 +190,11 @@ class FirewheelCtx:
         return meta
 
     # -- conveniences ---------------------------------------------------------
+    def stream_config(self):
+        """The active stream's configuration, or None (the reference's
+        ``stream_config()`` accessor, firewheel-cpal/src/lib.rs:28-339)."""
+        return self._active.config if self._active else None
+
     def node_state(self, node_id):
         """Host copy of a node's recurrent state (meter readback etc.)."""
         if self._active is None:
