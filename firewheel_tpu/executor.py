@@ -91,6 +91,7 @@ class ScheduleProgram:
             donate_argnums=self._donate,
         )
         self._jit_chunk_cache: dict[int, Callable] = {}
+        self._jit_partial_cache: dict[int, Callable] = {}
 
     # -- state / params ------------------------------------------------------
     def init_state(self) -> dict[str, Any]:
@@ -210,6 +211,17 @@ class ScheduleProgram:
     def render_block(self, params, state, graph_in, in_mask, info: BlockInfo):
         """Jitted single-block render (donates ``state``)."""
         return self._jit_block(params, state, graph_in, in_mask, info)
+
+    def render_partial_block(self, frames: int, params, state, graph_in,
+                             in_mask, info: BlockInfo):
+        """Jitted render of a block shorter than ``max_block_frames`` (stream
+        tails): a dedicated program per size so state advances by exactly
+        ``frames``."""
+        fn = self._jit_partial_cache.get(frames)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._render, frames))
+            self._jit_partial_cache[frames] = fn
+        return fn(params, state, graph_in, in_mask, info)
 
     def chunk_fn(self, num_blocks: int):
         """Build ``(params, state, graph_in[K,Ni,F], in_mask[K,Ni],

@@ -281,10 +281,7 @@ class VoiceParallelMixer:
         smapped = jax.shard_map(
             chunk,
             mesh=self.mesh,
-            in_specs=jax.tree.map(
-                lambda spec: spec, in_specs,
-                is_leaf=lambda x: isinstance(x, P),
-            ),
+            in_specs=in_specs,
             out_specs=out_specs,
             check_vma=False,
         )

@@ -353,22 +353,12 @@ class GraphProcessor:
         return k * f
 
     def _render_partial(self, program, gi, im, info, block):
-        """Render a partial block (stream tail): trace a dedicated program
-        for this block size so recurrent state advances by exactly ``block``
-        frames, mirroring the reference's `frames.min(max_block_frames)`
-        chunking (processor.rs:95-158)."""
-        import functools
-
-        cache = getattr(self, "_partial_cache", None)
-        if cache is None:
-            cache = self._partial_cache = {}
-        fn = cache.get((id(program), block))
-        if fn is None:
-            import jax
-
-            fn = jax.jit(functools.partial(program._render, block))
-            cache[(id(program), block)] = fn
-        out, om, self._state = fn(
+        """Render a partial block (stream tail): a dedicated program per
+        size so recurrent state advances by exactly ``block`` frames,
+        mirroring the reference's `frames.min(max_block_frames)` chunking
+        (processor.rs:95-158)."""
+        out, om, self._state = program.render_partial_block(
+            block,
             program.collect_params(),
             self._state,
             jnp.asarray(gi[:, :block]),
