@@ -150,3 +150,46 @@ def test_node_id_generation_distinguishes_reuse():
     b = g.add_node(1, 1, DummyAudioNode())
     # b may reuse a's slot but must not compare equal (thunderdome semantics)
     assert a != b
+
+
+def test_max_ports_enforced():
+    # 64-port engine-wide cap (node.rs:62,69; compiler.rs:203-204)
+    g = make_graph()
+    from firewheel_tpu.nodes import SumNode
+
+    nid = g.add_node(64, 2, SumNode())  # at the cap: fine
+    assert g.node_info(nid).num_inputs == 64
+    with pytest.raises(AssertionError):
+        g.add_node(65, 2, SumNode())
+    with pytest.raises(AssertionError):
+        g.add_node(2, 65, SumNode())
+
+
+def test_wide_sum_compiles_and_runs():
+    """A full-width 64->2 sum node through the executor."""
+    import numpy as np
+    import jax.numpy as jnp
+    from firewheel_tpu import BlockInfo, ScheduleProgram
+    from firewheel_tpu.nodes import BeepTestNode, SumNode
+
+    g = make_graph(nin=0, nout=2)
+    s = g.add_node(64, 2, SumNode())
+    beeps = []
+    for i in range(32):
+        b = g.add_node(0, 2, BeepTestNode(100.0 + 50.0 * i, -30.0, True))
+        g.connect(b, 0, s, 2 * i)
+        g.connect(b, 1, s, 2 * i + 1)
+        beeps.append(b)
+    g.connect(s, 0, g.graph_out_node(), 0)
+    g.connect(s, 1, g.graph_out_node(), 1)
+    pkg = g.compile(48000, 128)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), 48000)
+    out, om, _ = prog.render_block(
+        prog.collect_params(), prog.init_state(),
+        jnp.zeros((0, 128), jnp.float32), jnp.zeros((0,), bool),
+        BlockInfo.make(),
+    )
+    out = np.asarray(out)
+    assert out.shape == (2, 128)
+    assert np.abs(out).max() > 0.1  # 32 voices summed
+    assert np.isfinite(out).all()
