@@ -93,7 +93,9 @@ def main(out_path: str = "spatial_scene.wav"):
         )
 
     sink = WavSink(out_path, SR, 2)
-    cx.activate(StreamConfig(SR, 2, buffer_frames=1024), sink=sink)
+    cx.activate(
+        StreamConfig(SR, 2, buffer_frames=1024, chunk_buffers=8), sink=sink
+    )
     cx.render_offline(1.5)
     reading = DbMeterNode.read(cx.node_state(meter))
     stats = cx.stream.stats()

@@ -44,7 +44,7 @@ def save_checkpoint(path: str, processor, extra_meta: dict | None = None) -> Non
     from flax import serialization
 
     os.makedirs(path, exist_ok=True)
-    state = _to_host(processor._state)
+    state = _to_host(processor.state_dict())
     with open(os.path.join(path, _STATE_FILE), "wb") as f:
         f.write(serialization.to_bytes(state))
     meta = {
@@ -76,8 +76,9 @@ def restore_into(path: str, processor) -> dict:
     The processor's graph must have the same node set (keys are validated);
     returns the checkpoint metadata.
     """
-    state, meta = load_checkpoint(path, processor._state)
-    have = sorted(processor._state.keys())
+    current = processor.state_dict()
+    state, meta = load_checkpoint(path, current)
+    have = sorted(current.keys())
     want = meta.get("node_keys", have)
     if have != want:
         missing = set(want) - set(have)
@@ -93,5 +94,5 @@ def restore_into(path: str, processor) -> dict:
         )
     import jax.numpy as jnp
 
-    processor._state = jax.tree.map(lambda x: jnp.asarray(x), state)
+    processor.set_state_dict(jax.tree.map(lambda x: jnp.asarray(x), state))
     return meta

@@ -140,6 +140,19 @@ class NodeProcessor:
         """
         raise NotImplementedError
 
+    def group_key(self):
+        """Grouping signature for trace-time node pooling, or ``None``.
+
+        The executor vmaps *identical* consecutive nodes into one traced
+        kernel (a 128-emitter scene traces one spatializer, not 128),
+        shrinking program size and compile time dramatically.  Two
+        processors may share a group only if their kernels are
+        **behaviorally identical** given the same (params, state, inputs)
+        — i.e. every per-node difference lives in params/state, not in
+        Python attributes the kernel closes over.  Return ``None`` (the
+        default) to opt out."""
+        return None
+
 
 class AudioNode:
     """Main-thread node handle (node.rs:6-34).

@@ -69,7 +69,14 @@ class ScheduleProgram:
         processors: dict[NodeID, NodeProcessor],
         sample_rate: int,
         donate_state: bool = False,
+        group_nodes: bool = True,
     ):
+        """``group_nodes``: pool behaviorally-identical consecutive nodes
+        into one vmapped trace (see :meth:`NodeProcessor.group_key`).  A
+        128-emitter scene then traces ONE spatializer instead of 128 —
+        program size and compile time shrink by the pool factor; outputs
+        agree to ~1 ulp (vmap batches the same ops; fused transcendentals
+        may round differently)."""
         # Buffer donation of the state pytree is a minor win (state is tiny
         # next to audio buffers) and is unsupported on some backends (e.g.
         # the axon TPU tunnel), so it is opt-in.
@@ -85,6 +92,7 @@ class ScheduleProgram:
         graph_out_node = schedule.schedule[-1]
         self.num_graph_inputs = len(graph_in_node.output_buffers)
         self.num_graph_outputs = len(graph_out_node.input_buffers)
+        self._plan = self._build_plan(group_nodes)
 
         self._jit_block = jax.jit(
             functools.partial(self._render, self.max_block_frames),
@@ -92,6 +100,10 @@ class ScheduleProgram:
         )
         self._jit_chunk_cache: dict[int, Callable] = {}
         self._jit_partial_cache: dict[int, Callable] = {}
+        # packed-path machinery (built lazily from example pytrees)
+        self._param_packer = None
+        self._state_packer = None
+        self._jit_packed_cache: dict = {}
 
     # -- state / params ------------------------------------------------------
     def init_state(self) -> dict[str, Any]:
@@ -113,6 +125,64 @@ class ScheduleProgram:
                 out[key] = proc.collect_params()
         return out
 
+    # -- node pooling ----------------------------------------------------------
+    def _build_plan(self, group_nodes: bool):
+        """Partition the interior schedule into singles and vmappable groups.
+
+        A group is a run of consecutive entries whose processors share a
+        grouping signature and with no data dependency inside the run (a
+        member never consumes a buffer another member produced).
+        """
+        interior = self.schedule.schedule[1:-1]
+        plan: list[tuple[str, list]] = []
+        i = 0
+        while i < len(interior):
+            sn = interior[i]
+            proc = self._procs[node_key(sn.id)]
+            gk = proc.group_key() if group_nodes else None
+            if gk is None:
+                plan.append(("single", [sn]))
+                i += 1
+                continue
+            sig = (
+                type(proc).__name__,
+                proc.num_inputs,
+                proc.num_outputs,
+                proc.sample_rate,
+                proc.max_block_frames,
+                gk,
+            )
+            members = [sn]
+            produced = {ob.buffer_index for ob in sn.output_buffers}
+            j = i + 1
+            while j < len(interior):
+                cand = interior[j]
+                cproc = self._procs[node_key(cand.id)]
+                cgk = cproc.group_key()
+                if cgk is None:
+                    break
+                csig = (
+                    type(cproc).__name__,
+                    cproc.num_inputs,
+                    cproc.num_outputs,
+                    cproc.sample_rate,
+                    cproc.max_block_frames,
+                    cgk,
+                )
+                if csig != sig:
+                    break
+                if any(
+                    (not ib.should_clear) and ib.buffer_index in produced
+                    for ib in cand.input_buffers
+                ):
+                    break  # intra-group dependency
+                members.append(cand)
+                produced.update(ob.buffer_index for ob in cand.output_buffers)
+                j += 1
+            plan.append(("group" if len(members) > 1 else "single", members))
+            i = j
+        return plan
+
     # -- tracing -------------------------------------------------------------
     def _render(self, frames: int, params, state, graph_in, in_mask, info: BlockInfo):
         """Trace one block through the schedule (schedule.rs:289-343)."""
@@ -131,11 +201,7 @@ class ScheduleProgram:
 
         zeros_row = jnp.zeros((frames,), jnp.float32)
 
-        # Interior nodes, in schedule order.
-        for sn in sched[1:-1]:
-            key = node_key(sn.id)
-            proc = self._procs[key]
-
+        def gather_inputs(sn):
             in_rows, in_flags = [], []
             for ib in sn.input_buffers:
                 if ib.should_clear:
@@ -145,22 +211,52 @@ class ScheduleProgram:
                 else:
                     in_rows.append(bufs[ib.buffer_index])
                     in_flags.append(flags[ib.buffer_index])
-
             inputs = (
-                jnp.stack(in_rows) if in_rows else jnp.zeros((0, frames), jnp.float32)
+                jnp.stack(in_rows)
+                if in_rows
+                else jnp.zeros((0, frames), jnp.float32)
             )
-            mask = (
-                jnp.stack(in_flags) if in_flags else jnp.zeros((0,), bool)
-            )
+            mask = jnp.stack(in_flags) if in_flags else jnp.zeros((0,), bool)
+            return inputs, mask
 
-            outputs, st, out_mask = proc.kernel(
-                params[key], state[key], inputs, mask, info
-            )
-            new_state[key] = st
-
+        def scatter_outputs(sn, outputs, out_mask):
             for j, ob in enumerate(sn.output_buffers):
                 bufs[ob.buffer_index] = outputs[j]
                 flags[ob.buffer_index] = out_mask[j]
+
+        # Interior nodes, in schedule order (identical pools vmapped).
+        for kind, members in self._plan:
+            if kind == "single":
+                sn = members[0]
+                key = node_key(sn.id)
+                proc = self._procs[key]
+                inputs, mask = gather_inputs(sn)
+                outputs, st, out_mask = proc.kernel(
+                    params[key], state[key], inputs, mask, info
+                )
+                new_state[key] = st
+                scatter_outputs(sn, outputs, out_mask)
+                continue
+
+            keys = [node_key(sn.id) for sn in members]
+            proc0 = self._procs[keys[0]]
+            gathered = [gather_inputs(sn) for sn in members]
+            inputs_g = jnp.stack([g[0] for g in gathered])
+            mask_g = jnp.stack([g[1] for g in gathered])
+            params_g = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[params[k] for k in keys],
+            )
+            state_g = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[state[k] for k in keys],
+            )
+            outs_g, st_g, om_g = jax.vmap(
+                proc0.kernel, in_axes=(0, 0, 0, 0, None)
+            )(params_g, state_g, inputs_g, mask_g, info)
+            for j, (sn, key) in enumerate(zip(members, keys)):
+                new_state[key] = jax.tree.map(lambda x: x[j], st_g)
+                scatter_outputs(sn, outs_g[j], om_g[j])
 
         # Graph outputs (read_graph_outputs, schedule.rs:255-287): flagged
         # channels read as zero, exactly like interleave-with-mask.
@@ -186,6 +282,112 @@ class ScheduleProgram:
             jnp.stack(out_flags) if out_flags else jnp.zeros((0,), bool)
         )
         return out, out_mask, new_state
+
+    # -- packed render path ----------------------------------------------------
+    # Dispatching hundreds of per-node scalar leaves as separate jit args
+    # costs per-argument marshaling that dominates on remote transports
+    # (~2 ms/arg over the axon tunnel).  The packed path moves O(4) stacked
+    # arrays per dispatch instead and keeps recurrent state packed between
+    # calls (see packing.py).  This is the streaming processor's hot path.
+
+    def _ensure_packers(self, params_example, state_example):
+        if self._param_packer is None:
+            from .packing import Packer
+
+            self._param_packer = Packer(params_example)
+            self._state_packer = Packer(state_example)
+
+    def pack_state(self, state):
+        """→ opaque packed state (keep between packed render calls)."""
+        self._ensure_packers(self.collect_params(), state)
+        return self._state_packer.pack(state)
+
+    def unpack_state(self, packed_state):
+        return self._state_packer.unpack(*packed_state)
+
+    def _packed_fn(self, frames: int, blocks: int):
+        """Jitted packed step: ``blocks`` blocks of size ``frames``."""
+        key = (frames, blocks)
+        fn = self._jit_packed_cache.get(key)
+        if fn is not None:
+            return fn
+        ppack, spack = self._param_packer, self._state_packer
+        sr = float(self.sample_rate)
+
+        def stepped(pgroups, ppass, sgroups, spass, gi, im, start_sample, status):
+            params = ppack.unpack(pgroups, ppass)
+            state = spack.unpack(sgroups, spass)
+            if blocks == 1:
+                info = BlockInfo(
+                    stream_time_secs=start_sample.astype(jnp.float32)
+                    / jnp.float32(sr),
+                    stream_sample=start_sample,
+                    stream_status=status,
+                )
+                out, om, state = self._render(
+                    frames, params, state, gi, im, info
+                )
+                outs, oms = out[None], om[None]
+            else:
+
+                def body(carry, xs):
+                    st, sample = carry
+                    gi_k, im_k = xs
+                    info = BlockInfo(
+                        stream_time_secs=sample.astype(jnp.float32)
+                        / jnp.float32(sr),
+                        stream_sample=sample,
+                        stream_status=status,
+                    )
+                    out, om, st = self._render(
+                        frames, params, st, gi_k, im_k, info
+                    )
+                    return (st, sample + jnp.uint32(frames)), (out, om)
+
+                (state, _), (outs, oms) = jax.lax.scan(
+                    body, (state, start_sample), (gi, im)
+                )
+            sg, sp = spack.repack_traced(state)
+            return outs, oms, sg, sp
+
+        fn = jax.jit(stepped)
+        self._jit_packed_cache[key] = fn
+        return fn
+
+    def render_packed(
+        self,
+        params,
+        packed_state,
+        graph_in,
+        in_mask,
+        start_sample,
+        status=0,
+        frames: int | None = None,
+        blocks: int = 1,
+    ):
+        """Packed-path render: ``blocks`` blocks in one dispatch.
+
+        ``graph_in``: ``[Ni, frames]`` when blocks == 1, else
+        ``[blocks, Ni, frames]``.  Returns ``(outs [blocks, No, frames],
+        out_masks [blocks, No], packed_state')``.
+        """
+        frames = self.max_block_frames if frames is None else frames
+        if self._param_packer is None:
+            raise RuntimeError("call pack_state() before render_packed()")
+        pgroups, ppass = self._param_packer.pack(params)
+        sgroups, spass = packed_state
+        fn = self._packed_fn(frames, blocks)
+        outs, oms, sg, sp = fn(
+            pgroups,
+            ppass,
+            sgroups,
+            spass,
+            jnp.asarray(graph_in),
+            jnp.asarray(in_mask),
+            jnp.asarray(start_sample, jnp.uint32),
+            jnp.asarray(status, jnp.uint32),
+        )
+        return outs, oms, (sg, sp)
 
     def warmup(self, params, state) -> None:
         """Compile the block renderer by executing one throwaway block.

@@ -49,12 +49,21 @@ class BeepTestProcessor(NodeProcessor):
         return {"phase": jnp.zeros((), jnp.uint32)}
 
     def collect_params(self):
-        return {"enabled": np.asarray(self._node.enabled(), bool)}
+        # inc/gain ride as params (not closed-over statics) so identical
+        # beep processors group into one vmapped trace (node pooling)
+        return {
+            "enabled": np.asarray(self._node.enabled(), bool),
+            "inc": np.uint32(self.phase_inc),
+            "gain": np.float32(self.gain),
+        }
+
+    def group_key(self):
+        return ()
 
     def kernel(self, params, state, inputs, in_mask, info):
         frames = inputs.shape[-1] if inputs.ndim else self.max_block_frames
         enabled = params["enabled"]
-        inc = jnp.uint32(self.phase_inc)
+        inc = params["inc"]
         k = jnp.arange(frames, dtype=jnp.uint32)
         phases_q = state["phase"] + k * inc  # uint32 wraparound == fract
         # Signed reinterpretation: phase ∈ [-0.5, 0.5) instead of [0, 1) —
@@ -63,7 +72,7 @@ class BeepTestProcessor(NodeProcessor):
         phase = jax.lax.bitcast_convert_type(phases_q, jnp.int32).astype(
             jnp.float32
         ) * jnp.float32(2.0**-32)
-        tone = jnp.sin(phase * jnp.float32(_TAU)) * jnp.float32(self.gain)
+        tone = jnp.sin(phase * jnp.float32(_TAU)) * params["gain"]
 
         out_row = jnp.where(enabled, tone, jnp.zeros_like(tone))
         outputs = jnp.broadcast_to(out_row, (self.num_outputs, frames))

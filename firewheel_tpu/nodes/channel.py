@@ -20,6 +20,9 @@ __all__ = [
 
 
 class MonoToStereoProcessor(NodeProcessor):
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         silent = in_mask[0]
         row = jnp.where(silent, jnp.zeros_like(inputs[0]), inputs[0])
@@ -46,6 +49,9 @@ class MonoToStereoNode(AudioNode):
 
 
 class StereoToMonoProcessor(NodeProcessor):
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         all_silent = jnp.all(in_mask[:2])
         mono = (inputs[0] + inputs[1]) * jnp.float32(0.5)

@@ -36,6 +36,9 @@ class DelayCompProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self.delay_frames = delay_frames
 
+    def group_key(self):
+        return (self.delay_frames,)
+
     def init_state(self):
         return {"buf": delay_init(self.num_inputs, self.delay_frames)}
 
@@ -87,6 +90,9 @@ class EchoProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
         self.delay_frames = delay_frames
+
+    def group_key(self):
+        return (self.delay_frames,)
 
     def init_state(self):
         return {"line": comb_init(self.num_inputs, self.delay_frames)}

@@ -17,6 +17,9 @@ __all__ = ["DummyAudioNode", "DummyProcessor"]
 
 
 class DummyProcessor(NodeProcessor):
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         outputs = jnp.zeros((self.num_outputs, inputs.shape[-1]), jnp.float32)
         out_mask = jnp.zeros((self.num_outputs,), bool)

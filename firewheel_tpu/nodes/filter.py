@@ -88,6 +88,9 @@ class FilterProcessor(NodeProcessor):
             "gain_db": np.float32(n.gain_db()),
         }
 
+    def group_key(self):
+        return (self._node.filter_type, self._backend)
+
     def kernel(self, params, state, inputs, in_mask, info):
         coeffs = self._builder(
             params["freq"], params["q"], params["gain_db"], self.sample_rate

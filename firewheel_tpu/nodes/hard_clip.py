@@ -27,8 +27,14 @@ class HardClipProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self.threshold_gain = np.float32(threshold_gain)
 
+    def collect_params(self):
+        return {"threshold": np.float32(self.threshold_gain)}
+
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
-        t = jnp.float32(self.threshold_gain)
+        t = params["threshold"]
         out = jnp.maximum(jnp.minimum(inputs, t), -t)
         # Silent channels are zero-filled (hard_clip.rs:84-87); clip(0)=0 when
         # t >= 0, but t can be 0 exactly — -0.0 vs 0.0 is tolerable.

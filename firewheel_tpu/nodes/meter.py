@@ -49,6 +49,9 @@ class DbMeterProcessor(NodeProcessor):
             "rms_sq": jnp.zeros((ch,), jnp.float32),
         }
 
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         block_peak = jnp.max(jnp.abs(inputs), axis=-1)
         peak = jnp.maximum(block_peak, state["peak"] * self._peak_decay)

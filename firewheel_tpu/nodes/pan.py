@@ -41,6 +41,9 @@ class StereoPanProcessor(NodeProcessor):
     def collect_params(self):
         return {"pan": np.float32(self._node.pan())}
 
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         frames = inputs.shape[-1]
         ramp, pan_state, _ = smoother_set_and_process(

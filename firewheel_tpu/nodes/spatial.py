@@ -76,6 +76,9 @@ class Spatializer3DProcessor(NodeProcessor):
             "lp_b": b,
         }
 
+    def group_key(self):
+        return (self._node.ref_distance, self._node.rolloff)
+
     def kernel(self, params, state, inputs, in_mask, info):
         frames = inputs.shape[-1]
         gain_ramp, gain_state, _ = smoother_set_and_process(

@@ -40,6 +40,9 @@ class StereoWidthProcessor(NodeProcessor):
     def collect_params(self):
         return {"width": np.float32(self._node.width())}
 
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         frames = inputs.shape[-1]
         ramp, width_state, _ = smoother_set_and_process(

@@ -27,6 +27,9 @@ class SumProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self.num_in_ports = num_inputs // num_outputs
 
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         m = self.num_outputs
         n_ports = self.num_in_ports

@@ -52,6 +52,9 @@ class VolumeProcessor(NodeProcessor):
     def collect_params(self):
         return {"raw_gain": np.float32(self._node.raw_gain())}
 
+    def group_key(self):
+        return ()
+
     def kernel(self, params, state, inputs, in_mask, info):
         frames = inputs.shape[-1]
         raw_gain = params["raw_gain"]

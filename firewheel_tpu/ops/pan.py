@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax.numpy as jnp
 
 __all__ = [
@@ -57,15 +59,20 @@ def spatial_params(
       ``ref / (ref + rolloff·(d − ref))``, clamped at ``min_distance``;
     * pan: azimuth folded into [-1, 1] via ``sin(azimuth)`` so sounds
       behind the listener keep their left/right placement.
+
+    Backend-matched: numpy in → numpy math (this runs on the HOST per
+    emitter per block when staging params — device round-trips here would
+    dominate large scenes), jax in → traceable.
     """
-    p = jnp.asarray(rel_pos, jnp.float32)
-    d = jnp.sqrt(jnp.sum(p * p))
-    d_eff = jnp.maximum(d, jnp.float32(min_distance))
-    gain = jnp.float32(ref_distance) / (
-        jnp.float32(ref_distance)
-        + jnp.float32(rolloff) * jnp.maximum(d_eff - jnp.float32(ref_distance), 0.0)
+    xp = jnp if type(rel_pos).__module__.startswith("jax") else np
+    p = xp.asarray(rel_pos, xp.float32)
+    d = xp.sqrt(xp.sum(p * p))
+    d_eff = xp.maximum(d, xp.float32(min_distance))
+    gain = xp.float32(ref_distance) / (
+        xp.float32(ref_distance)
+        + xp.float32(rolloff) * xp.maximum(d_eff - xp.float32(ref_distance), 0.0)
     )
     # horizontal-plane direction; straight above/below pans center
-    horiz = jnp.sqrt(p[0] * p[0] + p[2] * p[2])
-    pan = jnp.where(horiz > 1e-6, p[0] / jnp.maximum(d_eff, 1e-6), 0.0)
-    return gain, jnp.clip(pan, -1.0, 1.0), d_eff
+    horiz = xp.sqrt(p[0] * p[0] + p[2] * p[2])
+    pan = xp.where(horiz > 1e-6, p[0] / xp.maximum(d_eff, 1e-6), 0.0)
+    return gain, xp.clip(pan, -1.0, 1.0), d_eff

@@ -100,7 +100,9 @@ class GraphProcessor:
         self._processors: dict[NodeID, NodeProcessor] = {}
         self._package: Optional[SchedulePackage] = None
         self._program: Optional[ScheduleProgram] = None
-        self._state: dict[str, Any] = {}
+        # recurrent state lives PACKED between dispatches (see packing.py);
+        # unpacked views are materialized on demand (migration, readback)
+        self._packed_state = None
         self._running = True
 
         # scratch for host-side (de)interleaving
@@ -123,6 +125,7 @@ class GraphProcessor:
         assert new_package.schedule.max_block_frames == self.max_block_frames
 
         old_package = self._package
+        state = self.state_dict()  # unpack surviving state for migration
 
         # Retire removed nodes: processors go back for deactivation
         # (processor.rs:176-193); their state is dropped.
@@ -131,7 +134,7 @@ class GraphProcessor:
                 proc = self._processors.pop(node_id, None)
                 if proc is not None:
                     old_package.removed_node_processors.append((node_id, proc))
-                self._state.pop(node_key(node_id), None)
+                state.pop(node_key(node_id), None)
             try:
                 self._to_ctx.push(
                     ProcessorToContextMsg(returned_schedule=old_package)
@@ -143,7 +146,7 @@ class GraphProcessor:
         for node_id, proc in new_package.new_node_processors:
             assert node_id not in self._processors
             self._processors[node_id] = proc
-            self._state[node_key(node_id)] = proc.init_state()
+            state[node_key(node_id)] = proc.init_state()
         new_package.new_node_processors = []
 
         self._package = new_package
@@ -152,14 +155,26 @@ class GraphProcessor:
         )
         # Prune state for nodes no longer scheduled (e.g. after deactivate).
         live = {node_key(nid) for nid in self._processors}
-        self._state = {k: v for k, v in self._state.items() if k in live}
+        state = {k: v for k, v in state.items() if k in live}
+        self._packed_state = self._program.pack_state(state)
+
+    def state_dict(self) -> dict:
+        """Unpacked per-node state dict (for migration/checkpointing);
+        the steady-state representation stays packed."""
+        if self._packed_state is None or self._program is None:
+            return {}
+        return self._program.unpack_state(self._packed_state)
+
+    def set_state_dict(self, state: dict) -> None:
+        assert self._program is not None
+        self._packed_state = self._program.pack_state(state)
 
     def node_state(self, node_id: NodeID):
         """Host copy of a node's current recurrent state (e.g. for meter
         readback).  Returns None for unknown/stateless nodes."""
         import jax
 
-        st = self._state.get(node_key(node_id))
+        st = self.state_dict().get(node_key(node_id))
         if st is None:
             return None
         return jax.tree.map(lambda x: np.asarray(x), st)
@@ -170,9 +185,16 @@ class GraphProcessor:
         self.poll_messages()
         if self._program is not None:
             try:
-                self._program.warmup(
-                    self._program.collect_params(), self._state
-                )
+                program = self._program
+                n_gi = program.num_graph_inputs
+                f = self.max_block_frames
+                program.render_packed(
+                    program.collect_params(),
+                    self._packed_state,
+                    np.zeros((n_gi, f), np.float32),
+                    np.ones((n_gi,), bool),
+                    0,
+                )  # result discarded; rendering is pure
             except Exception as e:  # pragma: no cover
                 log.warning("warmup compile failed: %s", e)
 
@@ -255,26 +277,22 @@ class GraphProcessor:
             sample = frames_processed + int(
                 round(stream_time_secs * self.sample_rate)
             )
-            info = BlockInfo.make(
-                stream_time_secs=np.float32(stream_time_secs),
-                stream_sample=np.uint32(sample & 0xFFFFFFFF),
-                stream_status=np.uint32(int(stream_status)),
+            # Packed path (see executor.render_packed): O(4) device buffers
+            # per dispatch instead of O(nodes); blocks shorter than
+            # max_block_frames get a dedicated program per size so state
+            # advances by exactly `block` frames (processor.rs:95-158).
+            outs, oms, self._packed_state = program.render_packed(
+                program.collect_params(),
+                self._packed_state,
+                gi[:, :block],
+                im,
+                np.uint32(sample & 0xFFFFFFFF),
+                status=np.uint32(int(stream_status)),
+                frames=block,
+                blocks=1,
             )
-            # NOTE: blocks shorter than max_block_frames are rendered at full
-            # block size and truncated on read-out; phase-bearing state is
-            # rewound by re-rendering only at stream end, so we simply render
-            # `block` frames by slicing — state advance must match `block`.
-            if block == self.max_block_frames:
-                out, om, self._state = program.render_block(
-                    program.collect_params(),
-                    self._state,
-                    jnp.asarray(gi),
-                    jnp.asarray(im),
-                    info,
-                )
-                out_np = np.asarray(out)
-            else:
-                out_np, om = self._render_partial(program, gi, im, info, block)
+            out_np = np.asarray(outs)[0]
+            om = np.asarray(oms)[0]
 
             out_mask = mask_from_bools(np.asarray(om))
             out_view = output_buffer[
@@ -329,13 +347,14 @@ class GraphProcessor:
         start_sample = frames_processed + int(
             round(stream_time_secs * self.sample_rate)
         )
-        outs, oms, self._state = program.render_chunk(
+        outs, oms, self._packed_state = program.render_packed(
             program.collect_params(blocks=k),
-            self._state,
-            jnp.asarray(gi),
-            jnp.asarray(im),
-            start_sample=np.uint32(start_sample & 0xFFFFFFFF),
+            self._packed_state,
+            gi,
+            im,
+            np.uint32(start_sample & 0xFFFFFFFF),
             status=np.uint32(int(stream_status)),
+            blocks=k,
         )
         outs = np.asarray(outs)
         oms = np.asarray(oms)
@@ -351,21 +370,6 @@ class GraphProcessor:
             else:
                 interleave(outs[b], out_view, num_out_channels, out_mask)
         return k * f
-
-    def _render_partial(self, program, gi, im, info, block):
-        """Render a partial block (stream tail): a dedicated program per
-        size so recurrent state advances by exactly ``block`` frames,
-        mirroring the reference's `frames.min(max_block_frames)` chunking
-        (processor.rs:95-158)."""
-        out, om, self._state = program.render_partial_block(
-            block,
-            program.collect_params(),
-            self._state,
-            jnp.asarray(gi[:, :block]),
-            jnp.asarray(im),
-            info,
-        )
-        return np.asarray(out), om
 
     # -- shutdown (processor.rs:251-263) --------------------------------------
     def drop(self) -> None:

@@ -189,7 +189,9 @@ class TestHardClip:
         proc = node.activate(SR, F, 2, 2)
         x, m = rand_inputs(2, mask=np.array([False, True]))
         x = (x * 3).astype(np.float32)
-        out, _, om = proc.kernel((), (), jnp.asarray(x), jnp.asarray(m), INFO)
+        out, _, om = proc.kernel(
+            proc.collect_params(), (), jnp.asarray(x), jnp.asarray(m), INFO
+        )
         rout, rom = ref.ref_hard_clip(x, m, node.threshold_gain)
         np.testing.assert_allclose(np.asarray(out), rout, atol=1e-6, rtol=0)
         np.testing.assert_array_equal(np.asarray(om), rom)
