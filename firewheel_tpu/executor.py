@@ -299,7 +299,9 @@ class ScheduleProgram:
 
     def pack_state(self, state):
         """→ opaque packed state (keep between packed render calls)."""
-        self._ensure_packers(self.collect_params(), state)
+        # blocks=0: structure-only snapshot — prefetching processors (the
+        # streaming sampler) must not advance their shadow clocks here
+        self._ensure_packers(self.collect_params(blocks=0), state)
         return self._state_packer.pack(state)
 
     def unpack_state(self, packed_state):
