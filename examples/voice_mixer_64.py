@@ -63,7 +63,7 @@ def main(out_path: str = "voice_mixer_64.wav"):
         g.connect(grp, 1, mixer, 2 * gi + 1)
     voices = []
     for i in range(NUM_VOICES):
-        smp = g.add_node(0, 2, SamplerNode(80.0))
+        smp = g.add_node(0, 2, SamplerNode(80.0, poolable=True))
         grp = group_sums[i // per_group]
         slot = i % per_group
         g.connect(smp, 0, grp, 2 * slot)
@@ -94,7 +94,9 @@ def main(out_path: str = "voice_mixer_64.wav"):
         node.play()
 
     sink = WavSink(out_path, SR, 2)
-    cx.activate(StreamConfig(SR, 2, buffer_frames=1024), sink=sink)
+    cx.activate(
+        StreamConfig(SR, 2, buffer_frames=1024, chunk_buffers=8), sink=sink
+    )
     cx.render_offline(2.0)
     stats = cx.stream.stats()
     cx.deactivate()

@@ -87,7 +87,14 @@ _EMPTY_SAMPLE = np.zeros((1, 1), np.float32)
 class SamplerNode(AudioNode):
     debug_name = "sampler"
 
-    def __init__(self, percent_volume: float = 100.0):
+    def __init__(self, percent_volume: float = 100.0, poolable: bool = False):
+        """``poolable``: opt into trace-time node pooling — voice pools of
+        samplers then vmap into ONE traced kernel (see
+        NodeProcessor.group_key).  The caller promises every pooled
+        sampler keeps a sample of the SAME [channels, frames] shape for
+        the program's lifetime (pad clips to a common length); a shape
+        change after pooling fails the retrace with a stack error."""
+        self.poolable = bool(poolable)
         self._percent_volume = max(float(percent_volume), 0.0)
         self._raw_gain = float(
             percent_volume_to_raw_gain(np.float32(percent_volume))
@@ -216,6 +223,17 @@ class SamplerProcessor(NodeProcessor):
             "loop_seq": jnp.zeros((), jnp.uint32),
             "env": jnp.zeros((), jnp.float32),
         }
+
+    def group_key(self):
+        node = self._node
+        if not node.poolable:
+            return None
+        shape = (
+            tuple(np.asarray(node._sample.data).shape)
+            if node._sample is not None
+            else (1, 1)
+        )
+        return (shape,)
 
     def collect_params(self):
         node = self._node

@@ -142,3 +142,55 @@ def test_packed_path_matches_unpacked():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6
             )
+
+
+def test_poolable_samplers_group_and_match():
+    """64-voice-mixer pattern: poolable samplers vmap into one trace and
+    produce the same audio as unpooled ones."""
+    from firewheel_tpu.core.sample_resource import SampleResource
+    from firewheel_tpu.nodes import LoopRange, SamplerNode
+
+    rng = np.random.default_rng(0)
+    clips = [
+        SampleResource(
+            (rng.standard_normal((1, 2000)) * 0.2).astype(np.float32),
+            device=False,
+        )
+        for _ in range(8)
+    ]
+
+    def build(poolable):
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        s = g.add_node(16, 2, SumNode())
+        nodes = []
+        for i in range(8):
+            smp = g.add_node(0, 2, SamplerNode(80.0, poolable=poolable))
+            g.connect(smp, 0, s, 2 * i)
+            g.connect(smp, 1, s, 2 * i + 1)
+            nodes.append(smp)
+        g.connect(s, 0, g.graph_out_node(), 0)
+        g.connect(s, 1, g.graph_out_node(), 1)
+        for i, nid in enumerate(nodes):
+            n = g.node(nid)
+            n.set_sample(clips[i])
+            n.set_loop_range(LoopRange.FULL)
+            n.set_playback_rate(2 ** ((i % 5 - 2) / 12))
+            n.play()
+        pkg = g.compile(SR, F)
+        return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+    pooled = build(True)
+    plain = build(False)
+    sizes = [len(m) for k, m in pooled._plan if k == "group"]
+    assert 8 in sizes, f"samplers did not pool: {pooled._plan}"
+
+    gi = jnp.zeros((0, F), jnp.float32)
+    im = jnp.zeros((0,), bool)
+    sp, su = pooled.init_state(), plain.init_state()
+    for blk in range(4):
+        info = BlockInfo.make(stream_sample=blk * F)
+        op, mp, sp = pooled.render_block(pooled.collect_params(), sp, gi, im, info)
+        ou, mu, su = plain.render_block(plain.collect_params(), su, gi, im, info)
+        np.testing.assert_allclose(
+            np.asarray(op), np.asarray(ou), atol=1e-6, rtol=0
+        )
