@@ -105,7 +105,8 @@ def main(out_path: str = "spatial_scene.wav"):
         f"rendered 1.5 s → {out_path}; master "
         f"peak {reading['peak_db'].round(1)} dB, "
         f"rms {reading['rms_db'].round(1)} dB; "
-        f"p99 buffer render {stats['render_ms_p99']:.2f} ms / "
+        f"render/buffer p50 {stats['render_ms_p50']:.2f} ms, "
+        f"p99 {stats['render_ms_p99']:.2f} ms incl. one-time compiles / "
         f"{stats['buffer_budget_ms']:.2f} ms budget"
     )
 

@@ -103,7 +103,8 @@ def main(out_path: str = "voice_mixer_64.wav"):
 
     print(
         f"rendered 2.0 s of {NUM_VOICES}-voice mix → {out_path}  "
-        f"(p99 buffer render {stats['render_ms_p99']:.2f} ms / "
+        f"(render/buffer p50 {stats['render_ms_p50']:.2f} ms, "
+        f"p99 {stats['render_ms_p99']:.2f} ms incl. one-time compiles / "
         f"{stats['buffer_budget_ms']:.2f} ms budget)"
     )
 

@@ -108,7 +108,7 @@ class FirewheelCtx:
         # Ship the first schedule and AOT-compile it before the stream starts
         # pulling, so the first buffer never stalls on XLA compilation.
         self._cx.update()
-        processor.warmup()
+        processor.warmup(full=cfg.warmup_full)
         stream.play()
 
         self._active = _ActiveStream(stream, from_err, out_device_name, cfg)

@@ -58,6 +58,7 @@ class StreamConfig:
         realtime: bool = False,
         lookahead_buffers: int = 4,
         chunk_buffers: int = 1,
+        warmup_full: bool = False,
     ):
         """``chunk_buffers``: render up to this many stream buffers per
         device dispatch (one ``lax.scan``) — amortizes dispatch overhead on
@@ -70,6 +71,9 @@ class StreamConfig:
         self.realtime = realtime
         self.lookahead_buffers = max(lookahead_buffers, chunk_buffers + 1)
         self.chunk_buffers = max(1, int(chunk_buffers))
+        #: precompile every power-of-two tail size at activate (see
+        #: GraphProcessor.warmup)
+        self.warmup_full = bool(warmup_full)
 
 
 class ArraySink:

@@ -179,22 +179,38 @@ class GraphProcessor:
             return None
         return jax.tree.map(lambda x: np.asarray(x), st)
 
-    def warmup(self) -> None:
-        """Install any pending schedule and AOT-compile its program so the
-        first stream buffer doesn't stall on XLA compilation."""
+    def warmup(self, full: bool = False) -> None:
+        """Install any pending schedule and compile its programs so stream
+        buffers don't stall on XLA compilation.
+
+        Default: the 1-block and full-chunk programs (what a continuous
+        stream dispatches).  ``full=True`` also compiles every power-of-two
+        tail size — zero mid-stream compiles ever, at the cost of a longer
+        activate (for strict-latency deployments)."""
         self.poll_messages()
         if self._program is not None:
             try:
                 program = self._program
                 n_gi = program.num_graph_inputs
                 f = self.max_block_frames
-                program.render_packed(
-                    program.collect_params(),
-                    self._packed_state,
-                    np.zeros((n_gi, f), np.float32),
-                    np.ones((n_gi,), bool),
-                    0,
-                )  # result discarded; rendering is pure
+                params = program.collect_params(blocks=0)
+                # results discarded — rendering is pure
+                sizes = {1, self.chunk_blocks}
+                if full:
+                    k = 1
+                    while k <= self.chunk_blocks:
+                        sizes.add(k)
+                        k *= 2
+                for k in sorted(sizes):
+                    if k == 1:
+                        gi = np.zeros((n_gi, f), np.float32)
+                        im = np.ones((n_gi,), bool)
+                    else:
+                        gi = np.zeros((k, n_gi, f), np.float32)
+                        im = np.ones((k, n_gi), bool)
+                    program.render_packed(
+                        params, self._packed_state, gi, im, 0, blocks=k
+                    )
             except Exception as e:  # pragma: no cover
                 log.warning("warmup compile failed: %s", e)
 
@@ -238,10 +254,14 @@ class GraphProcessor:
                 break
             program = self._program
 
-            # chunked fast path: K whole blocks in one dispatch
+            # chunked fast path: K whole blocks in one dispatch.  K is
+            # quantized to a power of two so the set of compiled programs
+            # is {1, 2, 4, ..., chunk_blocks} — all warmed at activate()
+            # (no mid-stream compile stalls).
             remaining_blocks = (frames - frames_processed) // self.max_block_frames
             if self.chunk_blocks > 1 and remaining_blocks >= 2:
                 k = min(remaining_blocks, self.chunk_blocks)
+                k = 1 << (k.bit_length() - 1)  # floor to power of two
                 frames_processed += self._process_chunk(
                     program,
                     input_buffer,
