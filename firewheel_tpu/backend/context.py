@@ -210,8 +210,13 @@ class FirewheelCtx:
             duration_secs * self._active.config.sample_rate
         )
         while self._active and self._active.stream.frames_rendered < target:
+            before = self._active.stream.frames_rendered
             res = self.update()
             if res.status != UpdateStatus.ACTIVE:
+                break
+            if self._active and self._active.stream.frames_rendered == before:
+                # no progress: duration cap reached, processor dropped, or
+                # stream error — don't spin forever
                 break
 
     @property

@@ -120,7 +120,12 @@ def _load_au(path):
 
 
 register_format([".wav", ".wave"], _load_wav)
-register_format([".aif", ".aiff", ".aifc"], _load_aiff)
+try:  # aifc exists through py3.12 (removed in 3.13)
+    import aifc as _aifc  # noqa: F401
+
+    register_format([".aif", ".aiff", ".aifc"], _load_aiff)
+except ImportError:  # pragma: no cover
+    pass
 try:  # sunau exists through py3.12
     import sunau as _sunau  # noqa: F401
 

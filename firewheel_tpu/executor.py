@@ -109,7 +109,7 @@ class ScheduleProgram:
     def init_state(self) -> dict[str, Any]:
         return {key: proc.init_state() for key, proc in self._procs.items()}
 
-    def collect_params(self, blocks: int = 1) -> dict[str, Any]:
+    def collect_params(self, blocks: float = 1) -> dict[str, Any]:
         """Host-side param snapshot for the next dispatch (the lock-free
         param channel; volume.rs:92's atomic load analog).
 

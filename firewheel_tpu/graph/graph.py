@@ -376,7 +376,9 @@ class AudioGraph:
                 )
             except NodeActivationError as e:
                 for n_id, proc in new_processors:
-                    self._nodes.get(n_id.idx).weight.node.deactivate(proc)
+                    rolled = self._nodes.get(n_id.idx)
+                    rolled.weight.node.deactivate(proc)
+                    rolled.weight.activated = False
                 raise NodeActivationFailed(node_id, e) from e
             entry.weight.activated = True
             new_processors.append((node_id, processor))

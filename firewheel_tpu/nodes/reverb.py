@@ -43,6 +43,17 @@ class ConvolutionReverbProcessor(NodeProcessor):
         node = self._node
         if self._h_cache_src is not node._ir:
             ir = np.atleast_2d(np.asarray(node._ir, np.float32))
+            # The FDL state was sized at activation: shorter IRs zero-pad to
+            # the activated partition count; longer ones need re-activation.
+            cap = self._partitions * self.max_block_frames
+            if ir.shape[-1] > cap:
+                raise ValueError(
+                    f"new IR ({ir.shape[-1]} frames) exceeds the activated "
+                    f"capacity ({cap} frames); re-add the node (or activate "
+                    "with the longest IR first) to grow the delay line"
+                )
+            if ir.shape[-1] < cap:
+                ir = np.pad(ir, ((0, 0), (0, cap - ir.shape[-1])))
             self._h_cache = partition_ir(ir, self.max_block_frames)
             self._h_cache_src = node._ir
         return self._h_cache

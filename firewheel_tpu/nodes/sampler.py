@@ -341,7 +341,11 @@ class SamplerProcessor(NodeProcessor):
 
         loop_on = params["loop_on"]
         lstart = params["loop_start"]
-        lend = jnp.maximum(params["loop_end"], lstart + 1)
+        # clamp the loop to the clip and keep it non-empty
+        lend = jnp.minimum(
+            jnp.maximum(params["loop_end"], lstart + 1), jnp.uint32(sample_len)
+        )
+        lend = jnp.maximum(lend, lstart + 1)
         llen = lend - lstart
         # out-of-range playhead returns to loop start (sampler.rs:446-453)
         playhead_eff = jnp.where(
@@ -349,13 +353,17 @@ class SamplerProcessor(NodeProcessor):
         )
 
         pos = playhead_eff + off_int
-        pos_rel = pos - lstart
-        pos_loop = lstart + jax.lax.rem(pos_rel, llen)
+        # A playhead BELOW the range plays linearly up to the loop end and
+        # only then wraps into the loop (the reference plays through,
+        # sampler.rs:446-484); max() guards the uint32 subtraction.
+        safe_rel = jnp.maximum(pos, lstart) - lstart
+        wrapped = lstart + jax.lax.rem(safe_rel, llen)
+        pos_loop = jnp.where(pos < lend, jnp.minimum(pos, sample_len - 1), wrapped)
         idx0 = jnp.where(loop_on, pos_loop, jnp.minimum(pos, sample_len - 1))
         idx1_raw = idx0 + 1
         idx1 = jnp.where(
             loop_on,
-            lstart + jax.lax.rem(idx1_raw - lstart, llen),
+            jnp.where(idx1_raw >= lend, lstart, jnp.minimum(idx1_raw, sample_len - 1)),
             jnp.minimum(idx1_raw, sample_len - 1),
         )
         valid = loop_on | (pos < sample_len)

@@ -174,7 +174,7 @@ class StreamingSamplerProcessor(NodeProcessor):
         self._window_valid = True
         self.refill_count += 1
 
-    def collect_params(self, blocks: int = 1):
+    def collect_params(self, blocks: float = 1):
         node = self._node
         reader = node._reader
         has_reader = reader is not None
@@ -186,7 +186,7 @@ class StreamingSamplerProcessor(NodeProcessor):
             self._window_valid = False
 
         if has_reader:
-            span = self.max_block_frames * blocks
+            span = self.max_block_frames * float(blocks)
             # the whole upcoming dispatch must fit the window (plus an
             # interpolation guard); grow it for large chunked dispatches
             # (a growth is a one-time retrace)

@@ -129,6 +129,8 @@ class BatchRenderer:
         if graph_in is None:
             graph_in = jnp.zeros((b, k, ni, f), jnp.float32)
             in_mask = jnp.ones((b, k, ni), bool)
+        elif in_mask is None:
+            in_mask = jnp.zeros((b, k, ni), bool)  # provided inputs: not silent
         fn = self._chunk_cache.get(k)
         if fn is None:
             fn = self._build(k)

@@ -89,6 +89,11 @@ class GraphProcessor:
         assert num_stream_in_channels <= 64
         assert num_stream_out_channels <= 64
         self.chunk_blocks = max(1, int(chunk_blocks))
+        # Chunk sizes with compiled programs.  After warmup() has run,
+        # dispatch never strays outside this set (zero mid-stream compiles);
+        # without a warmup (direct GraphProcessor use) sizes compile lazily.
+        self._warmed_sizes: set[int] = {1}
+        self._strict_sizes = False
         self._from_ctx = from_ctx
         self._to_ctx = to_ctx
         self.num_stream_in_channels = num_stream_in_channels
@@ -149,6 +154,8 @@ class GraphProcessor:
             state[node_key(node_id)] = proc.init_state()
         new_package.new_node_processors = []
 
+        self._warmed_sizes = {1}
+        self._strict_sizes = False
         self._package = new_package
         self._program = ScheduleProgram(
             new_package.schedule, self._processors, self.sample_rate
@@ -211,6 +218,8 @@ class GraphProcessor:
                     program.render_packed(
                         params, self._packed_state, gi, im, 0, blocks=k
                     )
+                    self._warmed_sizes.add(k)
+                self._strict_sizes = True
             except Exception as e:  # pragma: no cover
                 log.warning("warmup compile failed: %s", e)
 
@@ -253,15 +262,25 @@ class GraphProcessor:
                 output_buffer[frames_processed * num_out_channels :] = 0.0
                 break
             program = self._program
+            # A schedule swap can change the graph's port counts mid-buffer
+            # (poll_messages above) — re-read them with the fresh program.
+            n_gi = program.num_graph_inputs
+            n_go = program.num_graph_outputs
 
-            # chunked fast path: K whole blocks in one dispatch.  K is
-            # quantized to a power of two so the set of compiled programs
-            # is {1, 2, 4, ..., chunk_blocks} — all warmed at activate()
-            # (no mid-stream compile stalls).
+            # Chunked fast path: K whole blocks in one dispatch.  K is
+            # quantized to a power of two, then restricted to the warmed
+            # program set so streams NEVER compile mid-buffer (warmup
+            # compiles {1, chunk} by default, every power of two with
+            # warmup_full=True).
             remaining_blocks = (frames - frames_processed) // self.max_block_frames
+            k = 0
             if self.chunk_blocks > 1 and remaining_blocks >= 2:
                 k = min(remaining_blocks, self.chunk_blocks)
                 k = 1 << (k.bit_length() - 1)  # floor to power of two
+                if self._strict_sizes:
+                    while k > 1 and k not in self._warmed_sizes:
+                        k //= 2
+            if k > 1:
                 frames_processed += self._process_chunk(
                     program,
                     input_buffer,
@@ -302,7 +321,7 @@ class GraphProcessor:
             # max_block_frames get a dedicated program per size so state
             # advances by exactly `block` frames (processor.rs:95-158).
             outs, oms, self._packed_state = program.render_packed(
-                program.collect_params(),
+                program.collect_params(blocks=block / self.max_block_frames),
                 self._packed_state,
                 gi[:, :block],
                 im,

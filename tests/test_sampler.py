@@ -304,3 +304,40 @@ class TestEnvelope:
         proc, state = fresh(node, num_out=1)
         audio, _ = run_blocks(node, proc, state, 2)
         np.testing.assert_array_equal(audio[0], data[0, : 2 * F])
+
+
+def test_playhead_below_loop_range_plays_through():
+    """Playhead below the loop range plays linearly up to the loop end,
+    then wraps into the loop (sampler.rs:446-484 play-through semantics;
+    regression: uint32 underflow used to jump to a garbage position)."""
+    clip, data = make_clip(frames=1000, channels=1)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    start_f, end_f = 600, 900
+    node.set_loop_range(LoopRange.range_secs(start_f / SR, end_f / SR))
+    # seek BELOW the range start (set_loop_range with out-of-range playhead
+    # keeps it, matching sampler.rs:405-411)
+    node.set_playhead(100 / SR)
+    node.play()
+    proc, state = fresh(node, num_out=1)
+    audio, _ = run_blocks(node, proc, state, 8)  # 1024 frames
+    # linear portion: frames 100..900
+    lin = min(end_f - 100, 8 * F)
+    np.testing.assert_array_equal(audio[0, :lin], data[0, 100 : 100 + lin])
+    # then wraps into [600, 900)
+    rest = 8 * F - lin
+    pos = start_f + (np.arange(rest) % (end_f - start_f))
+    np.testing.assert_array_equal(audio[0, lin:], data[0, pos])
+
+
+def test_loop_end_beyond_clip_is_clamped():
+    clip, data = make_clip(frames=500, channels=1)
+    node = SamplerNode(100.0)
+    node.set_sample(clip)
+    node.set_loop_range(LoopRange.range_secs(400 / SR, 2000 / SR))  # end > clip
+    node.set_playhead(400 / SR)
+    node.play()
+    proc, state = fresh(node, num_out=1)
+    audio, _ = run_blocks(node, proc, state, 2)
+    pos = 400 + (np.arange(2 * F) % 100)  # clamped loop [400, 500)
+    np.testing.assert_array_equal(audio[0], data[0, pos])
