@@ -95,9 +95,9 @@ def main():
         return best, p99_block_ms
 
     # Candidate configs; the strongest first so it always gets full trials
-    # within the budget (measured on v5e: 4096→33k-90k x depending on host
-    # dispatch jitter, 1024→~9k x, 256→~6k x).
-    configs = [(4096, 16), (1024, 16), (256, 16)]
+    # within the budget (measured on v5e: 8192→up to 154k x, 4096→60k-96k x,
+    # 1024→~9k x, 256→~5k x; run-to-run spread is tunnel dispatch jitter).
+    configs = [(8192, 16), (4096, 16), (1024, 16)]
     best_rt, best_cfg, best_p99 = 0.0, None, None
     for batch, k in configs:
         try:
