@@ -95,23 +95,43 @@ class ArraySink:
 
 
 class WavSink:
-    """Streams rendered audio to a WAV file (written by ``close()``)."""
+    """Streams rendered audio to a 32-bit-float WAV file incrementally:
+    each ``write`` appends to disk, so an hours-long bounce holds no audio
+    in RAM; ``close()`` patches the RIFF/data sizes in the header."""
 
     def __init__(self, path: str, sample_rate: int, num_channels: int):
+        import struct
+
         self.path = path
         self.sample_rate = sample_rate
         self.num_channels = num_channels
-        self._sink = ArraySink()
+        self._payload_bytes = 0
+        self._f = open(path, "wb")
+        byte_rate = sample_rate * num_channels * 4
+        self._f.write(b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt ")
+        self._f.write(
+            struct.pack(
+                "<IHHIIHH", 16, 3, num_channels, sample_rate, byte_rate,
+                num_channels * 4, 32,
+            )
+        )
+        self._f.write(b"data" + struct.pack("<I", 0))
 
     def write(self, interleaved: np.ndarray, num_channels: int):
-        self._sink.write(interleaved, num_channels)
+        data = np.asarray(interleaved, "<f4").tobytes()
+        self._f.write(data)
+        self._payload_bytes += len(data)
 
     def close(self):
-        from ..utils.wav import write_wav
+        import struct
 
-        write_wav(
-            self.path, self._sink.audio(self.num_channels), self.sample_rate
-        )
+        if self._f.closed:
+            return
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + self._payload_bytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", self._payload_bytes))
+        self._f.close()
 
 
 class OutputStream:
@@ -272,16 +292,13 @@ class OutputStream:
                     n = min(n, ring_bufs)
                     if n == 0:
                         break
-                if max_frames is not None:
-                    n = min(
-                        n,
-                        max(
-                            1,
-                            (max_frames - self._frames_rendered + frames - 1)
-                            // frames,
-                        ),
-                    )
                 span = n * frames
+                if max_frames is not None:
+                    # exact duration: the final dispatch renders a partial
+                    # span (the processor handles arbitrary frame counts)
+                    # instead of rounding up to whole buffers
+                    span = min(span, max_frames - self._frames_rendered)
+                    n = (span + frames - 1) // frames
                 if self._out_buf.size < span * n_out:
                     self._out_buf = np.zeros(span * n_out, np.float32)
                     self._in_buf = np.zeros(span * n_in, np.float32)
@@ -296,12 +313,15 @@ class OutputStream:
                     self._underflow_count += 1
 
                 if self.input_source is not None and n_in > 0:
-                    for b in range(n):
+                    filled = 0
+                    while filled < span:
+                        take = min(frames, span - filled)
                         in_view[
-                            b * frames * n_in : (b + 1) * frames * n_in
+                            filled * n_in : (filled + take) * n_in
                         ] = np.asarray(
-                            self.input_source(frames), np.float32
+                            self.input_source(take), np.float32
                         ).reshape(-1)
+                        filled += take
 
                 t_render = time.perf_counter()
                 st = self._processor.process_interleaved(
@@ -378,6 +398,10 @@ class OutputStream:
                 time.sleep(delay)
             elif -delay > predicted_wiggle:
                 self._underflow_flag.set()
+                # re-anchor after a stall: advancing the old deadline by one
+                # period would leave us permanently behind, spinning through
+                # catch-up iterations that each count another underflow
+                next_deadline = now
             next_deadline += period
 
             got = self._ring.read(buf)

@@ -31,6 +31,7 @@ from typing import Any, NamedTuple
 import jax.numpy as jnp
 
 __all__ = [
+    "stream_time_from_sample",
     "StreamStatus",
     "AudioNodeInfo",
     "BlockInfo",
@@ -66,6 +67,25 @@ class AudioNodeInfo:
     def __post_init__(self):
         assert self.num_max_supported_inputs <= MAX_PORTS
         assert self.num_max_supported_outputs <= MAX_PORTS
+
+
+def stream_time_from_sample(sample, sample_rate: float):
+    """uint32 sample counter -> f32 seconds with split precision.
+
+    A direct ``sample.astype(f32) / sr`` quantizes the *sample count* to
+    f32 first (64-sample steps past 2^30), inflating the error well beyond
+    what f32 seconds can represent.  Splitting into 16-bit halves keeps both
+    intermediate products near-exact, so the result is within ~1 ulp of the
+    true time for the full uint32 range.
+    """
+    import jax.numpy as jnp
+
+    sample = jnp.asarray(sample, jnp.uint32)
+    hi = (sample >> jnp.uint32(16)).astype(jnp.float32)
+    lo = (sample & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    return hi * jnp.float32(65536.0 / sample_rate) + lo * jnp.float32(
+        1.0 / sample_rate
+    )
 
 
 class BlockInfo(NamedTuple):

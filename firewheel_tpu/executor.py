@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core.node import BlockInfo, NodeProcessor
+from .core.node import stream_time_from_sample, BlockInfo, NodeProcessor
 from .graph.compiler import CompiledSchedule, NodeID
 
 __all__ = ["node_key", "ScheduleProgram"]
@@ -321,8 +321,7 @@ class ScheduleProgram:
             state = spack.unpack(sgroups, spass)
             if blocks == 1:
                 info = BlockInfo(
-                    stream_time_secs=start_sample.astype(jnp.float32)
-                    / jnp.float32(sr),
+                    stream_time_secs=stream_time_from_sample(start_sample, sr),
                     stream_sample=start_sample,
                     stream_status=status,
                 )
@@ -336,8 +335,7 @@ class ScheduleProgram:
                     st, sample = carry
                     gi_k, im_k = xs
                     info = BlockInfo(
-                        stream_time_secs=sample.astype(jnp.float32)
-                        / jnp.float32(sr),
+                        stream_time_secs=stream_time_from_sample(sample, sr),
                         stream_sample=sample,
                         stream_status=status,
                     )
@@ -441,7 +439,7 @@ class ScheduleProgram:
                 st, sample = carry
                 gi, im = xs
                 info = BlockInfo(
-                    stream_time_secs=sample.astype(jnp.float32) / sr,
+                    stream_time_secs=stream_time_from_sample(sample, float(sr)),
                     stream_sample=sample,
                     stream_status=status,
                 )

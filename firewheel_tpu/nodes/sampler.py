@@ -64,6 +64,12 @@ from ..core.units import percent_volume_to_raw_gain
 __all__ = ["LoopRange", "SamplerNode", "SamplerProcessor"]
 
 
+def _u32(x) -> int:
+    """Clamp a host integer into uint32 range (np.uint32() raises on
+    out-of-range values under NumPy >= 2)."""
+    return min(max(int(x), 0), 0xFFFFFFFF)
+
+
 @dataclasses.dataclass(frozen=True)
 class LoopRange:
     """``Full`` or a seconds range (sampler.rs:16-19)."""
@@ -133,7 +139,7 @@ class SamplerNode(AudioNode):
 
     def set_playhead(self, playhead_secs: float):
         self._seek_seq += 1
-        self._seek_pos = int(round(playhead_secs * self._sample_rate))
+        self._seek_pos = _u32(round(playhead_secs * self._sample_rate))
 
     def set_loop_range(self, loop_range: Optional[LoopRange]):
         self._loop = loop_range
@@ -180,8 +186,8 @@ class SamplerNode(AudioNode):
             return True, 0, n
         return (
             True,
-            int(round(self._loop.start_secs * self._sample_rate)),
-            int(round(self._loop.end_secs * self._sample_rate)),
+            _u32(round(self._loop.start_secs * self._sample_rate)),
+            _u32(round(self._loop.end_secs * self._sample_rate)),
         )
 
     # -- node plumbing --------------------------------------------------------
@@ -262,11 +268,11 @@ class SamplerProcessor(NodeProcessor):
             "playing": np.asarray(node._playing and has_sample, bool),
             "rate": np.float32(node._rate),
             "seek_seq": np.uint32(node._seek_seq),
-            "seek_pos": np.uint32(node._seek_pos),
+            "seek_pos": np.uint32(_u32(node._seek_pos)),
             "loop_on": np.asarray(loop_on, bool),
-            "loop_seq": np.uint32(node._loop_seq),
-            "loop_start": np.uint32(loop_start),
-            "loop_end": np.uint32(min(loop_end, 0xFFFFFFFF)),
+            "loop_seq": np.uint32(node._loop_seq & 0xFFFFFFFF),
+            "loop_start": np.uint32(_u32(loop_start)),
+            "loop_end": np.uint32(_u32(loop_end)),
             "sample": data,
         }
 
@@ -340,8 +346,9 @@ class SamplerProcessor(NodeProcessor):
         interp_w = off - jnp.floor(off)
 
         loop_on = params["loop_on"]
-        lstart = params["loop_start"]
-        # clamp the loop to the clip and keep it non-empty
+        # clamp the loop to the clip and keep it non-empty (a range fully
+        # past the clip collapses to the final frame region)
+        lstart = jnp.minimum(params["loop_start"], jnp.uint32(sample_len - 1))
         lend = jnp.minimum(
             jnp.maximum(params["loop_end"], lstart + 1), jnp.uint32(sample_len)
         )

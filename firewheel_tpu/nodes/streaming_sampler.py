@@ -106,7 +106,9 @@ class StreamingSamplerNode(AudioNode):
 
     def set_playhead(self, secs: float):
         self._seek_seq += 1
-        self._seek_pos = int(round(secs * self._sample_rate))
+        self._seek_pos = min(
+            max(int(round(secs * self._sample_rate)), 0), 0xFFFFFFFF
+        )
 
     def set_playback_rate(self, rate: float):
         self._rate = float(np.clip(rate, 0.0, 4.0))

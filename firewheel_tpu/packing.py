@@ -46,7 +46,12 @@ class Packer:
         self._group_spec: dict[str, tuple] = {}
         self._pass_idx: list[int] = []
         for i, leaf in enumerate(leaves):
-            if _is_device(leaf) and np.asarray(leaf).nbytes > 256:
+            # EVERY device array passes through, regardless of size: a
+            # leaf's device-ness is stable (e.g. the sampler's sample is
+            # always jnp, empty placeholder or real clip) while its SHAPE
+            # may change — grouping by example shape would crash or
+            # silently re-copy large buffers when it does.
+            if _is_device(leaf):
                 self._pass_idx.append(i)
                 continue
             arr = np.asarray(leaf)
@@ -57,19 +62,19 @@ class Packer:
 
     # -- host side -------------------------------------------------------------
     def pack(self, tree):
-        leaves = jax.tree.leaves(tree)
-        assert len(leaves) == self.num_leaves, "structure changed"
+        leaves, treedef = jax.tree.flatten(tree)
+        # leaf-count alone would let a same-count structural change route
+        # values to the wrong nodes — compare the full treedef
+        assert treedef == self.treedef, (
+            f"pytree structure changed since the packer was built:\n"
+            f"  was: {self.treedef}\n  now: {treedef}"
+        )
         groups = {}
         for key in self.group_keys:
             idxs = self._group_idx[key]
             members = [leaves[i] for i in idxs]
-            if any(_is_device(m) for m in members):
-                groups[key] = jnp.stack([jnp.asarray(m) for m in members])
-            else:
-                dtype, shape = self._group_spec[key]
-                groups[key] = np.stack(
-                    [np.asarray(m, dtype) for m in members]
-                )
+            dtype, shape = self._group_spec[key]
+            groups[key] = np.stack([np.asarray(m, dtype) for m in members])
         passthrough = [leaves[i] for i in self._pass_idx]
         return groups, passthrough
 

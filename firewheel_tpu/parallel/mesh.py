@@ -28,7 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.node import BlockInfo
+from ..core.node import BlockInfo, stream_time_from_sample
 from ..executor import ScheduleProgram
 
 __all__ = ["make_mesh", "BatchRenderer", "VoiceParallelMixer"]
@@ -245,13 +245,14 @@ class VoiceParallelMixer:
     def step_fn(self, num_blocks: int):
         """K-block scan step, shard_map'ed over the voice axis when meshed."""
         f = self.voice_program.max_block_frames
-        sr = jnp.float32(self.voice_program.sample_rate)
 
         def chunk(params, state, start_sample):
             def body(carry, _):
                 st, sample = carry
                 info = BlockInfo(
-                    stream_time_secs=sample.astype(jnp.float32) / sr,
+                    stream_time_secs=stream_time_from_sample(
+                        sample, self.voice_program.sample_rate
+                    ),
                     stream_sample=sample,
                     stream_status=jnp.zeros((), jnp.uint32),
                 )

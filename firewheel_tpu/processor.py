@@ -88,7 +88,10 @@ class GraphProcessor:
         Essential on high-RTT transports."""
         assert num_stream_in_channels <= 64
         assert num_stream_out_channels <= 64
-        self.chunk_blocks = max(1, int(chunk_blocks))
+        chunk_blocks = max(1, int(chunk_blocks))
+        # dispatch sizes are powers of two; a non-pow2 setting would warm a
+        # program the hot path never uses and silently disable chunking
+        self.chunk_blocks = 1 << (chunk_blocks.bit_length() - 1)
         # Chunk sizes with compiled programs.  After warmup() has run,
         # dispatch never strays outside this set (zero mid-stream compiles);
         # without a warmup (direct GraphProcessor use) sizes compile lazily.
@@ -110,10 +113,6 @@ class GraphProcessor:
         self._packed_state = None
         self._running = True
 
-        # scratch for host-side (de)interleaving
-        self._in_scratch = np.zeros(
-            (num_stream_in_channels, max_block_frames), np.float32
-        )
 
     # -- message pump (processor.rs:167-206) ----------------------------------
     def poll_messages(self) -> None:
