@@ -330,22 +330,27 @@ class ScheduleProgram:
                 )
                 outs, oms = out[None], om[None]
             else:
+                # clocks vectorized outside the scan (see chunk_fn: uint32
+                # bit-ops in the body pessimize TPU loop compilation)
+                samples = start_sample + jnp.uint32(frames) * jnp.arange(
+                    blocks, dtype=jnp.uint32
+                )
+                times = stream_time_from_sample(samples, sr)
 
-                def body(carry, xs):
-                    st, sample = carry
-                    gi_k, im_k = xs
+                def body(st, xs):
+                    gi_k, im_k, sample, t = xs
                     info = BlockInfo(
-                        stream_time_secs=stream_time_from_sample(sample, sr),
+                        stream_time_secs=t,
                         stream_sample=sample,
                         stream_status=status,
                     )
                     out, om, st = self._render(
                         frames, params, st, gi_k, im_k, info
                     )
-                    return (st, sample + jnp.uint32(frames)), (out, om)
+                    return st, (out, om)
 
-                (state, _), (outs, oms) = jax.lax.scan(
-                    body, (state, start_sample), (gi, im)
+                state, (outs, oms) = jax.lax.scan(
+                    body, state, (gi, im, samples, times)
                 )
             sg, sp = spack.repack_traced(state)
             return outs, oms, sg, sp
@@ -432,24 +437,30 @@ class ScheduleProgram:
         block exactly as the streaming clock would."""
         frames = self.max_block_frames
         render = self.render_fn
-        sr = jnp.float32(self.sample_rate)
+        sr = float(self.sample_rate)
 
         def chunk(params, state, graph_in, in_mask, start_sample, status):
-            def body(carry, xs):
-                st, sample = carry
-                gi, im = xs
+            # Per-block clocks computed ONCE, vectorized, outside the scan
+            # (uint32 bit-ops inside the scan body pessimize XLA's loop
+            # compilation on TPU — measured 26x slower steady-state); the
+            # body just reads its slice from xs.
+            start = jnp.asarray(start_sample, jnp.uint32)
+            k = graph_in.shape[0]
+            samples = start + jnp.uint32(frames) * jnp.arange(k, dtype=jnp.uint32)
+            times = stream_time_from_sample(samples, sr)
+
+            def body(st, xs):
+                gi, im, sample, t = xs
                 info = BlockInfo(
-                    stream_time_secs=stream_time_from_sample(sample, float(sr)),
+                    stream_time_secs=t,
                     stream_sample=sample,
                     stream_status=status,
                 )
                 out, om, st = render(params, st, gi, im, info)
-                return (st, sample + jnp.uint32(frames)), (out, om)
+                return st, (out, om)
 
-            (state, _), (outs, masks) = jax.lax.scan(
-                body,
-                (state, jnp.asarray(start_sample, jnp.uint32)),
-                (graph_in, in_mask),
+            state, (outs, masks) = jax.lax.scan(
+                body, state, (graph_in, in_mask, samples, times)
             )
             return outs, masks, state
 

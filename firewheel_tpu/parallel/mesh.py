@@ -247,12 +247,20 @@ class VoiceParallelMixer:
         f = self.voice_program.max_block_frames
 
         def chunk(params, state, start_sample):
-            def body(carry, _):
-                st, sample = carry
+            # clocks vectorized outside the scan (see executor.chunk_fn:
+            # uint32 bit-ops in the body pessimize TPU loop compilation)
+            start = jnp.asarray(start_sample, jnp.uint32)
+            samples = start + jnp.uint32(f) * jnp.arange(
+                num_blocks, dtype=jnp.uint32
+            )
+            times = stream_time_from_sample(
+                samples, self.voice_program.sample_rate
+            )
+
+            def body(st, xs):
+                sample, t = xs
                 info = BlockInfo(
-                    stream_time_secs=stream_time_from_sample(
-                        sample, self.voice_program.sample_rate
-                    ),
+                    stream_time_secs=t,
                     stream_sample=sample,
                     stream_status=jnp.zeros((), jnp.uint32),
                 )
@@ -260,13 +268,10 @@ class VoiceParallelMixer:
                     params, st, info,
                     axis_name=self.axis if self.mesh is not None else None,
                 )
-                return (st, sample + jnp.uint32(f)), (out, om)
+                return st, (out, om)
 
-            (state, _), (outs, oms) = jax.lax.scan(
-                body,
-                (state, jnp.asarray(start_sample, jnp.uint32)),
-                None,
-                length=num_blocks,
+            state, (outs, oms) = jax.lax.scan(
+                body, state, (samples, times), length=num_blocks
             )
             return outs, oms, state
 
