@@ -21,8 +21,11 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SRC = os.path.join(_NATIVE_DIR, "ringbuf.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libringbuf.so")
+_SRCS = [
+    os.path.join(_NATIVE_DIR, "ringbuf.cpp"),
+    os.path.join(_NATIVE_DIR, "consumer.cpp"),
+]
+_SO = os.path.join(_NATIVE_DIR, "libfwnative.so")
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -35,8 +38,9 @@ def _load_native():
         if _lib is not None:
             return _lib
         try:
-            if (not os.path.exists(_SO)) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            if (not os.path.exists(_SO)) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(src)
+                for src in _SRCS
             ):
                 subprocess.run(
                     [
@@ -45,9 +49,10 @@ def _load_native():
                         "-shared",
                         "-fPIC",
                         "-std=c++17",
-                        _SRC,
+                        *_SRCS,
                         "-o",
                         _SO,
+                        "-lpthread",
                     ],
                     check=True,
                     capture_output=True,
@@ -71,6 +76,21 @@ def _load_native():
                 ]
             lib.rb_skip.restype = ctypes.c_size_t
             lib.rb_skip.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+            lib.consumer_start.restype = ctypes.c_void_p
+            lib.consumer_start.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_double,
+                ctypes.c_size_t,
+            ]
+            lib.consumer_stop.argtypes = [ctypes.c_void_p]
+            for fn in (lib.consumer_periods, lib.consumer_underflows):
+                fn.restype = ctypes.c_uint64
+                fn.argtypes = [ctypes.c_void_p]
+            lib.consumer_take_underflow.restype = ctypes.c_uint32
+            lib.consumer_take_underflow.argtypes = [ctypes.c_void_p]
+            lib.consumer_last_late_ns.restype = ctypes.c_int64
+            lib.consumer_last_late_ns.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception as e:  # pragma: no cover - toolchain-dependent
             log.warning("native ring buffer unavailable (%s); using fallback", e)
@@ -181,3 +201,70 @@ class RingBuffer:
             except Exception:
                 pass
             self._native = None
+
+
+class NativeConsumer:
+    """Hard-realtime paced consumer running in native code.
+
+    The C++ thread (``native/consumer.cpp``) paces itself with absolute
+    deadlines, reads one stream buffer per period from ``in_ring`` and
+    forwards it to ``out_ring`` (drained to the sink by the host off the
+    realtime path).  Replaces the Python paced thread when the toolchain is
+    available — the pacing loop then carries no GIL jitter.
+
+    Only constructible when both rings are native (``RingBuffer.is_native``).
+    """
+
+    def __init__(
+        self,
+        in_ring: "RingBuffer",
+        out_ring: "RingBuffer | None",
+        period_secs: float,
+        floats_per_period: int,
+    ):
+        lib = _load_native()
+        if not lib or not in_ring.is_native or (
+            out_ring is not None and not out_ring.is_native
+        ):
+            raise RuntimeError("native consumer requires native ring buffers")
+        self._lib = lib
+        # keep the rings alive as long as the consumer thread runs
+        self._in_ring = in_ring
+        self._out_ring = out_ring
+        self._handle = ctypes.c_void_p(
+            lib.consumer_start(
+                in_ring._native,
+                out_ring._native if out_ring is not None else None,
+                float(period_secs),
+                int(floats_per_period),
+            )
+        )
+        if not self._handle:
+            raise MemoryError("consumer_start failed")
+
+    @property
+    def periods(self) -> int:
+        return int(self._lib.consumer_periods(self._handle))
+
+    @property
+    def underflows(self) -> int:
+        return int(self._lib.consumer_underflows(self._handle))
+
+    def take_underflow(self) -> bool:
+        """Sticky underflow flag; reading clears it."""
+        return bool(self._lib.consumer_take_underflow(self._handle))
+
+    @property
+    def last_late_ns(self) -> int:
+        return int(self._lib.consumer_last_late_ns(self._handle))
+
+    def stop(self):
+        if getattr(self, "_handle", None):
+            self._lib.consumer_stop(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.stop()
+        except Exception:
+            pass

@@ -35,7 +35,7 @@ import numpy as np
 from ..channels import MessageChannel
 from ..core.node import StreamStatus
 from ..processor import GraphProcessor, ProcessorStatus
-from .ring_buffer import RingBuffer
+from .ring_buffer import NativeConsumer, RingBuffer
 
 log = logging.getLogger(__name__)
 
@@ -166,6 +166,8 @@ class OutputStream:
         self._stop = threading.Event()
         self._underflow_flag = threading.Event()
         self._consumer_thread: Optional[threading.Thread] = None
+        self._native_consumer: Optional[NativeConsumer] = None
+        self._out_ring: Optional[RingBuffer] = None
         self._frames_rendered = 0
         self._underflow_count = 0
         self._playing = False
@@ -186,6 +188,27 @@ class OutputStream:
     def play(self):
         self._playing = True
         if self.config.realtime:
+            # Prefer the native pacing loop (C++ thread, absolute deadlines,
+            # no GIL jitter); frames land in a host-drained output ring.
+            # Fall back to the Python paced thread without a toolchain.
+            try:
+                cfg = self.config
+                floats = cfg.buffer_frames * cfg.num_out_channels
+                self._out_ring = RingBuffer(
+                    floats * max(16, 4 * cfg.lookahead_buffers)
+                )
+                self._native_consumer = NativeConsumer(
+                    self._ring,
+                    self._out_ring,
+                    cfg.buffer_frames / cfg.sample_rate,
+                    floats,
+                )
+                self._drain_buf = np.zeros(floats, np.float32)
+                return
+            except Exception as e:
+                log.info("native consumer unavailable (%s); Python pacing", e)
+                self._native_consumer = None
+                self._out_ring = None
             self._consumer_thread = threading.Thread(
                 target=self._paced_consumer, name="fw-stream", daemon=True
             )
@@ -194,6 +217,10 @@ class OutputStream:
     def stop(self, timeout: float = 10.0):
         self._playing = False
         self._stop.set()
+        if getattr(self, "_native_consumer", None) is not None:
+            self._native_consumer.stop()
+            self._native_consumer = None
+            self._drain_out_ring()
         if self._consumer_thread is not None:
             self._consumer_thread.join(timeout)
             self._consumer_thread = None
@@ -232,6 +259,16 @@ class OutputStream:
                     budget / max(float(np.percentile(times, 99)), 1e-12)
                 ),
             )
+        if self._native_consumer is not None:
+            out.update(
+                consumer="native",
+                consumer_periods=self._native_consumer.periods,
+                consumer_underflows=self._native_consumer.underflows,
+                consumer_last_late_us=self._native_consumer.last_late_ns
+                / 1e3,
+            )
+        elif self._consumer_thread is not None:
+            out["consumer"] = "python"
         return out
 
     @property
@@ -251,6 +288,9 @@ class OutputStream:
         (backpressure = lookahead depth); offline mode is bounded only by
         ``max_buffers`` and the configured duration.
         """
+        if self._out_ring is not None:
+            # forward natively-paced frames to the sink (off the RT path)
+            self._drain_out_ring()
         if not self._playing or self.error is not None or self._dropped:
             return 0
         # Reentrancy guard: all device work must ride one thread (see module
@@ -307,7 +347,11 @@ class OutputStream:
 
                 stream_time_secs = self._frames_rendered * sample_rate_recip
                 status = StreamStatus.NONE
-                if self._underflow_flag.is_set():
+                if self._native_consumer is not None:
+                    if self._native_consumer.take_underflow():
+                        status |= StreamStatus.OUTPUT_UNDERFLOW
+                        self._underflow_count += 1
+                elif self._underflow_flag.is_set():
                     self._underflow_flag.clear()
                     status |= StreamStatus.OUTPUT_UNDERFLOW
                     self._underflow_count += 1
@@ -364,6 +408,27 @@ class OutputStream:
                 except Exception:
                     pass
         return rendered
+
+    def _drain_out_ring(self) -> None:
+        """Move natively-paced frames from the output ring to the sink."""
+        ring = self._out_ring
+        if ring is None:
+            return
+        n_out = self.config.num_out_channels
+        while True:
+            got = ring.read(self._drain_buf)
+            if got == 0:
+                return
+            try:
+                self.sink.write(self._drain_buf[:got], n_out)
+            except Exception as e:
+                self.error = e
+                if self._err is not None:
+                    try:
+                        self._err.push(e)
+                    except Exception:
+                        pass
+                return
 
     def drain(self) -> None:
         """Finish the processor drop handshake if a stop arrived
