@@ -95,9 +95,10 @@ def main():
         return best, p99_block_ms
 
     # Candidate configs; the strongest first so it always gets full trials
-    # within the budget (measured on v5e: 8192→up to 154k x, 4096→60k-96k x,
-    # 1024→~9k x, 256→~5k x; run-to-run spread is tunnel dispatch jitter).
-    configs = [(8192, 16), (4096, 16), (1024, 16)]
+    # within the budget (measured on v5e: 8192x32→up to 257k x,
+    # 8192x16→~154k x, 4096x16→60k-96k x, 1024x16→~9k x; K=64 compiles
+    # did not amortize; run-to-run spread is tunnel dispatch jitter).
+    configs = [(8192, 32), (8192, 16), (4096, 16)]
     best_rt, best_cfg, best_p99 = 0.0, None, None
     for batch, k in configs:
         try:

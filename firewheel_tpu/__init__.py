@@ -32,6 +32,17 @@ if _os.environ.get("FIREWHEEL_TPU_PLATFORM"):
 # (Not enabled by default: XLA:CPU AOT artifacts are machine-feature
 # sensitive, and the axon TPU tunnel compiles server-side where the cache
 # never populates.)
+# Canonicalize HLO source-location metadata (strip directory prefixes):
+# compile-cache keys then depend on the code, not the checkout path — the
+# standard practice for stable caches across deploys (and it sidesteps
+# cache entries poisoned under other keys on shared compile services).
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*/")
+except Exception:
+    pass
+
 if _os.environ.get("FIREWHEEL_TPU_CACHE_DIR"):
     try:
         import jax as _jax

@@ -138,21 +138,21 @@ void consumer_stop(Consumer* c) {
 }
 
 uint64_t consumer_periods(const Consumer* c) {
-  return c->periods.load(std::memory_order_relaxed);
+  return c ? c->periods.load(std::memory_order_relaxed) : 0;
 }
 
 uint64_t consumer_underflows(const Consumer* c) {
-  return c->underflows.load(std::memory_order_relaxed);
+  return c ? c->underflows.load(std::memory_order_relaxed) : 0;
 }
 
 // Sticky underflow flag; reading clears it (feeds StreamStatus of the
 // next rendered block, mirroring the cpal callback's flag hand-off).
 uint32_t consumer_take_underflow(Consumer* c) {
-  return c->underflow_flag.exchange(0, std::memory_order_relaxed);
+  return c ? c->underflow_flag.exchange(0, std::memory_order_relaxed) : 0;
 }
 
 int64_t consumer_last_late_ns(const Consumer* c) {
-  return c->last_late_ns.load(std::memory_order_relaxed);
+  return c ? c->last_late_ns.load(std::memory_order_relaxed) : 0;
 }
 
 }  // extern "C"

@@ -42,6 +42,9 @@ def _load_native():
                 os.path.getmtime(_SO) < os.path.getmtime(src)
                 for src in _SRCS
             ):
+                # build to a temp name + atomic rename: concurrent engine
+                # startups must never dlopen a partially written .so
+                tmp_so = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
                     [
                         "g++",
@@ -51,12 +54,13 @@ def _load_native():
                         "-std=c++17",
                         *_SRCS,
                         "-o",
-                        _SO,
+                        tmp_so,
                         "-lpthread",
                     ],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp_so, _SO)
             lib = ctypes.CDLL(_SO)
             lib.rb_create.restype = ctypes.c_void_p
             lib.rb_create.argtypes = [ctypes.c_size_t]
@@ -244,19 +248,23 @@ class NativeConsumer:
 
     @property
     def periods(self) -> int:
-        return int(self._lib.consumer_periods(self._handle))
+        h = self._handle
+        return int(self._lib.consumer_periods(h)) if h else 0
 
     @property
     def underflows(self) -> int:
-        return int(self._lib.consumer_underflows(self._handle))
+        h = self._handle
+        return int(self._lib.consumer_underflows(h)) if h else 0
 
     def take_underflow(self) -> bool:
         """Sticky underflow flag; reading clears it."""
-        return bool(self._lib.consumer_take_underflow(self._handle))
+        h = self._handle
+        return bool(self._lib.consumer_take_underflow(h)) if h else False
 
     @property
     def last_late_ns(self) -> int:
-        return int(self._lib.consumer_last_late_ns(self._handle))
+        h = self._handle
+        return int(self._lib.consumer_last_late_ns(h)) if h else 0
 
     def stop(self):
         if getattr(self, "_handle", None):

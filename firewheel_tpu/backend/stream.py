@@ -217,9 +217,12 @@ class OutputStream:
     def stop(self, timeout: float = 10.0):
         self._playing = False
         self._stop.set()
-        if getattr(self, "_native_consumer", None) is not None:
-            self._native_consumer.stop()
+        nc = getattr(self, "_native_consumer", None)
+        if nc is not None:
+            # detach before stopping so a concurrent pump() never touches a
+            # consumer whose native object is being torn down
             self._native_consumer = None
+            nc.stop()
             self._drain_out_ring()
         if self._consumer_thread is not None:
             self._consumer_thread.join(timeout)

@@ -4,8 +4,11 @@ The reference has no checkpointing (SURVEY §5: closest is deactivate
 returning the user context, context.rs:162-211).  In the TPU engine all
 recurrent audio state — phasors, smoothers, filter taps, delay lines,
 playheads, meters — is one explicit pytree, so checkpointing falls out for
-free: snapshot the state dict + a param snapshot + the stream position, and
-a later process (or another host) resumes sample-exactly.
+free: snapshot the state dict (plus, via ``extra_meta``, the stream
+position — ``FirewheelCtx.save_checkpoint`` does this) and a later process
+resumes sample-exactly.  Node *params* are plain host attributes owned by
+the caller (a game's own data model); persist them alongside via
+``extra_meta`` or the caller's own save format.
 
 Format: a directory containing
 * ``state.msgpack``  — the state pytree (flax.serialization msgpack);
@@ -91,6 +94,13 @@ def restore_into(path: str, processor) -> dict:
         raise ValueError(
             f"sample-rate mismatch: checkpoint {meta.get('sample_rate')} vs "
             f"engine {processor.sample_rate}"
+        )
+    # block-size-dependent state (FDLs, delay lines) would load wrong-shaped
+    if meta.get("max_block_frames") != processor.max_block_frames:
+        raise ValueError(
+            "max_block_frames mismatch: checkpoint "
+            f"{meta.get('max_block_frames')} vs engine "
+            f"{processor.max_block_frames}"
         )
     import jax.numpy as jnp
 

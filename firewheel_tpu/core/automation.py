@@ -146,7 +146,8 @@ class ParamAutomator:
 
     def tick(self, stream_time_secs: float):
         done = []
-        for key, lane in self._lanes.items():
+        # setters may add/remove lanes (curve chaining) — snapshot first
+        for key, lane in list(self._lanes.items()):
             t = stream_time_secs - lane.start_time
             if t < 0:
                 continue

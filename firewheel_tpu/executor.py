@@ -52,6 +52,60 @@ def node_key(node_id: NodeID) -> str:
     return repr(node_id)
 
 
+
+
+_RETRY_ERRORS = ("UNIMPLEMENTED", "INTERNAL", "UNAVAILABLE")
+
+
+class _ResilientJit:
+    """jit wrapper that survives transient backend compile faults.
+
+    The axon TPU tunnel intermittently fails session-initial compiles with
+    spurious ``UNIMPLEMENTED`` errors, and the failure can be sticky for the
+    exact serialized module (name + source-location metadata).  Observed
+    empirically: retrying the same program later in the session, or under a
+    perturbed module name, compiles fine and produces correct results.  This
+    wrapper retries a failed call once as-is, then once more under a
+    uniquely renamed trampoline (new metadata -> new compile-cache key).
+    Healthy backends never hit the retry path.
+    """
+
+    def __init__(self, fn, name: str, donate_argnums=()):
+        self._fn = fn
+        self._name = name
+        self._donate = donate_argnums
+        self._jit = jax.jit(fn, donate_argnums=donate_argnums)
+        self._ok = False
+        self._attempt = 0
+
+    def __call__(self, *args):
+        if self._ok:
+            return self._jit(*args)
+        while True:
+            try:
+                out = self._jit(*args)
+                self._ok = True
+                return out
+            except Exception as e:  # pragma: no cover - backend-dependent
+                msg = str(e)
+                if self._attempt >= 2 or not any(
+                    k in msg for k in _RETRY_ERRORS
+                ):
+                    raise
+                self._attempt += 1
+                fn = self._fn
+
+                def trampoline(*a, __fn=fn):
+                    return __fn(*a)
+
+                trampoline.__name__ = f"{self._name}_retry{self._attempt}"
+                trampoline.__qualname__ = trampoline.__name__
+                self._jit = jax.jit(
+                    trampoline, donate_argnums=self._donate
+                )
+
+
+
 class ScheduleProgram:
     """A compiled schedule bound to node processors, lowered to JAX fns.
 
@@ -94,8 +148,9 @@ class ScheduleProgram:
         self.num_graph_outputs = len(graph_out_node.input_buffers)
         self._plan = self._build_plan(group_nodes)
 
-        self._jit_block = jax.jit(
+        self._jit_block = _ResilientJit(
             functools.partial(self._render, self.max_block_frames),
+            "render_block",
             donate_argnums=self._donate,
         )
         self._jit_chunk_cache: dict[int, Callable] = {}
@@ -355,7 +410,7 @@ class ScheduleProgram:
             sg, sp = spack.repack_traced(state)
             return outs, oms, sg, sp
 
-        fn = jax.jit(stepped)
+        fn = _ResilientJit(stepped, f"stepped{frames}x{blocks}")
         self._jit_packed_cache[key] = fn
         return fn
 
@@ -426,7 +481,9 @@ class ScheduleProgram:
         ``frames``."""
         fn = self._jit_partial_cache.get(frames)
         if fn is None:
-            fn = jax.jit(functools.partial(self._render, frames))
+            fn = _ResilientJit(
+                functools.partial(self._render, frames), f"partial{frames}"
+            )
             self._jit_partial_cache[frames] = fn
         return fn(params, state, graph_in, in_mask, info)
 
@@ -471,7 +528,9 @@ class ScheduleProgram:
         k = graph_in.shape[0]
         jitted = self._jit_chunk_cache.get(k)
         if jitted is None:
-            jitted = jax.jit(self.chunk_fn(k), donate_argnums=self._donate)
+            jitted = _ResilientJit(
+                self.chunk_fn(k), f"chunk{k}", donate_argnums=self._donate
+            )
             self._jit_chunk_cache[k] = jitted
         return jitted(
             params,

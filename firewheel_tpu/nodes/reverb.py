@@ -7,9 +7,11 @@ sampler's sample cache) so swapping IRs of the same length is free and the
 per-block cost is the complex multiply-reduce over the frequency-domain
 delay line (``ops/fft_conv.py``).
 
-Note: the partition size is the engine block size, so the wet path has one
-block of inherent latency (standard for uniform-partition convolution);
-pair with :class:`DelayCompNode` on parallel dry paths.
+The engine is the zero-latency split (``ops/fft_conv.py``): the IR's head
+partition convolves directly every call, later partitions ride a
+frequency-domain delay line updated at partition boundaries — so the wet
+path has NO block latency and partial blocks (stream tails, exact-duration
+renders) convolve sample-exactly.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from ..core.node import (
     NodeProcessor,
     MAX_PORTS,
 )
-from ..ops.fft_conv import fdl_init, fdl_step, partition_ir
+from ..ops.fft_conv import conv_partition_ir, conv_state_init, conv_step
 
 __all__ = ["ConvolutionReverbNode", "ConvolutionReverbProcessor"]
 
@@ -54,37 +56,41 @@ class ConvolutionReverbProcessor(NodeProcessor):
                 )
             if ir.shape[-1] < cap:
                 ir = np.pad(ir, ((0, 0), (0, cap - ir.shape[-1])))
-            self._h_cache = partition_ir(ir, self.max_block_frames)
+            self._h_cache = conv_partition_ir(ir, self.max_block_frames)
             self._h_cache_src = node._ir
         return self._h_cache
 
     def init_state(self):
-        fdl, tail = fdl_init(
+        return conv_state_init(
             self._partitions, self.num_inputs, self.max_block_frames
         )
-        return {"fdl": fdl, "tail": tail}
 
     def collect_params(self):
+        h_head, H_tail = self._spectra()
         return {
-            "H": self._spectra(),
+            "h_head": h_head,
+            "H_tail": H_tail,
             "wet": np.float32(self._node.wet()),
             "dry": np.float32(self._node.dry()),
         }
 
     def kernel(self, params, state, inputs, in_mask, info):
-        wet, new_state_pair = fdl_step(
-            inputs, (state["fdl"], state["tail"]), params["H"]
+        wet, new_state = conv_step(
+            inputs, state, params["h_head"], params["H_tail"]
         )
-        fdl, tail = new_state_pair
         y = params["dry"] * inputs + params["wet"] * wet
 
         # the reverb tail rings after the input goes silent
         line_quiet = jnp.all(
-            jnp.abs(state["fdl"]) < 1e-12, axis=(0, 2)
-        ) & jnp.all(jnp.abs(state["tail"]) < 1e-12, axis=-1)
+            jnp.abs(state["hist"]) < 1e-12, axis=-1
+        ) & jnp.all(jnp.abs(state["tailbuf"]) < 1e-12, axis=-1)
+        if state["fdl"].shape[0] > 0:
+            line_quiet &= jnp.all(
+                jnp.abs(state["fdl"]) < 1e-12, axis=(0, 2)
+            )
         out_mask = in_mask & line_quiet
         y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
-        return y, {"fdl": fdl, "tail": tail}, out_mask
+        return y, new_state, out_mask
 
 
 class ConvolutionReverbNode(AudioNode):

@@ -50,7 +50,13 @@ __all__ = ["CallbackStreamReader", "StreamingSamplerNode"]
 
 class CallbackStreamReader:
     """Adapt a ``read(start, n) -> f32[ch, n]`` closure to the stream-reader
-    protocol (the "network streaming" hook)."""
+    protocol (the "network streaming" hook).
+
+    The closure must tolerate windows extending past ``len_frames`` (return
+    zero-padded frames there, like :class:`~firewheel_tpu.utils.wav.
+    WavStreamReader` does): the prefetch window is read in fixed-size spans
+    and the final span reaches past the clip end.
+    """
 
     def __init__(self, read_fn: Callable, num_channels: int, len_frames: int,
                  sample_rate: int = 48000):
@@ -212,7 +218,13 @@ class StreamingSamplerProcessor(NodeProcessor):
                 # never reads behind it
                 self._refill(max(0, need_start - self.max_block_frames))
             if node._playing:
-                self._est_playhead += span * node._rate
+                # clamp at EOF: the device latches `ended` there, and an
+                # unbounded shadow playhead would trigger useless (or, for
+                # callback readers, failing) refills past the clip forever
+                self._est_playhead = min(
+                    self._est_playhead + span * node._rate,
+                    float(reader.len_frames),
+                )
         if self._window_dev is None:
             self._window_dev = jnp.asarray(self._window)
 

@@ -22,7 +22,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["partition_ir", "fdl_init", "fdl_step"]
+__all__ = [
+    "partition_ir",
+    "fdl_init",
+    "fdl_step",
+    "conv_partition_ir",
+    "conv_state_init",
+    "conv_step",
+]
 
 
 def partition_ir(ir, block_frames: int):
@@ -57,7 +64,8 @@ def fdl_init(num_partitions: int, channels: int, block_frames: int):
 
 
 def fdl_step(x, state, H):
-    """Convolve one block.
+    """Convolve one block (fixed hop == partition size ``F``; use
+    :func:`conv_step` for arbitrary hops and partition sizes).
 
     Args:
         x: ``f32[ch, F]`` new input block.
@@ -80,3 +88,148 @@ def fdl_step(x, state, H):
     Y = jnp.sum(H * fdl, axis=0)  # [ch, F+1]
     y = jnp.fft.irfft(Y, n=2 * f, axis=-1)[..., f:].astype(jnp.float32)
     return y, (fdl, x)
+
+
+# -- zero-latency, any-hop partitioned convolution -----------------------------
+#
+# ``fdl_step`` above requires the hop to equal the partition size F — fine
+# for steady full blocks, wrong (and shape-crashing) for the partial blocks
+# the stream dispatches on exact-duration tails.  The general engine below
+# accepts ANY static hop n <= F with zero latency:
+#
+# * the IR's head partition ``h[:F]`` is convolved directly every call
+#   (overlap-save with hop n: one (F+n)-point FFT pair) — this is what makes
+#   the output available with no block delay, the classic zero-latency
+#   partitioned-convolution split;
+# * partitions >= 1 ride a frequency-domain delay line that is updated
+#   exactly at partition boundaries.  A boundary can fall mid-call; the
+#   completed partition is cut from a rolling 2F input history with a
+#   dynamic slice, and the resulting F-sample tail contribution is appended
+#   to a small FIFO from which each call emits its n samples.
+#
+# Invariants (n <= F, one boundary max per call): the FIFO holds between
+# 1 and 2F valid samples and always has >= n at emit time.
+
+import jax
+
+
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p <<= 1
+    return p
+
+
+def conv_partition_ir(ir, block_frames: int):
+    """Split an IR for the zero-latency engine.
+
+    Args:
+        ir: ``f32[ch, L]`` (or ``[L]``) impulse response.
+        block_frames: partition size ``F`` (the engine block size).
+
+    Returns:
+        ``(h_head f32[ch, F], H_tail complex64[P-1, ch, F+1])`` — the head
+        partition in the time domain, later partitions as 2F-point spectra.
+    """
+    ir = jnp.atleast_2d(jnp.asarray(ir, jnp.float32))
+    ch, length = ir.shape
+    f = block_frames
+    # Power-of-two FFT lengths (fastest on every backend; overlap-save is
+    # valid for any size >= 2F-1, so rounding up only costs padding)
+    lp = _next_pow2(2 * f)
+    p = max(1, -(-length // f))
+    padded = jnp.zeros((ch, p * f), jnp.float32).at[:, :length].set(ir)
+    h_head = padded[:, :f]
+    tail = padded[:, f:].reshape(ch, p - 1, f).transpose(1, 0, 2)
+    H_tail = jnp.fft.rfft(tail, n=lp, axis=-1).astype(jnp.complex64)
+    return h_head, H_tail
+
+
+def conv_state_init(num_partitions: int, channels: int, block_frames: int):
+    """Fresh state for :func:`conv_step`."""
+    f = block_frames
+    lp = _next_pow2(2 * f)
+    return {
+        "hist": jnp.zeros((channels, lp), jnp.float32),
+        "fill": jnp.zeros((), jnp.int32),
+        "fdl": jnp.zeros(
+            (max(num_partitions - 1, 0), channels, lp // 2 + 1),
+            jnp.complex64,
+        ),
+        "tailbuf": jnp.zeros((channels, 2 * f), jnp.float32),
+        "tfill": jnp.full((), f, jnp.int32),
+    }
+
+
+def conv_step(x, state, h_head, H_tail):
+    """Convolve ``n`` samples (any static ``n <= F``), zero latency.
+
+    Args:
+        x: ``f32[ch, n]`` input hop.
+        state: dict from :func:`conv_state_init`.
+        h_head: ``f32[irch, F]`` head partition (irch 1 or ch).
+        H_tail: ``complex64[P-1, irch, F+1]`` tail partition spectra.
+
+    Returns:
+        ``(y f32[ch, n], new_state)``
+    """
+    ch, n = x.shape
+    f = h_head.shape[-1]
+    lp = state["hist"].shape[-1]  # partition FFT size, >= 2F, power of two
+    assert n <= f, f"hop {n} exceeds partition size {f}"
+
+    concat = jnp.concatenate([state["hist"], x], axis=-1)  # [ch, LP+n]
+
+    # head partition: direct overlap-save conv, hop n, filter length F
+    # (FFT length rounded up to a power of two)
+    L = _next_pow2(f + n)
+    win = concat[:, -L:]
+    Y_dir = jnp.fft.rfft(win, axis=-1) * jnp.fft.rfft(h_head, n=L, axis=-1)
+    y = jnp.fft.irfft(Y_dir, n=L, axis=-1)[..., -n:].astype(jnp.float32)
+
+    fill = state["fill"]
+    fdl, tailbuf, tfill = state["fdl"], state["tailbuf"], state["tfill"]
+    num_tail = fdl.shape[0]
+
+    if num_tail > 0:
+        def on_boundary(ops):
+            fdl, tailbuf, tfill, rem = ops
+            # the completed partition ends `rem` samples before the end of
+            # x; take the LP-sample overlap-save window ending there (only
+            # its last 2F-1 samples influence the kept outputs)
+            window = jax.lax.dynamic_slice(concat, (0, n - rem), (ch, lp))
+            X = jnp.fft.rfft(window, axis=-1).astype(jnp.complex64)
+            fdl = jnp.concatenate([X[None], fdl[:-1]], axis=0)
+            contrib = jnp.fft.irfft(
+                jnp.sum(H_tail * fdl, axis=0), n=lp, axis=-1
+            )[..., -f:].astype(jnp.float32)
+            tailbuf = jax.lax.dynamic_update_slice(tailbuf, contrib, (0, tfill))
+            return fdl, tailbuf, tfill + f
+
+        completed = fill + n >= f
+        rem = jnp.where(completed, fill + n - f, 0)
+        if n == f:
+            # a full hop always completes a partition — no cond needed
+            fdl, tailbuf, tfill = on_boundary((fdl, tailbuf, tfill, fill))
+        else:
+            fdl, tailbuf, tfill = jax.lax.cond(
+                completed,
+                on_boundary,
+                lambda ops: ops[:3],
+                (fdl, tailbuf, tfill, rem),
+            )
+
+    y = y + tailbuf[:, :n]
+    tailbuf = jnp.concatenate(
+        [tailbuf[:, n:], jnp.zeros((ch, n), jnp.float32)], axis=-1
+    )
+    new_state = {
+        "hist": concat[:, n:],
+        "fill": jnp.where(fill + n >= f, fill + n - f, fill + n).astype(
+            jnp.int32
+        ),
+        "fdl": fdl,
+        "tailbuf": tailbuf,
+        "tfill": (tfill - n).astype(jnp.int32),
+    }
+    return y, new_state

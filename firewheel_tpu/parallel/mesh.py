@@ -71,6 +71,7 @@ class BatchRenderer:
         self.mesh = mesh
         self.axis = axis
         self._chunk_cache: dict[int, Any] = {}
+        self._silent_in_cache: dict[int, Any] = {}
 
         if mesh is not None:
             assert batch % mesh.shape[axis] == 0, (
@@ -78,9 +79,6 @@ class BatchRenderer:
                 f"{axis}={mesh.shape[axis]}"
             )
             self._batched_sharding = NamedSharding(mesh, P(axis))
-            self._shard_leaf = lambda spec_first: NamedSharding(
-                mesh, P(axis) if spec_first else P()
-            )
         else:
             self._batched_sharding = None
 
@@ -127,8 +125,21 @@ class BatchRenderer:
         ni = self.program.num_graph_inputs
         b, k = self.batch, num_blocks
         if graph_in is None:
-            graph_in = jnp.zeros((b, k, ni, f), jnp.float32)
-            in_mask = jnp.ones((b, k, ni), bool)
+            # cached (and, under a mesh, pre-sharded) silent-input constants:
+            # the serving hot loop must not pay a fresh host alloc + reshard
+            # per dispatch
+            cached = self._silent_in_cache.get(k)
+            if cached is None:
+                cached = self._constrain(
+                    (
+                        jnp.zeros((b, k, ni, f), jnp.float32),
+                        jnp.ones((b, k, ni), bool),
+                    )
+                )
+                self._silent_in_cache[k] = cached
+            graph_in, default_mask = cached
+            if in_mask is None:
+                in_mask = default_mask  # a caller-provided mask is honored
         elif in_mask is None:
             in_mask = jnp.zeros((b, k, ni), bool)  # provided inputs: not silent
         fn = self._chunk_cache.get(k)

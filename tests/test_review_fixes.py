@@ -191,3 +191,111 @@ def test_fixed_duration_render_exact():
     cx.deactivate()
     assert stream.frames_rendered == want
     assert sink.audio(2).shape == (2, want)
+
+
+def test_reverb_partial_block_stream():
+    # third-review finding: reverb's fixed-hop FDL crashed on partial
+    # blocks (exact-duration tails); the zero-latency any-hop engine must
+    # render them sample-exactly
+    from firewheel_tpu import FirewheelCtx
+    from firewheel_tpu.nodes import ConvolutionReverbNode
+
+    rng = np.random.default_rng(3)
+    ir = (rng.standard_normal(300) * 0.2).astype(np.float32)
+
+    def render(duration_frames):
+        cx = FirewheelCtx()
+        g = cx.graph
+        b = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+        rv = g.add_node(2, 2, ConvolutionReverbNode(ir, wet=0.5, dry=1.0))
+        g.connect(b, 0, rv, 0)
+        g.connect(b, 1, rv, 1)
+        g.connect(rv, 0, g.graph_out_node(), 0)
+        g.connect(rv, 1, g.graph_out_node(), 1)
+        sink = ArraySink()
+        cx.activate(
+            StreamConfig(SR, 2, buffer_frames=128),
+            sink=sink,
+            duration_secs=duration_frames / SR,
+        )
+        stream = cx._active.stream
+        while not stream.finished:
+            assert stream.error is None, stream.error
+            cx.update()
+        cx.deactivate()
+        return sink.audio(2)
+
+    # 1000 = 7 full 128-blocks + a 104-frame partial tail (used to crash)
+    partial = render(1000)
+    full = render(1024)
+    assert partial.shape == (2, 1000)
+    # identical engine state history → bit-close prefix
+    np.testing.assert_allclose(partial, full[:, :1000], atol=1e-6)
+
+
+def test_automation_setter_may_mutate_lanes():
+    # third-review finding: a lane setter that chains automation mutated
+    # the dict mid-iteration
+    from firewheel_tpu.core.automation import AutomationCurve, Keyframe, ParamAutomator
+
+    auto = ParamAutomator()
+    curve = AutomationCurve([Keyframe(0.0, 0.0), Keyframe(0.1, 1.0)])
+    fired = []
+
+    def chaining_setter(v):
+        fired.append(v)
+        if len(fired) == 1:
+            auto.add("second", lambda v2: None, curve)  # mutate mid-tick
+
+    auto.add("first", chaining_setter, curve)
+    auto.tick(0.05)  # must not raise RuntimeError
+    assert fired
+
+
+def test_checkpoint_block_size_mismatch_rejected(tmp_path):
+    from firewheel_tpu import FirewheelCtx
+    from firewheel_tpu.checkpoint import restore_into, save_checkpoint
+
+    def make(frames):
+        cx = FirewheelCtx()
+        g = cx.graph
+        b = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+        g.connect(b, 0, g.graph_out_node(), 0)
+        g.connect(b, 1, g.graph_out_node(), 1)
+        cx.activate(StreamConfig(SR, 2, buffer_frames=frames), sink=ArraySink())
+        return cx
+
+    cx = make(256)
+    save_checkpoint(str(tmp_path / "ck"), cx._active.stream._processor)
+    cx.deactivate()
+    cx2 = make(128)
+    with pytest.raises(ValueError, match="max_block_frames"):
+        restore_into(str(tmp_path / "ck"), cx2._active.stream._processor)
+    cx2.deactivate()
+
+
+def test_batch_renderer_honors_custom_mask_with_default_inputs():
+    import firewheel_tpu as fw
+    from firewheel_tpu.parallel import BatchRenderer
+
+    g = fw.AudioGraph(fw.AudioGraphConfig(2, 2))
+    from firewheel_tpu.nodes import HardClipNode
+
+    c = g.add_node(2, 2, HardClipNode(0.0))
+    g.connect(g.graph_in_node(), 0, c, 0)
+    g.connect(g.graph_in_node(), 1, c, 1)
+    g.connect(c, 0, g.graph_out_node(), 0)
+    g.connect(c, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, 64)
+    prog = fw.ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    br = BatchRenderer(prog, batch=2)
+    params, state = br.stack_params(), br.init_state()
+    my_mask = jnp.zeros((2, 3, 2), bool)  # NOT silent
+    out, om, state = br.render_chunk(
+        params, state, graph_in=None, in_mask=my_mask, num_blocks=3
+    )
+    # mask flows through the passthrough graph: outputs marked not-silent
+    assert not bool(jnp.any(om))
+    # and the default path still reports silence
+    out, om2, state = br.render_chunk(params, state, num_blocks=3)
+    assert bool(jnp.all(om2))
