@@ -18,6 +18,8 @@ from .reverb import ConvolutionReverbNode
 from .spatial import Spatializer3DNode
 from .meter import DbMeterNode
 from .streaming_sampler import CallbackStreamReader, StreamingSamplerNode
+from .dynamics import CompressorNode, LimiterNode
+from .generators import LFONode, LFOShape, NoiseNode
 
 __all__ = [
     "LoopRange",
@@ -33,6 +35,11 @@ __all__ = [
     "DbMeterNode",
     "CallbackStreamReader",
     "StreamingSamplerNode",
+    "CompressorNode",
+    "LimiterNode",
+    "NoiseNode",
+    "LFONode",
+    "LFOShape",
     "DummyAudioNode",
     "DummyProcessor",
     "BeepTestNode",

@@ -1,0 +1,239 @@
+"""Dynamics nodes: bus compressor and lookahead brickwall limiter.
+
+Beyond the reference's shipped code but inside its design scope — the
+DESIGN_DOC's effect-node family (``DESIGN_DOC.md:11-28``); a master-bus
+limiter is table stakes for a game mixer.  Both are channel-linked (one
+gain applied to all channels, computed from the loudest), the behavior
+players expect from a stereo bus.
+
+Kernels follow the engine contract (core/node.py): params staged per
+dispatch, recurrent state (envelopes, delay lines) as explicit pytrees.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.node import (
+    AudioNode,
+    AudioNodeInfo,
+    NodeActivationError,
+    NodeProcessor,
+    MAX_PORTS,
+)
+from ..core.units import db_to_gain
+from ..ops.dynamics import compressor_gain_db, envelope_follow, sliding_max
+
+__all__ = [
+    "CompressorNode",
+    "CompressorProcessor",
+    "LimiterNode",
+    "LimiterProcessor",
+]
+
+
+def _coef(time_secs: float, sample_rate: int) -> float:
+    """One-pole smoothing coefficient for a time constant in seconds."""
+    if time_secs <= 0.0:
+        return 0.0
+    return float(np.exp(-1.0 / (time_secs * sample_rate)))
+
+
+class CompressorProcessor(NodeProcessor):
+    def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+
+    def init_state(self):
+        return {"env": jnp.zeros((), jnp.float32)}
+
+    def collect_params(self):
+        n = self._node
+        return {
+            "threshold_db": np.float32(n._threshold_db),
+            "ratio": np.float32(max(n._ratio, 1.0)),
+            "knee_db": np.float32(max(n._knee_db, 0.0)),
+            "makeup": np.float32(db_to_gain(np.float32(n._makeup_db))),
+            "att_b": np.float32(_coef(n._attack_secs, self.sample_rate)),
+            "rel_b": np.float32(_coef(n._release_secs, self.sample_rate)),
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        # channel-linked peak detector: loudest channel drives the gain
+        level = jnp.max(jnp.abs(inputs), axis=0)  # [F]
+        env, env_last = envelope_follow(
+            level, state["env"], params["att_b"], params["rel_b"]
+        )
+        level_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-9))
+        gain_db = compressor_gain_db(
+            level_db, params["threshold_db"], params["ratio"], params["knee_db"]
+        )
+        gain = jnp.power(10.0, gain_db / 20.0) * params["makeup"]
+        y = inputs * gain[None, :]
+        out_mask = in_mask  # gain never unsilences a silent input
+        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        return y, {"env": env_last}, out_mask
+
+
+class CompressorNode(AudioNode):
+    """Channel-linked soft-knee downward compressor.
+
+    The detector is a peak envelope follower (attack/release one-pole); the
+    gain computer is the standard dB-domain soft knee; ``makeup_db`` is
+    applied post-gain.
+    """
+
+    debug_name = "compressor"
+
+    def __init__(
+        self,
+        threshold_db: float = -24.0,
+        ratio: float = 4.0,
+        attack_secs: float = 0.01,
+        release_secs: float = 0.1,
+        makeup_db: float = 0.0,
+        knee_db: float = 6.0,
+    ):
+        self._threshold_db = float(threshold_db)
+        self._ratio = float(ratio)
+        self._attack_secs = float(attack_secs)
+        self._release_secs = float(release_secs)
+        self._makeup_db = float(makeup_db)
+        self._knee_db = float(knee_db)
+
+    def set_threshold_db(self, v: float):
+        self._threshold_db = float(v)
+
+    def set_ratio(self, v: float):
+        self._ratio = float(v)
+
+    def set_attack_secs(self, v: float):
+        self._attack_secs = float(v)
+
+    def set_release_secs(self, v: float):
+        self._release_secs = float(v)
+
+    def set_makeup_db(self, v: float):
+        self._makeup_db = float(v)
+
+    def set_knee_db(self, v: float):
+        self._knee_db = float(v)
+
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(1, MAX_PORTS, 1, MAX_PORTS)
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        if num_inputs != num_outputs:
+            raise NodeActivationError(
+                "CompressorNode requires num_inputs == num_outputs; got "
+                f"{num_inputs} in, {num_outputs} out"
+            )
+        return CompressorProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )
+
+
+class LimiterProcessor(NodeProcessor):
+    def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+        self.lookahead = max(1, int(round(node._lookahead_secs * sample_rate)))
+
+    def init_state(self):
+        la = self.lookahead
+        return {
+            # delayed dry signal (the lookahead latency line)
+            "delay": jnp.zeros((self.num_inputs, la), jnp.float32),
+            # |x| tail so the sliding window spans block boundaries
+            "level_tail": jnp.zeros((la,), jnp.float32),
+            # smoothed gain; starts at unity (0 would fade the stream in)
+            "env": jnp.ones((), jnp.float32),
+        }
+
+    def collect_params(self):
+        n = self._node
+        return {
+            "ceiling": np.float32(db_to_gain(np.float32(n._ceiling_db))),
+            "rel_b": np.float32(_coef(n._release_secs, self.sample_rate)),
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        la = self.lookahead
+        frames = inputs.shape[-1]
+
+        # future maximum over the lookahead window, per output sample of the
+        # DELAYED stream: delayed[t] pairs with max(|x|[t .. t+la])
+        level = jnp.max(jnp.abs(inputs), axis=0)  # [F]
+        level_seq = jnp.concatenate([state["level_tail"], level])  # [la+F]
+        peak = sliding_max(level_seq, la + 1)  # [F]
+
+        # required gain to keep the peak at/below the ceiling; attack is
+        # instantaneous (the window already looked ahead), release smooths
+        # recovery upward
+        need = jnp.minimum(1.0, params["ceiling"] / jnp.maximum(peak, 1e-9))
+
+        def step(env, g):
+            env = jnp.minimum(g, params["rel_b"] * env + (1.0 - params["rel_b"]) * g)
+            return env, env
+
+        env_last, gain = jax.lax.scan(step, state["env"], need)
+
+        delayed = jnp.concatenate([state["delay"], inputs], axis=-1)
+        y = delayed[:, :frames] * gain[None, :]
+
+        out_mask = in_mask & jnp.all(state["delay"] == 0.0, axis=-1)
+        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        return (
+            y,
+            {
+                "delay": delayed[:, frames:],
+                "level_tail": level_seq[frames:],
+                "env": env_last,
+            },
+            out_mask,
+        )
+
+
+class LimiterNode(AudioNode):
+    """Lookahead brickwall limiter (channel-linked).
+
+    Introduces ``lookahead_secs`` of latency on its path — compensate
+    parallel dry paths with :class:`DelayCompNode`.  Attack is instantaneous
+    via the lookahead window; release recovers with a one-pole.
+    """
+
+    debug_name = "limiter"
+
+    def __init__(
+        self,
+        ceiling_db: float = -1.0,
+        lookahead_secs: float = 0.005,
+        release_secs: float = 0.05,
+    ):
+        self._ceiling_db = float(ceiling_db)
+        self._lookahead_secs = max(float(lookahead_secs), 0.0)
+        self._release_secs = float(release_secs)
+
+    def set_ceiling_db(self, v: float):
+        self._ceiling_db = float(v)
+
+    def set_release_secs(self, v: float):
+        self._release_secs = float(v)
+
+    def latency_frames(self, sample_rate: int) -> int:
+        return max(1, int(round(self._lookahead_secs * sample_rate)))
+
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(1, MAX_PORTS, 1, MAX_PORTS)
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        if num_inputs != num_outputs:
+            raise NodeActivationError(
+                "LimiterNode requires num_inputs == num_outputs; got "
+                f"{num_inputs} in, {num_outputs} out"
+            )
+        return LimiterProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )
