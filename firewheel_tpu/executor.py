@@ -162,7 +162,12 @@ class ScheduleProgram:
 
     # -- state / params ------------------------------------------------------
     def init_state(self) -> dict[str, Any]:
-        return {key: proc.init_state() for key, proc in self._procs.items()}
+        state = {key: proc.init_state() for key, proc in self._procs.items()}
+        if self._donate:
+            # XLA dedups identical constants (two nodes' jnp.zeros share ONE
+            # buffer); donating aliased buffers twice is an error — de-alias
+            state = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+        return state
 
     def collect_params(self, blocks: float = 1) -> dict[str, Any]:
         """Host-side param snapshot for the next dispatch (the lock-free
@@ -460,6 +465,10 @@ class ScheduleProgram:
         gi = jnp.zeros((self.num_graph_inputs, self.max_block_frames), jnp.float32)
         im = jnp.zeros((self.num_graph_inputs,), bool)
         info = BlockInfo.make()
+        if self._donate:
+            # the block program donates its state argument — warm up on a
+            # copy so the caller's state survives the throwaway render
+            state = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
         out, _, _ = self._jit_block(params, state, gi, im, info)
         jax.block_until_ready(out)
 

@@ -23,7 +23,7 @@ from ..core.node import (
     NodeProcessor,
     MAX_PORTS,
 )
-from ..core.units import db_to_gain
+from ..core.units import db_to_gain, gain_to_db
 from ..ops.dynamics import compressor_gain_db, envelope_follow, sliding_max
 
 __all__ = [
@@ -46,6 +46,9 @@ class CompressorProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
 
+    def group_key(self):
+        return ()  # all variation rides in params
+
     def init_state(self):
         return {"env": jnp.zeros((), jnp.float32)}
 
@@ -66,11 +69,11 @@ class CompressorProcessor(NodeProcessor):
         env, env_last = envelope_follow(
             level, state["env"], params["att_b"], params["rel_b"]
         )
-        level_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-9))
+        level_db = gain_to_db(env)  # clamps at the engine's -100 dB floor
         gain_db = compressor_gain_db(
             level_db, params["threshold_db"], params["ratio"], params["knee_db"]
         )
-        gain = jnp.power(10.0, gain_db / 20.0) * params["makeup"]
+        gain = db_to_gain(gain_db) * params["makeup"]
         y = inputs * gain[None, :]
         out_mask = in_mask  # gain never unsilences a silent input
         y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
@@ -140,6 +143,9 @@ class LimiterProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
         self.lookahead = max(1, int(round(node._lookahead_secs * sample_rate)))
+
+    def group_key(self):
+        return (self.lookahead,)  # state shapes depend on the lookahead
 
     def init_state(self):
         la = self.lookahead

@@ -32,11 +32,22 @@ from .beep_test import phase_inc_fixed
 
 __all__ = ["NoiseNode", "NoiseProcessor", "LFONode", "LFOProcessor"]
 
+# default seeds: construction-order counter — deterministic per program run,
+# but two default NoiseNodes never share a stream (identical seeds would sum
+# coherently, +6 dB mono-correlated)
+import itertools as _itertools
+
+_SEED_COUNTER = _itertools.count(1)
+
 
 class NoiseProcessor(NodeProcessor):
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
+
+    def group_key(self):
+        # color is structural (traced); everything else rides in params
+        return (self._node._color,)
 
     def init_state(self):
         # Kellet pink filter taps (3 one-poles), per channel
@@ -47,7 +58,6 @@ class NoiseProcessor(NodeProcessor):
         return {
             "gain": np.float32(db_to_gain(np.float32(n._gain_db))),
             "enabled": np.asarray(bool(n._enabled), bool),
-            "pink": np.asarray(n._color == "pink", bool),
             "seed": np.uint32(n._seed),
         }
 
@@ -64,6 +74,12 @@ class NoiseProcessor(NodeProcessor):
             key, (ch, frames), jnp.float32, minval=-1.0, maxval=1.0
         )
 
+        if self._node._color != "pink":
+            noise = white * params["gain"]
+            y = jnp.where(params["enabled"], noise, jnp.zeros_like(noise))
+            out_mask = jnp.broadcast_to(~params["enabled"], (ch,))
+            return y, {"pink": state["pink"]}, out_mask
+
         def pink_step(z, w):
             # Paul Kellet's "economy" 3-pole pink approximation
             b0 = 0.99765 * z[:, 0] + w * 0.0990460
@@ -77,11 +93,10 @@ class NoiseProcessor(NodeProcessor):
         )
         pink = jnp.moveaxis(pink, 0, -1)
 
-        noise = jnp.where(params["pink"], pink, white) * params["gain"]
+        noise = pink * params["gain"]
         y = jnp.where(params["enabled"], noise, jnp.zeros_like(noise))
         out_mask = jnp.broadcast_to(~params["enabled"], (ch,))
-        new_pink = jnp.where(params["pink"], pink_state, state["pink"])
-        return y, {"pink": new_pink}, out_mask
+        return y, {"pink": pink_state}, out_mask
 
 
 class NoiseNode(AudioNode):
@@ -94,23 +109,25 @@ class NoiseNode(AudioNode):
         color: str = "white",
         gain_db: float = -18.0,
         enabled: bool = True,
-        seed: int = 1,
+        seed: int | None = None,
     ):
+        """``color`` is structural (it decides whether the pink filter is
+        traced at all) — to change it, re-add the node.  ``seed`` defaults
+        to a construction-order counter so independent default nodes are
+        decorrelated; pass one explicitly for reproducible content."""
         assert color in ("white", "pink"), color
         self._color = color
         self._gain_db = float(gain_db)
         self._enabled = bool(enabled)
-        self._seed = int(seed) & 0xFFFFFFFF
+        self._seed = (
+            next(_SEED_COUNTER) if seed is None else int(seed)
+        ) & 0xFFFFFFFF
 
     def set_enabled(self, v: bool):
         self._enabled = bool(v)
 
     def set_gain_db(self, v: float):
         self._gain_db = float(v)
-
-    def set_color(self, color: str):
-        assert color in ("white", "pink"), color
-        self._color = color
 
     def info(self) -> AudioNodeInfo:
         return AudioNodeInfo(0, 0, 1, MAX_PORTS)
@@ -132,6 +149,9 @@ class LFOProcessor(NodeProcessor):
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
+
+    def group_key(self):
+        return ()
 
     def init_state(self):
         return {"phase": jnp.zeros((), jnp.uint32)}
@@ -215,6 +235,9 @@ class LFONode(AudioNode):
         self._offset = float(v)
 
     def set_shape(self, shape: str):
+        assert shape in (
+            LFOShape.SINE, LFOShape.TRIANGLE, LFOShape.SAW, LFOShape.SQUARE
+        ), shape
         self._shape = shape
 
     def info(self) -> AudioNodeInfo:

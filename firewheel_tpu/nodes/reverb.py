@@ -60,6 +60,10 @@ class ConvolutionReverbProcessor(NodeProcessor):
             self._h_cache_src = node._ir
         return self._h_cache
 
+    def group_key(self):
+        # state/spectra shapes depend on the partition count and IR channels
+        return (self._partitions, self._node._ir.shape[0])
+
     def init_state(self):
         return conv_state_init(
             self._partitions, self.num_inputs, self.max_block_frames
@@ -99,7 +103,7 @@ class ConvolutionReverbNode(AudioNode):
     def __init__(self, ir, wet: float = 0.3, dry: float = 1.0):
         """``ir``: impulse response, ``[frames]`` (shared across channels) or
         ``[channels, frames]``."""
-        self._ir = np.atleast_2d(np.asarray(ir, np.float32))
+        self._ir = np.atleast_2d(np.array(ir, np.float32, copy=True))
         self._wet = max(float(wet), 0.0)
         self._dry = max(float(dry), 0.0)
 
@@ -107,8 +111,13 @@ class ConvolutionReverbNode(AudioNode):
         return self._ir.shape[-1]
 
     def set_ir(self, ir):
-        """Swap the impulse response.  Same padded length → no retrace."""
-        self._ir = np.atleast_2d(np.asarray(ir, np.float32))
+        """Swap the impulse response.  Same padded length → no retrace.
+
+        The IR is copied: the spectra cache keys on object identity, so an
+        in-place edit of the caller's array followed by ``set_ir`` must
+        produce a fresh object (and callers keep ownership of theirs).
+        """
+        self._ir = np.atleast_2d(np.array(ir, np.float32, copy=True))
 
     def wet(self) -> float:
         return self._wet

@@ -128,8 +128,9 @@ def conv_partition_ir(ir, block_frames: int):
         block_frames: partition size ``F`` (the engine block size).
 
     Returns:
-        ``(h_head f32[ch, F], H_tail complex64[P-1, ch, F+1])`` — the head
-        partition in the time domain, later partitions as 2F-point spectra.
+        ``(h_head f32[ch, F], H_tail complex64[P-1, ch, LP//2+1])`` where
+        ``LP = next_pow2(2F)`` — the head partition in the time domain,
+        later partitions as LP-point spectra (LP == 2F for pow2 F).
     """
     ir = jnp.atleast_2d(jnp.asarray(ir, jnp.float32))
     ch, length = ir.shape
@@ -168,7 +169,8 @@ def conv_step(x, state, h_head, H_tail):
         x: ``f32[ch, n]`` input hop.
         state: dict from :func:`conv_state_init`.
         h_head: ``f32[irch, F]`` head partition (irch 1 or ch).
-        H_tail: ``complex64[P-1, irch, F+1]`` tail partition spectra.
+        H_tail: ``complex64[P-1, irch, LP//2+1]`` tail partition spectra,
+            ``LP = next_pow2(2F)`` (from :func:`conv_partition_ir`).
 
     Returns:
         ``(y f32[ch, n], new_state)``
