@@ -18,8 +18,9 @@ from .reverb import ConvolutionReverbNode
 from .spatial import Spatializer3DNode
 from .meter import DbMeterNode
 from .streaming_sampler import CallbackStreamReader, StreamingSamplerNode
-from .dynamics import CompressorNode, LimiterNode
+from .dynamics import CompressorNode, DuckerNode, LimiterNode
 from .generators import LFONode, LFOShape, NoiseNode
+from .loudness import IntegratedLoudness, LoudnessMeterNode
 
 __all__ = [
     "LoopRange",
@@ -36,7 +37,10 @@ __all__ = [
     "CallbackStreamReader",
     "StreamingSamplerNode",
     "CompressorNode",
+    "DuckerNode",
     "LimiterNode",
+    "LoudnessMeterNode",
+    "IntegratedLoudness",
     "NoiseNode",
     "LFONode",
     "LFOShape",

@@ -29,6 +29,8 @@ from ..ops.dynamics import compressor_gain_db, envelope_follow, sliding_max
 __all__ = [
     "CompressorNode",
     "CompressorProcessor",
+    "DuckerNode",
+    "DuckerProcessor",
     "LimiterNode",
     "LimiterProcessor",
 ]
@@ -241,5 +243,97 @@ class LimiterNode(AudioNode):
                 f"{num_inputs} in, {num_outputs} out"
             )
         return LimiterProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )
+
+
+class DuckerProcessor(NodeProcessor):
+    def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+        self.main_channels = num_outputs
+
+    def group_key(self):
+        return ()
+
+    def init_state(self):
+        return {"env": jnp.zeros((), jnp.float32)}
+
+    def collect_params(self):
+        n = self._node
+        return {
+            "threshold_db": np.float32(n._threshold_db),
+            "duck_db": np.float32(n._duck_db),
+            "att_b": np.float32(_coef(n._attack_secs, self.sample_rate)),
+            "rel_b": np.float32(_coef(n._release_secs, self.sample_rate)),
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        m = self.main_channels
+        main, side = inputs[:m], inputs[m:]
+
+        # sidechain level drives the gain (classic dialogue-over-music duck)
+        level = jnp.max(jnp.abs(side), axis=0)
+        env, env_last = envelope_follow(
+            level, state["env"], params["att_b"], params["rel_b"]
+        )
+        level_db = gain_to_db(env)
+        # full duck depth once the sidechain crosses threshold; proportional
+        # through a fixed 10 dB soft region below it
+        over = jnp.clip((level_db - params["threshold_db"] + 10.0) / 10.0, 0.0, 1.0)
+        gain = db_to_gain(params["duck_db"] * over)
+        y = main * gain[None, :]
+        out_mask = in_mask[:m]
+        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        return y, {"env": env_last}, out_mask
+
+
+class DuckerNode(AudioNode):
+    """Sidechain ducker: attenuates the main bus while the sidechain is hot
+    (dialogue-over-music, bus carving).
+
+    Port layout: the FIRST ``num_outputs`` inputs are the main bus, the
+    remaining inputs are the sidechain (any channel count).  ``duck_db`` is
+    the attenuation applied when the sidechain exceeds ``threshold_db``
+    (ramped in over a 10 dB soft region below the threshold).
+    """
+
+    debug_name = "ducker"
+
+    def __init__(
+        self,
+        threshold_db: float = -40.0,
+        duck_db: float = -12.0,
+        attack_secs: float = 0.01,
+        release_secs: float = 0.3,
+    ):
+        self._threshold_db = float(threshold_db)
+        self._duck_db = min(float(duck_db), 0.0)
+        self._attack_secs = float(attack_secs)
+        self._release_secs = float(release_secs)
+
+    def set_threshold_db(self, v: float):
+        self._threshold_db = float(v)
+
+    def set_duck_db(self, v: float):
+        self._duck_db = min(float(v), 0.0)
+
+    def set_attack_secs(self, v: float):
+        self._attack_secs = float(v)
+
+    def set_release_secs(self, v: float):
+        self._release_secs = float(v)
+
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(2, MAX_PORTS, 1, MAX_PORTS)
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        if num_inputs <= num_outputs:
+            raise NodeActivationError(
+                "DuckerNode needs sidechain inputs beyond its main bus: "
+                f"num_inputs ({num_inputs}) must exceed num_outputs "
+                f"({num_outputs})"
+            )
+        return DuckerProcessor(
             self, sample_rate, max_block_frames, num_inputs, num_outputs
         )
