@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from typing import Any, Optional
 
 from ..channels import MessageChannel
@@ -96,20 +97,30 @@ class FirewheelCtx:
         )
         assert processor is not None
 
-        from_err = MessageChannel(MSG_CHANNEL_CAPACITY)
-        stream = OutputStream(
-            processor,
-            cfg,
-            sink=sink,
-            input_source=input_source,
-            err_channel=from_err,
-            duration_secs=duration_secs,
-        )
-        # Ship the first schedule and AOT-compile it before the stream starts
-        # pulling, so the first buffer never stalls on XLA compilation.
-        self._cx.update()
-        processor.warmup(full=cfg.warmup_full)
-        stream.play()
+        try:
+            from_err = MessageChannel(MSG_CHANNEL_CAPACITY)
+            stream = OutputStream(
+                processor,
+                cfg,
+                sink=sink,
+                input_source=input_source,
+                err_channel=from_err,
+                duration_secs=duration_secs,
+            )
+            # Ship the first schedule and AOT-compile it before the stream
+            # starts pulling, so the first buffer never stalls on XLA
+            # compilation.
+            self._cx.update()
+            processor.warmup(full=cfg.warmup_full)
+            stream.play()
+        except BaseException:
+            # unwind the graph-context activation, or every later
+            # activate() would trip over a half-activated engine
+            try:
+                self._cx.deactivate(False)
+            except Exception:
+                pass
+            raise
 
         self._active = _ActiveStream(stream, from_err, out_device_name, cfg)
 
@@ -206,18 +217,37 @@ class FirewheelCtx:
         device allows (bounce-to-disk), pumping ``update()`` throughout so
         live graph edits during the render still apply."""
         assert self._active is not None, "activate() first"
+        cfg = self._active.config
         target = self._active.stream.frames_rendered + int(
-            duration_secs * self._active.config.sample_rate
+            duration_secs * cfg.sample_rate
         )
+        # For a realtime stream, zero progress usually just means the
+        # lookahead ring is full (backpressure) — wait out up to a few
+        # ring-drain periods before concluding the stream is stuck.
+        stall_budget = (
+            cfg.lookahead_buffers * cfg.buffer_frames / cfg.sample_rate * 4.0
+            if cfg.realtime
+            else 0.0
+        )
+        stalled_since = None
         while self._active and self._active.stream.frames_rendered < target:
             before = self._active.stream.frames_rendered
             res = self.update()
             if res.status != UpdateStatus.ACTIVE:
                 break
             if self._active and self._active.stream.frames_rendered == before:
-                # no progress: duration cap reached, processor dropped, or
-                # stream error — don't spin forever
-                break
+                # no progress: duration cap / drop / error — or, realtime,
+                # plain ring backpressure
+                if self._active.stream.error is not None or not cfg.realtime:
+                    break
+                now = time.monotonic()
+                if stalled_since is None:
+                    stalled_since = now
+                elif now - stalled_since > max(stall_budget, 0.05):
+                    break
+                time.sleep(0.001)
+            else:
+                stalled_since = None
 
     @property
     def stream(self) -> Optional[OutputStream]:

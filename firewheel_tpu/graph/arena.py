@@ -40,6 +40,10 @@ class Arena:
         self._len = 0
 
     def insert(self, value) -> Index:
+        if value is None:
+            # None is the vacancy sentinel; storing it would desync _len
+            # from the occupied slots and strand the slot forever
+            raise ValueError("Arena cannot store None")
         if self._free:
             slot = self._free.pop()
             self._items[slot] = value

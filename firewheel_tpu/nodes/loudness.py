@@ -26,7 +26,7 @@ from ..core.node import (
     MAX_PORTS,
 )
 from ..ops.iir import biquad_scan
-from ..ops.loudness import k_weighting_coeffs
+from ..ops.loudness import k_weighting_coeffs, lufs_from_mean_square
 
 __all__ = ["LoudnessMeterNode", "LoudnessMeterProcessor", "IntegratedLoudness"]
 
@@ -86,13 +86,16 @@ class LoudnessMeterProcessor(NodeProcessor):
         k = jnp.arange(frames, dtype=jnp.uint32)
         hop_of = (state["pos"] + k) // jnp.uint32(self.hop_frames)
         ring_len = state["ring"].shape[0]
-        hops_spanned = (
-            state["pos"] + jnp.uint32(frames - 1)
-        ) // jnp.uint32(self.hop_frames)  # max relative hop this block
+        # relative hops to clear: every slot written this block beyond the
+        # current one, PLUS the slot the write head lands on afterwards —
+        # when a block ends exactly on a hop boundary, the next block's
+        # first write enters a slot no other path would have cleared
+        total = state["pos"] + jnp.uint32(frames)
+        hops_advanced = total // jnp.uint32(self.hop_frames)
 
         d = jnp.arange(ring_len, dtype=jnp.uint32)
         fresh = (state["idx"] + jnp.uint32(1) + d) % jnp.uint32(ring_len)
-        live = d < hops_spanned
+        live = d < hops_advanced
         ring = state["ring"].at[fresh].set(
             jnp.where(live, 0.0, state["ring"][fresh])
         )
@@ -104,11 +107,8 @@ class LoudnessMeterProcessor(NodeProcessor):
         ring = ring.at[slot].add(power)
         counts = counts.at[slot].add(jnp.uint32(1))
 
-        total = state["pos"] + jnp.uint32(frames)
         new_pos = total % jnp.uint32(self.hop_frames)
-        new_idx = (
-            state["idx"] + total // jnp.uint32(self.hop_frames)
-        ) % jnp.uint32(ring_len)
+        new_idx = (state["idx"] + hops_advanced) % jnp.uint32(ring_len)
 
         if self.num_outputs:
             out = inputs
@@ -138,7 +138,7 @@ def _window_lufs(ring, counts, idx, blocks):
     e, c = ring[take].sum(), counts[take].sum()
     if c < 1:
         return -np.inf
-    return -0.691 + 10.0 * np.log10(max(e / c, 1e-12))
+    return lufs_from_mean_square(e / c)
 
 
 class LoudnessMeterNode(AudioNode):

@@ -59,6 +59,4 @@ def k_weighting_coeffs(sample_rate: int) -> tuple[BiquadCoeffs, BiquadCoeffs]:
 def lufs_from_mean_square(weighted_mean_square) -> float:
     """BS.1770: ``-0.691 + 10 log10(sum_c G_c z_c)`` for the summed,
     channel-weighted mean square."""
-    import numpy as _np
-
-    return -0.691 + 10.0 * _np.log10(max(float(weighted_mean_square), 1e-12))
+    return -0.691 + 10.0 * np.log10(max(float(weighted_mean_square), 1e-12))

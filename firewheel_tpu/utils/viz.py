@@ -28,10 +28,14 @@ def _topo_layers(graph):
     seen = set()
     while frontier:
         layers.append(sorted(frontier, key=lambda n: n.idx.slot))
-        seen.update(frontier)
+        emitted = set(frontier)
+        seen.update(emitted)
         nxt = {}
+        # decrement only through the just-emitted layer's edges: counting
+        # earlier layers again would promote consumers level with (or
+        # before) their producers
         for e in edges:
-            if e.src_node in seen and e.dst_node not in seen:
+            if e.src_node in emitted and e.dst_node not in seen:
                 indeg[e.dst_node] -= 1
                 if indeg[e.dst_node] == 0:
                     nxt[e.dst_node] = True
@@ -190,14 +194,16 @@ function draw() {{
       g.innerHTML += `<circle class="port" cx="${{n.x}}" cy="${{portY(n,i,n.nin)}}" r="4"></circle>`;
     for (let i = 0; i < n.nout; i++)
       g.innerHTML += `<circle class="port" cx="${{n.x+170}}" cy="${{portY(n,i,n.nout)}}" r="4"></circle>`;
-    let drag = null;
-    g.addEventListener('mousedown', ev => {{ drag = [ev.clientX - n.x, ev.clientY - n.y]; }});
-    window.addEventListener('mousemove', ev => {{
-      if (drag) {{ n.x = ev.clientX - drag[0]; n.y = ev.clientY - drag[1]; draw(); }}
-    }});
-    window.addEventListener('mouseup', () => drag = null);
+    g.addEventListener('mousedown', ev => {{ drag = [n, ev.clientX - n.x, ev.clientY - n.y]; }});
     svg.appendChild(g);
   }}
 }}
+// one window-level listener pair (re-registering inside draw() would add
+// 2*N listeners per redraw and redraw on every mouse move)
+let drag = null;
+window.addEventListener('mousemove', ev => {{
+  if (drag) {{ const [n, dx, dy] = drag; n.x = ev.clientX - dx; n.y = ev.clientY - dy; draw(); }}
+}});
+window.addEventListener('mouseup', () => drag = null);
 draw();
 </script></body></html>"""

@@ -122,13 +122,17 @@ class WavStreamReader:
         )
 
     def read(self, start_frame: int, num_frames: int) -> np.ndarray:
-        """``f32[channels, n]``; reads past EOF are zero-padded."""
-        start = max(0, int(start_frame))
-        end = min(start + num_frames, self.len_frames)
+        """``f32[channels, n]``; reads outside [0, len_frames) zero-pad —
+        pre-roll (negative start) yields leading zeros at the correct
+        positions, not time-shifted audio."""
+        start_frame = int(start_frame)
+        start = max(0, start_frame)
+        lead = start - start_frame  # zeros before frame 0
+        end = min(start_frame + num_frames, self.len_frames)
         out = np.zeros((self.num_channels, num_frames), np.float32)
         if end > start:
             chunk = np.asarray(self._mm[start:end]).T
             if self._scale is not None:
                 chunk = chunk.astype(np.float32) * self._scale
-            out[:, : end - start] = chunk
+            out[:, lead : lead + (end - start)] = chunk
         return out

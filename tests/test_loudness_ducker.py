@@ -94,6 +94,27 @@ class TestLoudness:
             integ.push(-10.0)
         assert -23.5 < integ.value() < -18.0
 
+    def test_block_aligned_hops_clear_stale_data(self):
+        # fifth-review finding: when the block size equals the 100 ms hop,
+        # ring slots were never cleared — silence after loud audio kept
+        # reading the loud level forever (and counts grew unboundedly)
+        node = LoudnessMeterNode()
+        proc = node.activate(SR, 4800, 2, 0)   # block == hop_frames
+        state = proc.init_state()
+        t = np.arange(int(3.2 * SR)) / SR
+        loud = np.tile(0.5 * np.sin(2 * np.pi * 997 * t), (2, 1)).astype(np.float32)
+        silence = np.zeros((2, int(0.8 * SR)), np.float32)
+        x = np.concatenate([loud, silence], axis=1)
+        for i in range(0, x.shape[-1], 4800):
+            _, state, _ = proc.kernel(
+                {}, state, jnp.asarray(x[:, i : i + 4800]),
+                jnp.zeros((2,), bool), BlockInfo.make(stream_sample=i),
+            )
+        r = LoudnessMeterNode.read(state)
+        assert r["momentary_lufs"] < -80, r      # 800 ms of silence
+        counts = np.asarray(state["counts"])
+        assert counts.max() <= 4800               # no unbounded accumulation
+
     def test_empty_reads(self):
         node = LoudnessMeterNode()
         proc = node.activate(SR, F, 2, 0)
