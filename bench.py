@@ -5,7 +5,7 @@ The BASELINE target (driver-set): ≥1000× realtime per chip, outputs within
 this harness measures throughput + latency).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 Diagnostics go to stderr.
 
 Method: the 64-node mixer graph (19 voices × beep→volume→pan → sum →
@@ -13,8 +13,18 @@ filter→echo→clip→meter, `__graft_entry__._mixer_graph`) is batched over B
 independent instances (vmap) and K blocks per dispatch (lax.scan).
 Dispatches chain on device state so they serialize on the device but the
 host never blocks between them; we sync once per timed window.  Realtime
-factor = rendered audio seconds / wall seconds.  p99 block latency is
-measured on sequential single-chunk dispatches.
+factor = rendered audio seconds / wall seconds.
+
+Rigor (round-2): the headline is the MEDIAN of ≥5 timed windows (the axon
+tunnel adds dispatch jitter; a single-trial best is not defensible) — best
+and spread are reported as secondary fields.  A long chained window
+(4× the pipeline depth) amortizes per-dispatch host/tunnel overhead toward
+the device-work floor and is reported as `amortized`.  When the compiled
+executable exposes a cost model, flops/bytes per dispatch are logged for
+the roofline estimate in docs/PERF.md.
+
+Node count: 64 includes the graph_in/graph_out sentinels (62 processing
+nodes) — the reference counts sentinels as nodes too (graph.rs:133,146).
 """
 
 from __future__ import annotations
@@ -46,9 +56,34 @@ def main():
     log(f"device: {dev} ({dev.platform})")
 
     program = _mixer_graph(block=BLOCK)
-    log(f"graph: 64 nodes, block={BLOCK}, sr={SR}")
+    log(f"graph: 64 nodes (62 processing + 2 sentinels), block={BLOCK}, sr={SR}")
 
-    def bench_config(batch, k_blocks, pipeline=8, budget_s=180.0):
+    def cost_analysis(br, k_blocks):
+        """flops/bytes per dispatch from the compiled executable, if the
+        backend exposes a cost model (logged for the PERF.md roofline)."""
+        try:
+            fn = br._chunk_cache[k_blocks]
+            params = br.stack_params()
+            state = br.init_state()
+            b, ni, f = br.batch, program.num_graph_inputs, BLOCK
+            gi = jnp.zeros((b, k_blocks, ni, f), jnp.float32)
+            im = jnp.ones((b, k_blocks, ni), bool)
+            compiled = fn.lower(
+                params, state, gi, im,
+                jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32),
+            ).compile()
+            costs = compiled.cost_analysis()
+            if isinstance(costs, list):
+                costs = costs[0]
+            return {
+                "flops": float(costs.get("flops", float("nan"))),
+                "bytes": float(costs.get("bytes accessed", float("nan"))),
+            }
+        except Exception as e:
+            log(f"  cost model unavailable: {type(e).__name__}: {e}")
+            return None
+
+    def bench_config(batch, k_blocks, pipeline=8, trials=5, budget_s=240.0):
         br = BatchRenderer(program, batch=batch)
         params = br.stack_params()
         state = br.init_state()
@@ -61,26 +96,38 @@ def main():
 
         audio_per_dispatch = batch * k_blocks * BLOCK / SR
 
-        # timed window: chained dispatches, one sync at the end
-        best = 0.0
-        for trial in range(3):
+        def window(n_dispatch):
+            nonlocal state
             t0 = time.time()
-            outs = []
-            for i in range(pipeline):
+            out = None
+            for i in range(n_dispatch):
                 out, om, state = br.render_chunk(
                     params, state,
                     start_sample=(i + 1) * k_blocks * BLOCK,
                     num_blocks=k_blocks,
                 )
-                outs.append(out)
-            jax.block_until_ready(outs)
+            jax.block_until_ready(out)
             wall = time.time() - t0
-            rt = pipeline * audio_per_dispatch / wall
-            best = max(best, rt)
+            return n_dispatch * audio_per_dispatch / wall, wall
+
+        rts = []
+        for trial in range(trials):
+            rt, wall = window(pipeline)
+            rts.append(rt)
             log(f"  trial {trial}: {wall*1e3:.1f} ms for "
                 f"{pipeline*audio_per_dispatch:.1f} audio-s → {rt:.0f}x")
-            if time.time() - t_start > budget_s:
+            if time.time() - t_start > budget_s and len(rts) >= 3:
+                log("  (config budget reached)")
                 break
+        median = float(np.median(rts))
+        best = float(np.max(rts))
+        spread = float((np.max(rts) - np.min(rts)) / median) if median else 0.0
+
+        # long window: amortize per-dispatch host/tunnel overhead toward
+        # the device-work floor
+        amortized, wall = window(4 * pipeline)
+        log(f"  amortized ({4*pipeline} chained dispatches): {amortized:.0f}x "
+            f"({wall*1e3:.0f} ms)")
 
         # p99 block latency: sequential dispatch walls
         walls = []
@@ -92,42 +139,65 @@ def main():
             jax.block_until_ready(out)
             walls.append((time.time() - t0) / k_blocks)
         p99_block_ms = float(np.percentile(walls, 99) * 1e3)
-        return best, p99_block_ms
+
+        costs = cost_analysis(br, k_blocks)
+        if costs:
+            dev_s = pipeline * audio_per_dispatch / amortized / pipeline
+            log(f"  cost model: {costs['flops']:.3e} flops, "
+                f"{costs['bytes']:.3e} bytes per dispatch "
+                f"(→ {costs['flops']/dev_s:.3e} flop/s, "
+                f"{costs['bytes']/dev_s:.3e} B/s amortized)")
+        return {
+            "median": median,
+            "best": best,
+            "spread": round(spread, 3),
+            "amortized": amortized,
+            "p99_block_ms": p99_block_ms,
+        }
 
     # Candidate configs; the strongest first so it always gets full trials
-    # within the budget (measured on v5e: 8192x32→up to 257k x,
-    # 8192x16→~154k x, 4096x16→60k-96k x, 1024x16→~9k x; K=64 compiles
-    # did not amortize; run-to-run spread is tunnel dispatch jitter).
+    # within the budget (measured on v5e round 1: 8192x32 strongest; K=64
+    # compiles did not amortize; run-to-run spread is tunnel dispatch
+    # jitter, which the median + amortized window absorb).
     configs = [(8192, 32), (8192, 16), (4096, 16)]
-    best_rt, best_cfg, best_p99 = 0.0, None, None
+    best_res, best_cfg = None, None
     for batch, k in configs:
         try:
-            rt, p99 = bench_config(batch, k)
+            res = bench_config(batch, k)
         except Exception as e:  # OOM etc.
             log(f"  B={batch} K={k} failed: {e}")
             continue
-        if rt > best_rt:
-            best_rt, best_cfg, best_p99 = rt, (batch, k), p99
+        if best_res is None or res["median"] > best_res["median"]:
+            best_res, best_cfg = res, (batch, k)
         if time.time() - t_start > 420:
             log("time budget reached")
             break
 
-    log(f"best: {best_cfg} → {best_rt:.0f}x realtime, "
-        f"p99 block latency {best_p99:.3f} ms (block={BLOCK/SR*1e3:.2f} ms)")
+    if best_res is None:
+        print(json.dumps({"metric": "bench failed", "value": 0.0,
+                          "unit": "x realtime", "vs_baseline": 0.0}))
+        return
+
+    log(f"best: {best_cfg} → median {best_res['median']:.0f}x realtime "
+        f"(best {best_res['best']:.0f}x, spread {best_res['spread']}, "
+        f"amortized {best_res['amortized']:.0f}x), p99 block latency "
+        f"{best_res['p99_block_ms']:.3f} ms (budget {BLOCK/SR*1e3:.2f} ms)")
 
     print(
         json.dumps(
             {
                 "metric": (
-                    "realtime factor (audio-sec/sec/chip), 64-node 48kHz "
-                    f"stereo graph, batch={best_cfg[0] if best_cfg else 0}, "
-                    f"p99 block latency {best_p99:.3f} ms"
-                    if best_cfg
-                    else "bench failed"
+                    "median realtime factor (audio-sec/sec/chip), 64-node "
+                    f"48kHz stereo graph, batch={best_cfg[0]}, "
+                    f"K={best_cfg[1]}, median of >=3 trials; p99 block "
+                    f"latency {best_res['p99_block_ms']:.3f} ms"
                 ),
-                "value": round(best_rt, 1),
+                "value": round(best_res["median"], 1),
                 "unit": "x realtime",
-                "vs_baseline": round(best_rt / TARGET, 3),
+                "vs_baseline": round(best_res["median"] / TARGET, 3),
+                "best": round(best_res["best"], 1),
+                "spread": best_res["spread"],
+                "amortized": round(best_res["amortized"], 1),
             }
         ),
         flush=True,

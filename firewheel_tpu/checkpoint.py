@@ -56,6 +56,14 @@ def save_checkpoint(path: str, processor, extra_meta: dict | None = None) -> Non
         "node_keys": sorted(state.keys()),
     }
     if extra_meta:
+        # the keys restore_into validates against must not be clobbered by
+        # caller metadata
+        reserved = set(meta) & set(extra_meta)
+        if reserved:
+            raise ValueError(
+                f"extra_meta uses reserved keys {sorted(reserved)}; nest "
+                "user metadata under your own key instead"
+            )
         meta.update(extra_meta)
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f, indent=2)

@@ -244,8 +244,16 @@ class ScheduleProgram:
         return plan
 
     # -- tracing -------------------------------------------------------------
-    def _render(self, frames: int, params, state, graph_in, in_mask, info: BlockInfo):
-        """Trace one block through the schedule (schedule.rs:289-343)."""
+    def _render(self, frames: int, params, state, graph_in, in_mask,
+                info: BlockInfo, pad_empty: bool = False):
+        """Trace one block through the schedule (schedule.rs:289-343).
+
+        ``pad_empty``: pad zero-row input stacks (source nodes) to one dead
+        zero row — Mosaic rejects zero-size arrays that feed ops, so the
+        Pallas megakernel traces with this on.  Node kernels key behavior
+        off their declared port counts, never off ``inputs.shape[0]``, so
+        the extra silent row is inert.
+        """
         sched = self.schedule.schedule
         bufs: dict[int, jnp.ndarray] = {}
         flags: dict[int, jnp.ndarray] = {}
@@ -271,6 +279,8 @@ class ScheduleProgram:
                 else:
                     in_rows.append(bufs[ib.buffer_index])
                     in_flags.append(flags[ib.buffer_index])
+            if not in_rows and pad_empty:
+                return zeros_row[None, :], jnp.ones((1,), bool)
             inputs = (
                 jnp.stack(in_rows)
                 if in_rows

@@ -127,7 +127,12 @@ class MegaRenderer:
         k_blocks = self.num_blocks
         tile = self.tile
         sr = float(self.program.sample_rate)
-        render = self.program.render_fn
+        program = self.program
+
+        def render(p, s, gi, im, info):
+            # pad_empty: Mosaic rejects zero-size arrays feeding ops —
+            # source nodes trace with one dead zero input row instead
+            return program._render(f, p, s, gi, im, info, pad_empty=True)
 
         p_leaves, p_def = jax.tree.flatten(params)
         s_leaves, s_def = jax.tree.flatten(state)
@@ -169,8 +174,11 @@ class MegaRenderer:
                 read(r, t, e)
                 for r, t, e in zip(s_refs, s_templates, s_expand)
             ]
-            gi = jnp.zeros((0, f), jnp.float32)
-            im = jnp.zeros((0,), bool)
+            # ni == 0 for megakernel-eligible graphs; a 1-row zero buffer
+            # keeps every in-kernel array non-empty (the graph_in loop
+            # reads exactly ni rows, so the pad row is inert)
+            gi = jnp.zeros((1, f), jnp.float32)
+            im = jnp.ones((1,), bool)
 
             def one_instance(p, s, sample, t_secs):
                 info = BlockInfo(

@@ -42,19 +42,20 @@ class BeepTestProcessor(NodeProcessor):
     def __init__(self, node: "BeepTestNode", sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
-        self.phase_inc = phase_inc_fixed(node.freq_hz, sample_rate)
-        self.gain = np.float32(node.gain)
 
     def init_state(self):
         return {"phase": jnp.zeros((), jnp.uint32)}
 
     def collect_params(self):
         # inc/gain ride as params (not closed-over statics) so identical
-        # beep processors group into one vmapped trace (node pooling)
+        # beep processors group into one vmapped trace (node pooling) and
+        # live set_frequency() edits apply on the next dispatch, no retrace
         return {
             "enabled": np.asarray(self._node.enabled(), bool),
-            "inc": np.uint32(self.phase_inc),
-            "gain": np.float32(self.gain),
+            "inc": np.uint32(
+                phase_inc_fixed(self._node.freq_hz, self.sample_rate)
+            ),
+            "gain": np.float32(self._node.gain),
         }
 
     def group_key(self):
@@ -102,6 +103,11 @@ class BeepTestNode(AudioNode):
     def set_enabled(self, enabled: bool):
         """Live control; staged into the next dispatch (beep_test.rs:30-32)."""
         self._enabled = bool(enabled)
+
+    def set_frequency(self, freq_hz: float):
+        """Live frequency change (same clamp as construction,
+        beep_test.rs:16); phase stays continuous — no click, no retrace."""
+        self.freq_hz = float(np.clip(freq_hz, 20.0, 20_000.0))
 
     def info(self) -> AudioNodeInfo:
         return AudioNodeInfo(

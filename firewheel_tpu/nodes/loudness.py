@@ -44,12 +44,25 @@ class LoudnessMeterProcessor(NodeProcessor):
         shelf, hp = k_weighting_coeffs(sample_rate)
         self._shelf = shelf
         self._hp = hp
-        # BS.1770 channel weights: 1.0 for L/R/C, 1.41 for surrounds; with
-        # no layout metadata, all channels weigh 1.0 (stereo/mono correct)
-        self._weights = np.ones((num_inputs,), np.float32)
+        # BS.1770 channel weights: 1.0 for L/R/C, 1.41 for L_s/R_s.  With no
+        # layout metadata all channels weigh 1.0 (stereo/mono correct);
+        # surround buses pass explicit weights via the node (BS.1770-4 §3.4)
+        if node._channel_weights is not None:
+            w = np.asarray(node._channel_weights, np.float32)
+            if w.shape != (num_inputs,):
+                raise NodeActivationError(
+                    f"channel_weights has {w.shape[0] if w.ndim else 0} "
+                    f"entries but the node was activated with {num_inputs} "
+                    "inputs"
+                )
+            self._weights = w
+        else:
+            self._weights = np.ones((num_inputs,), np.float32)
 
     def group_key(self):
-        return ()
+        # weights are trace-time constants: only identically-weighted
+        # meters may pool into one vmapped kernel
+        return (tuple(float(w) for w in self._weights),)
 
     def init_state(self):
         ch = self.num_inputs
@@ -143,6 +156,15 @@ def _window_lufs(ring, counts, idx, blocks):
 
 class LoudnessMeterNode(AudioNode):
     debug_name = "loudness_meter"
+
+    def __init__(self, channel_weights=None):
+        """``channel_weights``: optional per-input BS.1770 weights (e.g.
+        ``[1, 1, 1, 1, 1.41, 1.41]`` for 5.1 L/R/C/LFE-excluded layouts —
+        note the standard *omits* the LFE channel entirely: wire it past
+        the meter or pass weight 0.0).  ``None`` weighs every channel 1.0."""
+        self._channel_weights = (
+            None if channel_weights is None else list(channel_weights)
+        )
 
     def info(self) -> AudioNodeInfo:
         return AudioNodeInfo(1, MAX_PORTS, 0, MAX_PORTS)

@@ -111,9 +111,14 @@ class SamplerNode(AudioNode):
         self._release_secs = 0.0
         self._sample: Optional[SampleResource] = None
         self._loop: Optional[LoopRange] = None
-        # control-plane sequence numbers (the rtrb message queue analog)
+        # control-plane sequence numbers (the rtrb message queue analog).
+        # Seeks are stored in SECONDS (or as a symbolic loop-start rewind)
+        # and converted to frames by the processor with the real stream
+        # rate — the reference converts on the processor side too
+        # (sampler.rs:446-453), so seeks issued before activation land
+        # correctly on non-48k streams.
         self._seek_seq = 0
-        self._seek_pos = 0
+        self._seek: tuple = ("secs", 0.0)
         self._loop_seq = 0
         self._sample_rate = 48000  # set at activate
 
@@ -122,7 +127,7 @@ class SamplerNode(AudioNode):
         self._sample = sample
         if stop_playback:
             self._seek_seq += 1
-            self._seek_pos = self._loop_start_frame()
+            self._seek = ("loop_start",)
             self._playing = False
 
     def play(self):
@@ -135,11 +140,11 @@ class SamplerNode(AudioNode):
         """Stop playback and rewind to the loop start (sampler.rs:379-391)."""
         self._playing = False
         self._seek_seq += 1
-        self._seek_pos = self._loop_start_frame()
+        self._seek = ("loop_start",)
 
     def set_playhead(self, playhead_secs: float):
         self._seek_seq += 1
-        self._seek_pos = _u32(round(playhead_secs * self._sample_rate))
+        self._seek = ("secs", float(playhead_secs))
 
     def set_loop_range(self, loop_range: Optional[LoopRange]):
         self._loop = loop_range
@@ -171,14 +176,10 @@ class SamplerNode(AudioNode):
     def raw_gain(self) -> float:
         return self._raw_gain
 
-    def _loop_start_frame(self) -> int:
-        if self._loop is None or self._loop.full:
-            return 0
-        return int(round(self._loop.start_secs * self._sample_rate))
-
-    def _loop_params(self):
+    def _loop_params(self, sample_rate: float):
         """(loop_on, start_frame, end_frame) honoring full-range mode
-        (sampler.rs:240-277)."""
+        (sampler.rs:240-277).  ``sample_rate`` is the *stream* rate the
+        processor was activated with (not the node-side default)."""
         n = self._sample.len_frames if self._sample is not None else 0
         if self._loop is None:
             return False, 0, n
@@ -186,9 +187,15 @@ class SamplerNode(AudioNode):
             return True, 0, n
         return (
             True,
-            _u32(round(self._loop.start_secs * self._sample_rate)),
-            _u32(round(self._loop.end_secs * self._sample_rate)),
+            _u32(round(self._loop.start_secs * sample_rate)),
+            _u32(round(self._loop.end_secs * sample_rate)),
         )
+
+    def _seek_frame(self, sample_rate: float) -> int:
+        """Resolve the pending seek target to a frame at the stream rate."""
+        if self._seek[0] == "loop_start":
+            return self._loop_params(sample_rate)[1]
+        return _u32(round(self._seek[1] * sample_rate))
 
     # -- node plumbing --------------------------------------------------------
     def info(self) -> AudioNodeInfo:
@@ -252,8 +259,8 @@ class SamplerProcessor(NodeProcessor):
         else:
             data = jnp.asarray(_EMPTY_SAMPLE)
             has_sample = False
-        loop_on, loop_start, loop_end = node._loop_params()
         sr = self.sample_rate
+        loop_on, loop_start, loop_end = node._loop_params(sr)
         # per-sample envelope steps; 0-second times jump in one sample
         attack_step = (
             1.0 / (node._attack_secs * sr) if node._attack_secs > 0 else 2.0
@@ -268,7 +275,7 @@ class SamplerProcessor(NodeProcessor):
             "playing": np.asarray(node._playing and has_sample, bool),
             "rate": np.float32(node._rate),
             "seek_seq": np.uint32(node._seek_seq),
-            "seek_pos": np.uint32(_u32(node._seek_pos)),
+            "seek_pos": np.uint32(node._seek_frame(sr)),
             "loop_on": np.asarray(loop_on, bool),
             "loop_seq": np.uint32(node._loop_seq & 0xFFFFFFFF),
             "loop_start": np.uint32(_u32(loop_start)),

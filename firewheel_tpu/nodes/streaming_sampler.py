@@ -89,8 +89,11 @@ class StreamingSamplerNode(AudioNode):
         self._window_secs = float(window_secs)
         self._playing = False
         self._rate = 1.0
+        # seeks stored in SECONDS; the processor converts at the real
+        # stream rate (seeks issued pre-activation stay correct on non-48k
+        # streams — see SamplerNode)
         self._seek_seq = 0
-        self._seek_pos = 0
+        self._seek_secs = 0.0
         self._sample_rate = 48000
 
     # -- control --------------------------------------------------------------
@@ -108,13 +111,11 @@ class StreamingSamplerNode(AudioNode):
     def stop(self):
         self._playing = False
         self._seek_seq += 1
-        self._seek_pos = 0
+        self._seek_secs = 0.0
 
     def set_playhead(self, secs: float):
         self._seek_seq += 1
-        self._seek_pos = min(
-            max(int(round(secs * self._sample_rate)), 0), 0xFFFFFFFF
-        )
+        self._seek_secs = max(float(secs), 0.0)
 
     def set_playback_rate(self, rate: float):
         self._rate = float(np.clip(rate, 0.0, 4.0))
@@ -187,10 +188,14 @@ class StreamingSamplerProcessor(NodeProcessor):
         reader = node._reader
         has_reader = reader is not None
 
-        # apply seeks to the shadow playhead
+        # apply seeks to the shadow playhead (seconds → frames at the
+        # activated stream rate)
+        seek_frame = min(
+            max(int(round(node._seek_secs * self.sample_rate)), 0), 0xFFFFFFFF
+        )
         if node._seek_seq != self._seen_seek_seq:
             self._seen_seek_seq = node._seek_seq
-            self._est_playhead = float(node._seek_pos)
+            self._est_playhead = float(seek_frame)
             self._window_valid = False
 
         if has_reader:
@@ -233,7 +238,7 @@ class StreamingSamplerProcessor(NodeProcessor):
             "playing": np.asarray(bool(node._playing and has_reader), bool),
             "rate": np.float32(node._rate),
             "seek_seq": np.uint32(node._seek_seq),
-            "seek_pos": np.uint32(node._seek_pos),
+            "seek_pos": np.uint32(seek_frame),
             "window": self._window_dev,
             "window_start": np.uint32(self._window_start),
             "len_frames": np.uint32(

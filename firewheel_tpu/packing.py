@@ -64,11 +64,13 @@ class Packer:
     def pack(self, tree):
         leaves, treedef = jax.tree.flatten(tree)
         # leaf-count alone would let a same-count structural change route
-        # values to the wrong nodes — compare the full treedef
-        assert treedef == self.treedef, (
-            f"pytree structure changed since the packer was built:\n"
-            f"  was: {self.treedef}\n  now: {treedef}"
-        )
+        # values to the wrong nodes — compare the full treedef (a hard
+        # error, not an assert: must survive `python -O`)
+        if treedef != self.treedef:
+            raise ValueError(
+                f"pytree structure changed since the packer was built:\n"
+                f"  was: {self.treedef}\n  now: {treedef}"
+            )
         groups = {}
         for key in self.group_keys:
             idxs = self._group_idx[key]

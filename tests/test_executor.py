@@ -19,6 +19,7 @@ from firewheel_tpu.nodes import (
     SumNode,
     VolumeNode,
 )
+from firewheel_tpu.nodes.beep_test import phase_inc_fixed
 import reference_dsp as ref
 
 SR = 48000
@@ -60,8 +61,15 @@ def test_beep_graph_golden():
         out, om, state = prog.render_block(
             params, state, gi, im, BlockInfo.make(stream_sample=blk * F)
         )
+        from firewheel_tpu.nodes.beep_test import phase_inc_fixed
+
         rbeep, phase_q, _ = ref.ref_beep(
-            phase_q, True, beep_proc.gain, beep_proc.phase_inc, 2, F
+            phase_q,
+            True,
+            beep_proc._node.gain,
+            phase_inc_fixed(beep_proc._node.freq_hz, SR),
+            2,
+            F,
         )
         np.testing.assert_allclose(np.asarray(out), rbeep, atol=1e-6, rtol=0)
         assert not np.asarray(om).any()
@@ -236,7 +244,7 @@ def test_mixer_graph_sum():
     procs = dict(pkg.new_node_processors)
     acc = np.zeros((2, F), np.float32)
     for b in beeps:
-        tone, _, _ = ref.ref_beep(0, True, procs[b].gain, procs[b].phase_inc, 2, F)
+        tone, _, _ = ref.ref_beep(0, True, procs[b]._node.gain, phase_inc_fixed(procs[b]._node.freq_hz, SR), 2, F)
         acc = (acc + tone).astype(np.float32)
     expected = np.clip(acc, -1.0, 1.0)
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6, rtol=0)

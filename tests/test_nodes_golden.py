@@ -16,6 +16,7 @@ from firewheel_tpu.nodes import (
     SumNode,
     VolumeNode,
 )
+from firewheel_tpu.nodes.beep_test import phase_inc_fixed
 import reference_dsp as ref
 
 SR = 48000
@@ -45,7 +46,7 @@ class TestBeep:
                 proc.collect_params(), state, empty, emask, INFO
             )
             rout, phase_q, rom = ref.ref_beep(
-                phase_q, True, proc.gain, proc.phase_inc, 2, F
+                phase_q, True, proc._node.gain, phase_inc_fixed(proc._node.freq_hz, SR), 2, F
             )
             np.testing.assert_allclose(np.asarray(out), rout, atol=1e-6, rtol=0)
             assert int(state["phase"]) == phase_q

@@ -126,7 +126,8 @@ def test_non_pow2_chunk_blocks_normalized():
 def test_packer_treedef_validation():
     # review finding #5: leaf-count-only validation silently misroutes
     pk = Packer({"a": np.float32(1.0), "b": np.float32(2.0)})
-    with pytest.raises(AssertionError):
+    # a hard ValueError (not an assert) so it survives `python -O`
+    with pytest.raises(ValueError):
         pk.pack({"a": np.float32(1.0), "c": np.float32(2.0)})
 
 
