@@ -6,6 +6,7 @@ poll ``update()`` every 15 ms for 4 seconds.  Instead of an OS speaker the
 stream renders into a WAV file.
 
 Run:  python examples/beep_test.py [out.wav]
+      python examples/beep_test.py --play   # OS speakers (needs sounddevice)
 """
 
 import os
@@ -26,6 +27,7 @@ UPDATE_INTERVAL_SECS = 0.015
 def main(out_path: str = "beep_test.wav"):
     print("Firewheel beep test...")
 
+    play = out_path == "--play"
     cx = FirewheelCtx()
     graph = cx.graph_mut()
     beep_node = graph.add_node(
@@ -34,12 +36,18 @@ def main(out_path: str = "beep_test.wav"):
     graph.connect(beep_node, 0, graph.graph_out_node(), 0)
     graph.connect(beep_node, 1, graph.graph_out_node(), 1)
 
-    cfg = StreamConfig(sample_rate=48000, num_out_channels=2)
-    cx.activate(
-        cfg,
-        sink=WavSink(out_path, cfg.sample_rate, cfg.num_out_channels),
-        duration_secs=BEEP_DURATION_SECS,
-    )
+    if play:
+        # real OS speakers via the optional sounddevice backend — the cpal
+        # playback path (firewheel-cpal/src/lib.rs:207-229); realtime
+        # pacing keeps the device ring fed
+        from firewheel_tpu.backend.os_audio import SoundDeviceSink
+
+        cfg = StreamConfig(sample_rate=48000, num_out_channels=2, realtime=True)
+        sink = SoundDeviceSink(cfg.sample_rate, cfg.num_out_channels)
+    else:
+        cfg = StreamConfig(sample_rate=48000, num_out_channels=2)
+        sink = WavSink(out_path, cfg.sample_rate, cfg.num_out_channels)
+    cx.activate(cfg, sink=sink, duration_secs=BEEP_DURATION_SECS)
 
     start = time.monotonic()
     while time.monotonic() - start < BEEP_DURATION_SECS:
@@ -54,7 +62,11 @@ def main(out_path: str = "beep_test.wav"):
             break
 
     cx.deactivate()
-    print(f"finished → {out_path}")
+    if play:
+        sink.close()
+        print(f"finished (played {sink.underflow_count} underflows)")
+    else:
+        print(f"finished → {out_path}")
 
 
 if __name__ == "__main__":

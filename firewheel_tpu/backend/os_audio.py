@@ -1,0 +1,170 @@
+"""OS audio output sink: play rendered audio on a real device.
+
+Closes the reference's last behavioral gap — ``firewheel-cpal`` plays to an
+OS device via cpal (``crates/firewheel-cpal/src/lib.rs:207-229``); here a
+:class:`SoundDeviceSink` drains the engine's paced render stream into a
+``sounddevice``/PortAudio output callback.  The engine side is unchanged:
+this is just another sink for :meth:`FirewheelCtx.activate`
+(``backend/context.py``), fed by the same ring-buffer pacing that feeds
+:class:`~firewheel_tpu.backend.stream.ArraySink` / ``WavSink``.
+
+Design (mirrors the cpal DataCallback split, lib.rs:378-449):
+
+* ``write()`` is called on the engine thread with interleaved f32 frames;
+  frames land in a lock-free single-producer/single-consumer ring.
+* The PortAudio callback (OS audio thread) copies from the ring; an empty
+  ring plays silence and increments ``underflow_count`` — the engine's
+  pacing (lookahead buffers) keeps the ring ahead, exactly like the cpal
+  stream clock + underflow heuristic (lib.rs:386-419).
+
+``sounddevice`` is an optional dependency: importing this module without it
+works; constructing the sink raises a clear error, and
+:func:`os_audio_available` lets callers (and CI) probe cheaply.  No
+``pip install`` is attempted.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+__all__ = ["os_audio_available", "SoundDeviceSink"]
+
+
+def _load_sounddevice():
+    try:
+        import sounddevice  # type: ignore
+
+        return sounddevice
+    except Exception:
+        return None
+
+
+def os_audio_available() -> bool:
+    """True when the optional ``sounddevice`` backend and an output device
+    are both present (CI-safe probe)."""
+    sd = _load_sounddevice()
+    if sd is None:
+        return False
+    try:
+        return len(sd.query_devices()) > 0
+    except Exception:
+        return False
+
+
+class _SPSCRing:
+    """Interleaved f32 sample ring: engine thread writes, audio callback
+    reads.  Lock-free via monotonic indices (Python int ops are atomic
+    enough under the GIL; a mutex would be RT-hostile on the callback)."""
+
+    def __init__(self, capacity_samples: int):
+        self._buf = np.zeros(capacity_samples, np.float32)
+        self._cap = capacity_samples
+        self._read = 0
+        self._write = 0
+
+    def available_read(self) -> int:
+        return self._write - self._read
+
+    def available_write(self) -> int:
+        return self._cap - self.available_read()
+
+    def push(self, data: np.ndarray) -> int:
+        n = min(len(data), self.available_write())
+        w = self._write % self._cap
+        first = min(n, self._cap - w)
+        self._buf[w : w + first] = data[:first]
+        self._buf[: n - first] = data[first:n]
+        self._write += n
+        return n
+
+    def pop_into(self, out: np.ndarray) -> int:
+        n = min(len(out), self.available_read())
+        r = self._read % self._cap
+        first = min(n, self._cap - r)
+        out[:first] = self._buf[r : r + first]
+        out[first:n] = self._buf[: n - first]
+        self._read += n
+        return n
+
+
+class SoundDeviceSink:
+    """Engine sink that plays to the default OS output device.
+
+    Use with a *realtime* stream config so the engine paces renders to the
+    device clock::
+
+        sink = SoundDeviceSink(sample_rate=48000, num_channels=2)
+        cx.activate(StreamConfig(48000, 2, realtime=True), sink=sink)
+        ...
+        cx.deactivate(); sink.close()
+
+    ``buffer_secs`` sizes the jitter ring between the engine thread and the
+    audio callback (default 0.5 s).
+    """
+
+    def __init__(
+        self,
+        sample_rate: int = 48000,
+        num_channels: int = 2,
+        buffer_secs: float = 0.5,
+        device=None,
+        _sd=None,
+    ):
+        sd = _sd if _sd is not None else _load_sounddevice()
+        if sd is None:
+            raise RuntimeError(
+                "SoundDeviceSink needs the optional 'sounddevice' package "
+                "(PortAudio bindings); it is not installed. Render to "
+                "ArraySink/WavSink instead, or install sounddevice where "
+                "OS audio output is wanted."
+            )
+        self.sample_rate = int(sample_rate)
+        self.num_channels = int(num_channels)
+        self.underflow_count = 0
+        self._ring = _SPSCRing(
+            max(1, int(buffer_secs * sample_rate)) * num_channels
+        )
+        self._closed = False
+        self._space = threading.Condition()
+
+        def callback(outdata, frames, time_info, status):
+            flat = outdata.reshape(-1)
+            got = self._ring.pop_into(flat)
+            if got < len(flat):
+                flat[got:] = 0.0
+                self.underflow_count += 1
+            with self._space:
+                self._space.notify()
+
+        self._stream = sd.OutputStream(
+            samplerate=self.sample_rate,
+            channels=self.num_channels,
+            dtype="float32",
+            device=device,
+            callback=callback,
+        )
+        self._stream.start()
+
+    # -- engine-side sink protocol ---------------------------------------------
+    def write(self, interleaved: np.ndarray, num_channels: int):
+        data = np.asarray(interleaved, np.float32).reshape(-1)
+        while len(data) and not self._closed:
+            pushed = self._ring.push(data)
+            data = data[pushed:]
+            if len(data):
+                # ring full: wait for the callback to drain (backpressure —
+                # the engine-side pacing normally prevents ever landing here)
+                with self._space:
+                    self._space.wait(timeout=0.1)
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            self._stream.stop()
+            self._stream.close()
+        except Exception:
+            pass

@@ -31,6 +31,9 @@ from typing import Any, NamedTuple
 import jax.numpy as jnp
 
 __all__ = [
+    "broadcast_flag",
+    "flag_f32",
+    "gate",
     "stream_time_from_sample",
     "StreamStatus",
     "AudioNodeInfo",
@@ -67,6 +70,46 @@ class AudioNodeInfo:
     def __post_init__(self):
         assert self.num_max_supported_inputs <= MAX_PORTS
         assert self.num_max_supported_outputs <= MAX_PORTS
+
+
+def broadcast_flag(flag, shape):
+    """Mosaic-safe broadcast of a boolean silence flag to ``shape``.
+
+    A direct ``jnp.broadcast_to(bool_scalar, shape)`` inserts an i1 minor
+    dim when batched (node pooling / the Pallas megakernel tile vmap),
+    which Mosaic only supports for 32-bit types — so the flag rides
+    through an f32 select + compare instead.  Identical semantics and XLA
+    fuses it to the same thing on the non-Pallas path.
+    """
+    import jax.numpy as jnp
+
+    f = jnp.where(flag, jnp.float32(1.0), jnp.float32(0.0))
+    return jnp.broadcast_to(f, shape) != jnp.float32(0.0)
+
+
+def flag_f32(flag):
+    """Boolean silence flag -> f32 0/1 via select (the one i1 -> numeric
+    conversion Mosaic supports at every vmap depth)."""
+    import jax.numpy as jnp
+
+    return jnp.where(flag, jnp.float32(1.0), jnp.float32(0.0))
+
+
+def gate(x, silent_flag):
+    """Zero ``x`` where ``silent_flag`` is set, broadcasting the flag over
+    ``x``'s trailing dims.
+
+    Mosaic-safe replacement for ``jnp.where(flag[..., None], 0, x)``: wide
+    selects whose i1 predicate needs a minor-dim insert (node pooling /
+    megakernel tile vmap) fail layout inference, while an f32 multiply
+    gate lowers everywhere and XLA fuses it identically.  Exact for finite
+    ``x`` (flag is 0/1).
+    """
+    import jax.numpy as jnp
+
+    m = jnp.float32(1.0) - flag_f32(silent_flag)
+    m = jnp.reshape(m, jnp.shape(m) + (1,) * (x.ndim - jnp.ndim(m)))
+    return x * m
 
 
 def stream_time_from_sample(sample, sample_rate: float):

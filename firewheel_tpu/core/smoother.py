@@ -145,7 +145,9 @@ def smoother_set_and_process(
     # Closed-form ramp of the float32 recurrence (smoother.rs:169-177).
     inp = target * jnp.float32(a)
     x_eff = inp / jnp.float32(a)
-    k = jnp.arange(1, frames + 1, dtype=jnp.float32)
+    # int iota + cast: Mosaic's tpu.iota is integer-only (f32 iota fails
+    # verification inside the Pallas megakernel)
+    k = jnp.arange(1, frames + 1, dtype=jnp.int32).astype(jnp.float32)
     b_pow = jnp.exp(k * jnp.float32(log_b))
     ramp = x_eff + (state.last - x_eff) * b_pow
 
@@ -156,10 +158,20 @@ def smoother_set_and_process(
     # settle the reference refills the block with the flat target via reset().
     settled = is_active & (jnp.abs(target - ramp[0]) < jnp.float32(settle_epsilon))
 
-    values = jnp.where(
-        settled, flat_target, jnp.where(is_active, ramp, flat_last)
+    # 0/1 blends instead of wide selects: scalar-pred selects over
+    # (frames,) values need an i1 minor-dim insert when batched (node
+    # pooling / Pallas megakernel), which Mosaic rejects; the blend is
+    # exact for finite values since the flags are exactly 0.0 or 1.0
+    one = jnp.float32(1.0)
+    m_set = jnp.where(settled, one, jnp.float32(0.0))
+    m_act = jnp.where(is_active, one, jnp.float32(0.0))
+    inner = m_act * ramp + (one - m_act) * flat_last
+    values = m_set * flat_target + (one - m_set) * inner
+    # positive static index: ramp[-1] lowers to a CLIP-mode gather, which
+    # Mosaic rejects inside the Pallas megakernel; ramp[frames-1] is a slice
+    new_last = jnp.where(
+        settled, target, jnp.where(is_active, ramp[frames - 1], state.last)
     )
-    new_last = jnp.where(settled, target, jnp.where(is_active, ramp[-1], state.last))
     new_status = jnp.where(
         settled,
         SMOOTHER_DEACTIVATING,

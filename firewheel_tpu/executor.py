@@ -34,6 +34,7 @@ the documented intent: graph-input silence flags propagate.
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Any, Callable
 
 import jax
@@ -57,18 +58,54 @@ def node_key(node_id: NodeID) -> str:
 _RETRY_ERRORS = ("UNIMPLEMENTED", "INTERNAL", "UNAVAILABLE")
 
 
+def _perturb_inputs(tree, mode: int):
+    """Semantically-inert float-input perturbation that changes the traced
+    instruction stream (and thus the serialized module's instruction order).
+
+    Round-1 evidence (docs/KNOWN_ISSUES.md): a module that fails server-side
+    with a sticky spurious ``UNIMPLEMENTED`` compiles fine when the SAME ops
+    are emitted in a different order — so the escalation path after a plain
+    retry and a rename is to re-trace with extra no-op float ops prepended.
+    ``mode`` 1 adds 0.0 to every float leaf; mode 2 multiplies by 1.0 —
+    both exact identities in IEEE for finite and non-finite values alike
+    (x+0.0 preserves NaN/Inf; only -0.0 + 0.0 -> +0.0 differs, and silence
+    is sign-agnostic).
+    """
+
+    def nudge(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x + jnp.zeros((), x.dtype) if mode == 1 else x * jnp.ones((), x.dtype)
+        return x
+
+    return jax.tree.map(nudge, tree)
+
+
 class _ResilientJit:
     """jit wrapper that survives transient backend compile faults.
 
     The axon TPU tunnel intermittently fails session-initial compiles with
     spurious ``UNIMPLEMENTED`` errors, and the failure can be sticky for the
-    exact serialized module (name + source-location metadata).  Observed
-    empirically: retrying the same program later in the session, or under a
-    perturbed module name, compiles fine and produces correct results.  This
-    wrapper retries a failed call once as-is, then once more under a
-    uniquely renamed trampoline (new metadata -> new compile-cache key).
-    Healthy backends never hit the retry path.
+    exact serialized module (name + source-location metadata + instruction
+    order).  Observed empirically (docs/KNOWN_ISSUES.md): the same program
+    re-emitted with an ordering-only difference — zero op-histogram change —
+    compiles and runs correctly seconds later on the same chip.  Escalation
+    ladder on a retryable error:
+
+    1. retry under a renamed trampoline (fresh compile request + new
+       metadata → new server cache key; covers transient faults);
+    2. retry with the jaxpr re-emitted in a permuted equation order
+       (``jaxpr_shuffle.shuffled`` seed 1 — the transformation the round-1
+       evidence says unsticks the server);
+    3. same, seed 2 (a different permutation);
+    4. retry with add-zero input perturbation (changes the op histogram
+       itself, in case the module's exact op multiset is what's poisoned).
+
+    Healthy backends never hit the retry path; the shuffle preserves the
+    SSA dataflow exactly and the perturbation is an exact float identity —
+    both golden-tested in tests/test_resilient_jit.py.
     """
+
+    _MAX_ATTEMPTS = 4
 
     def __init__(self, fn, name: str, donate_argnums=()):
         self._fn = fn
@@ -78,31 +115,54 @@ class _ResilientJit:
         self._ok = False
         self._attempt = 0
 
+    def _rebuild(self, attempt: int):
+        from .jaxpr_shuffle import shuffled
+
+        fn = self._fn
+        if attempt in (2, 3):
+            fn = shuffled(fn, attempt - 1)
+        perturb_mode = 1 if attempt == 4 else 0
+
+        def trampoline(*a, __fn=fn, __mode=perturb_mode):
+            if __mode:
+                a = _perturb_inputs(a, __mode)
+            return __fn(*a)
+
+        trampoline.__name__ = f"{self._name}_retry{attempt}"
+        trampoline.__qualname__ = trampoline.__name__
+        return jax.jit(trampoline, donate_argnums=self._donate)
+
     def __call__(self, *args):
         if self._ok:
             return self._jit(*args)
         while True:
             try:
                 out = self._jit(*args)
+                # Backends with deferred/async error reporting (the axon
+                # tunnel) surface compile/execute faults only when a result
+                # is awaited — without this sync the ladder would "succeed"
+                # and the fault would explode later in caller code.  Only
+                # the first (unconfirmed) call pays the sync; the hot path
+                # stays fully async.  Retries assume no donated args
+                # (donation is opt-in and off on faulting backends).
+                jax.block_until_ready(out)
                 self._ok = True
                 return out
             except Exception as e:  # pragma: no cover - backend-dependent
                 msg = str(e)
-                if self._attempt >= 2 or not any(
+                if self._attempt >= self._MAX_ATTEMPTS or not any(
                     k in msg for k in _RETRY_ERRORS
                 ):
                     raise
                 self._attempt += 1
-                fn = self._fn
-
-                def trampoline(*a, __fn=fn):
-                    return __fn(*a)
-
-                trampoline.__name__ = f"{self._name}_retry{self._attempt}"
-                trampoline.__qualname__ = trampoline.__name__
-                self._jit = jax.jit(
-                    trampoline, donate_argnums=self._donate
+                print(
+                    f"[firewheel_tpu] {self._name}: retryable backend fault "
+                    f"(attempt {self._attempt}/{self._MAX_ATTEMPTS}): "
+                    f"{msg.splitlines()[0][:120]}",
+                    file=sys.stderr,
+                    flush=True,
                 )
+                self._jit = self._rebuild(self._attempt)
 
 
 
@@ -147,6 +207,9 @@ class ScheduleProgram:
         self.num_graph_inputs = len(graph_in_node.output_buffers)
         self.num_graph_outputs = len(graph_out_node.input_buffers)
         self._plan = self._build_plan(group_nodes)
+        self._plan_ungrouped = (
+            self._plan if not group_nodes else None
+        )  # built lazily for the megakernel (see _render)
 
         self._jit_block = _ResilientJit(
             functools.partial(self._render, self.max_block_frames),
@@ -248,21 +311,50 @@ class ScheduleProgram:
                 info: BlockInfo, pad_empty: bool = False):
         """Trace one block through the schedule (schedule.rs:289-343).
 
-        ``pad_empty``: pad zero-row input stacks (source nodes) to one dead
-        zero row — Mosaic rejects zero-size arrays that feed ops, so the
-        Pallas megakernel traces with this on.  Node kernels key behavior
-        off their declared port counts, never off ``inputs.shape[0]``, so
-        the extra silent row is inert.
+        ``pad_empty``: Mosaic-safe tracing mode for the Pallas megakernel.
+        Two Mosaic limits shape it (probed on v5e, jax 0.9):
+
+        * zero-size arrays feeding ops fail MLIR typing — zero-row input
+          stacks (source nodes) pad to one dead zero row.  Node kernels key
+          behavior off their declared port counts, never off
+          ``inputs.shape[0]``, so the extra silent row is inert.
+        * i1 vectors built by stacking *replicated* boolean scalars need an
+          ``i1->i32`` vreg relayout Mosaic rejects ("Invalid vector
+          register cast") — so silence flags ride between nodes as f32 0/1
+          scalars; kernel-input masks are rebuilt with a ``!= 0`` compare
+          (a natural-layout i1, which Mosaic supports), and the graph-out
+          mask returns as an f32 0/1 vector instead of bool.
+        * node pooling's member-vmap SIGABRTs the Mosaic compiler — the
+          megakernel traces the ungrouped plan (pooling only shrinks
+          compile time; outputs are equivalent).
         """
         sched = self.schedule.schedule
         bufs: dict[int, jnp.ndarray] = {}
         flags: dict[int, jnp.ndarray] = {}
         new_state: dict[str, Any] = {}
 
+        if pad_empty:
+            # Mosaic-safe flag representation: f32 0/1 scalars (see above)
+            def flag_store(b):
+                return jnp.where(b, jnp.float32(1.0), jnp.float32(0.0))
+
+            def flag_is_set(f):
+                return f != jnp.float32(0.0)
+
+            _true_flag = jnp.float32(1.0)
+        else:
+            def flag_store(b):
+                return b
+
+            def flag_is_set(f):
+                return f
+
+            _true_flag = jnp.asarray(True)
+
         # Graph inputs (prepare_graph_inputs, schedule.rs:213-253).
         for i, ob in enumerate(sched[0].output_buffers):
             bufs[ob.buffer_index] = graph_in[i]
-            flags[ob.buffer_index] = in_mask[i]
+            flags[ob.buffer_index] = flag_store(in_mask[i])
         key0 = node_key(sched[0].id)
         if key0 in self._procs:
             new_state[key0] = state[key0]
@@ -275,7 +367,7 @@ class ScheduleProgram:
                 if ib.should_clear:
                     # Unconnected input: cleared + silent (schedule.rs:310-313).
                     in_rows.append(zeros_row)
-                    in_flags.append(jnp.asarray(True))
+                    in_flags.append(_true_flag)
                 else:
                     in_rows.append(bufs[ib.buffer_index])
                     in_flags.append(flags[ib.buffer_index])
@@ -286,16 +378,32 @@ class ScheduleProgram:
                 if in_rows
                 else jnp.zeros((0, frames), jnp.float32)
             )
-            mask = jnp.stack(in_flags) if in_flags else jnp.zeros((0,), bool)
+            if pad_empty:
+                # f32 stack + compare: a natural-layout i1 Mosaic accepts
+                mask = (
+                    flag_is_set(jnp.stack(in_flags))
+                    if in_flags
+                    else jnp.zeros((0,), bool)
+                )
+            else:
+                mask = (
+                    jnp.stack(in_flags) if in_flags else jnp.zeros((0,), bool)
+                )
             return inputs, mask
 
         def scatter_outputs(sn, outputs, out_mask):
             for j, ob in enumerate(sn.output_buffers):
                 bufs[ob.buffer_index] = outputs[j]
-                flags[ob.buffer_index] = out_mask[j]
+                flags[ob.buffer_index] = flag_store(out_mask[j])
 
         # Interior nodes, in schedule order (identical pools vmapped).
-        for kind, members in self._plan:
+        if pad_empty:
+            if self._plan_ungrouped is None:
+                self._plan_ungrouped = self._build_plan(False)
+            plan = self._plan_ungrouped
+        else:
+            plan = self._plan
+        for kind, members in plan:
             if kind == "single":
                 sn = members[0]
                 key = node_key(sn.id)
@@ -334,10 +442,12 @@ class ScheduleProgram:
         for ib in sched[-1].input_buffers:
             if ib.should_clear:
                 out_rows.append(zeros_row)
-                out_flags.append(jnp.asarray(True))
+                out_flags.append(_true_flag)
             else:
                 row, f = bufs[ib.buffer_index], flags[ib.buffer_index]
-                out_rows.append(jnp.where(f, jnp.zeros_like(row), row))
+                out_rows.append(
+                    jnp.where(flag_is_set(f), jnp.zeros_like(row), row)
+                )
                 out_flags.append(f)
         key_out = node_key(sched[-1].id)
         if key_out in self._procs:
@@ -348,9 +458,18 @@ class ScheduleProgram:
             if out_rows
             else jnp.zeros((0, frames), jnp.float32)
         )
-        out_mask = (
-            jnp.stack(out_flags) if out_flags else jnp.zeros((0,), bool)
-        )
+        if pad_empty:
+            # mosaic mode: the mask returns as f32 0/1 (the caller — the
+            # megakernel — compares != 0 outside the kernel)
+            out_mask = (
+                jnp.stack(out_flags)
+                if out_flags
+                else jnp.zeros((0,), jnp.float32)
+            )
+        else:
+            out_mask = (
+                jnp.stack(out_flags) if out_flags else jnp.zeros((0,), bool)
+            )
         return out, out_mask, new_state
 
     # -- packed render path ----------------------------------------------------

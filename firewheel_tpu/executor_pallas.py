@@ -25,15 +25,28 @@ them).  ``supports_megakernel(program)`` reports eligibility.
 Booleans (masks, latches) are carried as int8 across the kernel boundary
 (Mosaic's VMEM tiling does not take bool arrays) and cast back inside.
 
-Status: **validated bit-exact against the XLA executor in interpret mode**
-(tests/test_megakernel.py); Mosaic compilation is blocked by toolchain
-limits of the current jax/Mosaic build, probed empirically on v5e:
-zero-size arrays inside a kernel fail MLIR typing ("Invalid type"), and
-``vmap`` inside a kernel body hangs the remote Mosaic compiler.  Until
-those land, the XLA executor remains the production lowering (measured
-33k–90k× realtime — already dispatch-bound, so the megakernel's HBM savings
-are not the current bottleneck); this module is the ready lowering for
-locally-attached toolchains that support it.
+Status (round 2): **compiles and runs on real v5e hardware** and is
+bit-exact against the XLA executor both in interpret mode and on-chip
+(tests/test_megakernel.py; measured numbers in docs/PERF.md).  Reaching
+Mosaic compatibility took a family of kernel-code rules, all probed
+empirically on v5e / jax 0.9 and folded into the engine:
+
+* no zero-size arrays feeding ops (``_render(pad_empty=True)`` pads
+  source-node input stacks to one dead row);
+* silence flags ride between nodes as f32 0/1 scalars — i1 vectors may
+  only arise as natural-layout compares or select predicates (never from
+  stacking/reshaping replicated bools, and never converted i1→numeric);
+* wide value selects with scalar predicates become exact 0/1 multiply
+  blends (``core.node.gate`` / ``flag_f32``; smoother values blend);
+* iota must be integer (f32 ``arange`` becomes int iota + cast), negative
+  indexing must be positive static (else CLIP-mode gather), and
+  ``lax.associative_scan`` is replaced by the Hillis–Steele doubling scan
+  (``ops.iir._hs_affine_scan`` — associative_scan's recursion emits
+  zero-size strided slices);
+* masks store as one 128-lane f32 row per block (tiny-lane dynamic-index
+  stores need 128-multiple offsets);
+* node pooling's member-vmap SIGABRTs the Mosaic compiler — the
+  megakernel traces the ungrouped plan.
 """
 
 from __future__ import annotations
@@ -199,7 +212,16 @@ class MegaRenderer:
                     one_instance, in_axes=(0, 0, None, None)
                 )(params_t, s_leaves_cur, sample, t_secs)
                 out_ref[:, k] = outs
-                mask_ref[:, k] = oms.astype(jnp.int8)
+                # In mosaic mode the render returns the mask as f32 0/1
+                # (pad_empty contract — i1 relayouts are unsupported); it
+                # rides as one full 128-lane f32 row per block (tiny-lane
+                # stores need 128-multiple dynamic offsets).  n_go <= 64 <
+                # 128 always (MAX_PORTS).
+                row = jnp.concatenate(
+                    [oms, jnp.zeros((oms.shape[0], 128 - n_go), jnp.float32)],
+                    axis=1,
+                )
+                mask_ref[:, k] = row
                 return s_next
 
             s_final = jax.lax.fori_loop(
@@ -229,7 +251,7 @@ class MegaRenderer:
                 memory_space=pltpu.ANY if self.interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile, k_blocks, n_go),
+                (tile, k_blocks, 128),
                 lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.ANY if self.interpret else pltpu.VMEM,
             ),
@@ -245,7 +267,7 @@ class MegaRenderer:
             jax.ShapeDtypeStruct(
                 (self.batch, k_blocks, n_go, f), jnp.float32
             ),
-            jax.ShapeDtypeStruct((self.batch, k_blocks, n_go), jnp.int8),
+            jax.ShapeDtypeStruct((self.batch, k_blocks, 128), jnp.float32),
         ] + [lifted_shape(x) for x in s_templates]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -270,7 +292,8 @@ class MegaRenderer:
                 jnp.asarray([start_sample], jnp.float32) / jnp.float32(sr)
             )
             results = call(start, start_time, *pl_, *sl_)
-            outs, masks = results[0], results[1]
+            outs = results[0]
+            masks = results[1][:, :, :n_go] != 0.0
             s_out = [
                 _from_kernel_dtype(x[:, 0] if e else x, t)
                 for x, t, e in zip(results[2:], s_templates, s_expand)

@@ -25,7 +25,14 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.node import AudioNode, AudioNodeInfo, NodeProcessor, MAX_PORTS
+from ..core.node import (
+    gate,
+    AudioNode,
+    AudioNodeInfo,
+    NodeProcessor,
+    MAX_PORTS,
+    broadcast_flag,
+)
 from ..core.units import db_to_gain_clamped_neg_100_db
 
 __all__ = ["BeepTestNode", "BeepTestProcessor"]
@@ -75,9 +82,9 @@ class BeepTestProcessor(NodeProcessor):
         ) * jnp.float32(2.0**-32)
         tone = jnp.sin(phase * jnp.float32(_TAU)) * params["gain"]
 
-        out_row = jnp.where(enabled, tone, jnp.zeros_like(tone))
+        out_row = gate(tone, ~enabled)
         outputs = jnp.broadcast_to(out_row, (self.num_outputs, frames))
-        out_mask = jnp.broadcast_to(~enabled, (self.num_outputs,))
+        out_mask = broadcast_flag(~enabled, (self.num_outputs,))
 
         new_phase = state["phase"] + jnp.uint32(frames) * inc
         # The reference freezes its phasor while disabled (the loop is

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.node import AudioNode, AudioNodeInfo, NodeProcessor
+from ..core.node import AudioNode, AudioNodeInfo, NodeProcessor, broadcast_flag, gate
 
 __all__ = [
     "MonoToStereoNode",
@@ -25,9 +25,9 @@ class MonoToStereoProcessor(NodeProcessor):
 
     def kernel(self, params, state, inputs, in_mask, info):
         silent = in_mask[0]
-        row = jnp.where(silent, jnp.zeros_like(inputs[0]), inputs[0])
+        row = gate(inputs[0], silent)
         out = jnp.broadcast_to(row, (2, inputs.shape[-1]))
-        out_mask = jnp.broadcast_to(silent, (2,))
+        out_mask = broadcast_flag(silent, (2,))
         return out, state, out_mask
 
 
@@ -55,7 +55,7 @@ class StereoToMonoProcessor(NodeProcessor):
     def kernel(self, params, state, inputs, in_mask, info):
         all_silent = jnp.all(in_mask[:2])
         mono = (inputs[0] + inputs[1]) * jnp.float32(0.5)
-        out = jnp.where(all_silent, jnp.zeros_like(mono), mono)[None, :]
+        out = gate(mono, all_silent)[None, :]
         out_mask = all_silent[None]
         return out, state, out_mask
 

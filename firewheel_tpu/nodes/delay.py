@@ -20,6 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -117,7 +118,7 @@ class EchoProcessor(NodeProcessor):
 
         line_quiet = jnp.all(jnp.abs(line) < 1e-10, axis=-1)
         out_mask = in_mask & line_quiet
-        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        y = gate(y, out_mask)
         return y, {"line": new_line}, out_mask
 
 

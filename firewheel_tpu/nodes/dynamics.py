@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -78,7 +79,7 @@ class CompressorProcessor(NodeProcessor):
         gain = db_to_gain(gain_db) * params["makeup"]
         y = inputs * gain[None, :]
         out_mask = in_mask  # gain never unsilences a silent input
-        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        y = gate(y, out_mask)
         return y, {"env": env_last}, out_mask
 
 
@@ -192,7 +193,7 @@ class LimiterProcessor(NodeProcessor):
         y = delayed[:, :frames] * gain[None, :]
 
         out_mask = in_mask & jnp.all(state["delay"] == 0.0, axis=-1)
-        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        y = gate(y, out_mask)
         return (
             y,
             {
@@ -284,7 +285,7 @@ class DuckerProcessor(NodeProcessor):
         gain = db_to_gain(params["duck_db"] * over)
         y = main * gain[None, :]
         out_mask = in_mask[:m]
-        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        y = gate(y, out_mask)
         return y, {"env": env_last}, out_mask
 
 

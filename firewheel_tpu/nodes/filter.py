@@ -15,6 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -116,7 +117,7 @@ class FilterProcessor(NodeProcessor):
             jnp.abs(state["z2"]) < 1e-10
         )
         out_mask = in_mask & state_quiet
-        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        y = gate(y, out_mask)
         return y, {"z1": z1, "z2": z2}, out_mask
 
 

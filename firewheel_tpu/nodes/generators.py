@@ -21,6 +21,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
+    broadcast_flag,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -76,8 +78,8 @@ class NoiseProcessor(NodeProcessor):
 
         if self._node._color != "pink":
             noise = white * params["gain"]
-            y = jnp.where(params["enabled"], noise, jnp.zeros_like(noise))
-            out_mask = jnp.broadcast_to(~params["enabled"], (ch,))
+            y = gate(noise, ~params["enabled"])
+            out_mask = broadcast_flag(~params["enabled"], (ch,))
             return y, {"pink": state["pink"]}, out_mask
 
         def pink_step(z, w):
@@ -94,8 +96,8 @@ class NoiseProcessor(NodeProcessor):
         pink = jnp.moveaxis(pink, 0, -1)
 
         noise = pink * params["gain"]
-        y = jnp.where(params["enabled"], noise, jnp.zeros_like(noise))
-        out_mask = jnp.broadcast_to(~params["enabled"], (ch,))
+        y = gate(noise, ~params["enabled"])
+        out_mask = broadcast_flag(~params["enabled"], (ch,))
         return y, {"pink": pink_state}, out_mask
 
 

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
+    broadcast_flag,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -58,8 +60,8 @@ class StereoPanProcessor(NodeProcessor):
 
         all_silent = jnp.all(in_mask)
         out = jnp.stack([mid * gl, mid * gr])
-        out = jnp.where(all_silent, jnp.zeros_like(out), out)
-        out_mask = jnp.broadcast_to(all_silent, (2,))
+        out = gate(out, all_silent)
+        out_mask = broadcast_flag(all_silent, (2,))
 
         st_reset = smoother_init(params["pan"])
         new_pan = jax.tree.map(

@@ -20,6 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -89,11 +90,13 @@ class ConvolutionReverbProcessor(NodeProcessor):
             jnp.abs(state["hist"]) < 1e-12, axis=-1
         ) & jnp.all(jnp.abs(state["tailbuf"]) < 1e-12, axis=-1)
         if state["fdl"].shape[0] > 0:
+            # fdl is f32[P-1, ch, bins, 2] real/imag pairs (fft_conv
+            # boundary dtype — complex64 never crosses the jit boundary)
             line_quiet &= jnp.all(
-                jnp.abs(state["fdl"]) < 1e-12, axis=(0, 2)
+                jnp.abs(state["fdl"]) < 1e-12, axis=(0, 2, 3)
             )
         out_mask = in_mask & line_quiet
-        y = jnp.where(out_mask[..., None], jnp.zeros_like(y), y)
+        y = gate(y, out_mask)
         return y, new_state, out_mask
 
 

@@ -47,6 +47,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeProcessor,
@@ -93,13 +94,30 @@ _EMPTY_SAMPLE = np.zeros((1, 1), np.float32)
 class SamplerNode(AudioNode):
     debug_name = "sampler"
 
-    def __init__(self, percent_volume: float = 100.0, poolable: bool = False):
+    def __init__(
+        self,
+        percent_volume: float = 100.0,
+        poolable: bool = False,
+        quality: str = "linear",
+    ):
         """``poolable``: opt into trace-time node pooling — voice pools of
         samplers then vmap into ONE traced kernel (see
         NodeProcessor.group_key).  The caller promises every pooled
         sampler keeps a sample of the SAME [channels, frames] shape for
         the program's lifetime (pad clips to a common length); a shape
-        change after pooling fails the retrace with a stack error."""
+        change after pooling fails the retrace with a stack error.
+
+        ``quality``: resampling interpolator (the reference left
+        resampling TODO, sampler.rs:359-522).  ``"linear"`` (default,
+        2-tap — bit-exact passthrough at rate 1.0, fine for doppler),
+        ``"cubic"`` (4-tap Catmull-Rom), or ``"sinc8"`` (8-tap Lanczos-4
+        windowed sinc — large pitch shifts without the linear
+        interpolator's aliasing).  Structural: changing it retraces.
+        Clip edges are clamp-extended for the wider kernels; in loop mode
+        taps wrap inside the loop, so steady-state loops interpolate
+        seamlessly across the join."""
+        assert quality in ("linear", "cubic", "sinc8"), quality
+        self.quality = quality
         self.poolable = bool(poolable)
         self._percent_volume = max(float(percent_volume), 0.0)
         self._raw_gain = float(
@@ -246,7 +264,8 @@ class SamplerProcessor(NodeProcessor):
             if node._sample is not None
             else (1, 1)
         )
-        return (shape,)
+        # quality is structural (it decides the tap count traced)
+        return (shape, node.quality)
 
     def collect_params(self):
         node = self._node
@@ -324,7 +343,8 @@ class SamplerProcessor(NodeProcessor):
         slope = jnp.where(
             playing, params["attack_step"], -params["release_step"]
         )
-        k1 = jnp.arange(1, frames + 1, dtype=jnp.float32)
+        # int iota + cast (Mosaic: tpu.iota is integer-only)
+        k1 = jnp.arange(1, frames + 1, dtype=jnp.int32).astype(jnp.float32)
         env_k = jnp.clip(env0 + k1 * slope, 0.0, 1.0)
         # a voice is active while playing or audibly fading; an instant
         # release (step 2.0) silences within the first sample, freezing the
@@ -347,7 +367,7 @@ class SamplerProcessor(NodeProcessor):
 
         # ---- playback positions (fixed-point integer + f32 frac carry)
         rate = params["rate"]
-        k = jnp.arange(frames, dtype=jnp.float32)
+        k = jnp.arange(frames, dtype=jnp.int32).astype(jnp.float32)
         off = frac + k * rate  # offset in frames from integer playhead
         off_int = jnp.floor(off).astype(jnp.uint32)
         interp_w = off - jnp.floor(off)
@@ -382,9 +402,48 @@ class SamplerProcessor(NodeProcessor):
         )
         valid = loop_on | (pos < sample_len)
 
-        s0 = sample[:, idx0.astype(jnp.int32)]
-        s1 = sample[:, idx1.astype(jnp.int32)]
-        frames_out = s0 + (s1 - s0) * interp_w[None, :]
+        quality = self._node.quality
+        if quality == "linear":
+            s0 = sample[:, idx0.astype(jnp.int32)]
+            s1 = sample[:, idx1.astype(jnp.int32)]
+            frames_out = s0 + (s1 - s0) * interp_w[None, :]
+        else:
+            # Multi-tap gather around the (wrapped/clamped) base index: in
+            # loop mode taps wrap inside [lstart, lend), so steady-state
+            # loops interpolate seamlessly across the join; one-shot taps
+            # clamp-extend the clip edges.
+            idx0_i = idx0.astype(jnp.int32)
+            lstart_i = lstart.astype(jnp.int32)
+            llen_i = llen.astype(jnp.int32)
+            in_loop = loop_on & (idx0 >= lstart)
+
+            def tap_index(d: int):
+                t_i = idx0_i + d
+                rel = t_i - lstart_i
+                wrapped_i = lstart_i + jax.lax.rem(
+                    jax.lax.rem(rel, llen_i) + llen_i, llen_i
+                )
+                clamped = jnp.clip(t_i, 0, sample_len - 1)
+                return jnp.where(in_loop, wrapped_i, clamped)
+
+            t = interp_w
+            if quality == "cubic":
+                # Catmull-Rom weights; exact (0,1,0,0) at t == 0
+                taps = (-1, 0, 1, 2)
+                weights = [
+                    ((-0.5 * t + 1.0) * t - 0.5) * t,
+                    (1.5 * t - 2.5) * t * t + 1.0,
+                    ((-1.5 * t + 2.0) * t + 0.5) * t,
+                    (0.5 * t - 0.5) * t * t,
+                ]
+            else:  # sinc8: Lanczos a=4
+                taps = tuple(range(-3, 5))
+                weights = [jnp.sinc(t - d) * jnp.sinc((t - d) / 4.0) for d in taps]
+                wsum = sum(weights)
+                weights = [w / wsum for w in weights]
+            frames_out = jnp.zeros_like(sample[:, idx0.astype(jnp.int32)])
+            for d, w in zip(taps, weights):
+                frames_out = frames_out + sample[:, tap_index(d)] * w[None, :]
         frames_out = jnp.where(valid[None, :], frames_out, 0.0)
 
         # ---- advance the carry
@@ -428,12 +487,12 @@ class SamplerProcessor(NodeProcessor):
                 rows.append(jnp.zeros((frames,), jnp.float32))
                 mask_rows.append(jnp.asarray(True))
         out = jnp.stack(rows)
-        out = jnp.where(silent, jnp.zeros_like(out), out)
+        out = gate(out, silent)
         out_mask = jnp.stack(mask_rows)
 
         new_state = {
             "gain": gain_state,
-            "env": env_k[-1],
+            "env": env_k[frames - 1],  # positive index: stays a slice (Mosaic)
             "playhead": new_playhead,
             "frac": new_frac,
             "ended": new_ended,

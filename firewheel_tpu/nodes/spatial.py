@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
+    broadcast_flag,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -97,8 +99,8 @@ class Spatializer3DProcessor(NodeProcessor):
         out = jnp.stack([x * gl, x * gr])
 
         all_silent = jnp.all(in_mask) & (jnp.abs(state["lp"]) < 1e-10)
-        out = jnp.where(all_silent, jnp.zeros_like(out), out)
-        out_mask = jnp.broadcast_to(all_silent, (2,))
+        out = gate(out, all_silent)
+        out_mask = broadcast_flag(all_silent, (2,))
 
         def sel(reset, processed):
             return jax.tree.map(

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
+    broadcast_flag,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -53,8 +55,8 @@ class StereoWidthProcessor(NodeProcessor):
 
         all_silent = jnp.all(in_mask)
         out = jnp.stack([left, right])
-        out = jnp.where(all_silent, jnp.zeros_like(out), out)
-        out_mask = jnp.broadcast_to(all_silent, (2,))
+        out = gate(out, all_silent)
+        out_mask = broadcast_flag(all_silent, (2,))
 
         st_reset = smoother_init(params["width"])
         new_width = jax.tree.map(

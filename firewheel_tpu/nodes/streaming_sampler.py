@@ -32,6 +32,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeProcessor,
@@ -286,7 +287,8 @@ class StreamingSamplerProcessor(NodeProcessor):
         muted = ~smoothing & (ramp[0] < jnp.float32(0.00001))
 
         rate = params["rate"]
-        k = jnp.arange(frames, dtype=jnp.float32)
+        # int iota + cast (Mosaic: tpu.iota is integer-only)
+        k = jnp.arange(frames, dtype=jnp.int32).astype(jnp.float32)
         off = frac + k * rate
         off_int = jnp.floor(off).astype(jnp.uint32)
         interp_w = off - jnp.floor(off)
@@ -328,7 +330,7 @@ class StreamingSamplerProcessor(NodeProcessor):
                 rows.append(jnp.zeros((frames,), jnp.float32))
                 mask_rows.append(jnp.asarray(True))
         out = jnp.stack(rows)
-        out = jnp.where(silent, jnp.zeros_like(out), out)
+        out = gate(out, silent)
         out_mask = jnp.stack(mask_rows)
 
         new_state = {

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -45,8 +46,9 @@ class SumProcessor(NodeProcessor):
                 out = out + inputs[k * m : (k + 1) * m]
             base_mask = jnp.zeros((m,), bool)
 
-        out = jnp.where(all_silent, jnp.zeros_like(out), out)
-        out_mask = jnp.where(all_silent, jnp.ones_like(base_mask), base_mask)
+        out = gate(out, all_silent)
+        # OR, not select (Mosaic-safe; see volume.py)
+        out_mask = all_silent | base_mask
         return out, state, out_mask
 
 

@@ -21,6 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.node import (
+    gate,
     AudioNode,
     AudioNodeInfo,
     NodeActivationError,
@@ -68,8 +69,10 @@ class VolumeProcessor(NodeProcessor):
         silence_out = jnp.logical_or(all_silent, muted)
 
         out = inputs * ramp[None, :]
-        out = jnp.where(silence_out, jnp.zeros_like(out), out)
-        out_mask = jnp.where(silence_out, jnp.ones_like(in_mask), in_mask)
+        out = gate(out, silence_out)
+        # OR, not select: i1-operand selects hit an unsupported Mosaic
+        # truncation in the Pallas megakernel; p | x == where(p, True, x)
+        out_mask = silence_out | in_mask
 
         # all-silent resets the filter (volume.rs:95-97); muted does not.
         st_reset = smoother_reset(st_processed, raw_gain)

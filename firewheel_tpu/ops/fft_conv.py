@@ -40,26 +40,47 @@ def partition_ir(ir, block_frames: int):
         block_frames: engine block size ``F``.
 
     Returns:
-        ``H: complex64[P, ch, F+1]`` partition spectra.
+        ``H: f32[P, ch, F+1, 2]`` partition spectra as real/imag pairs
+        (host-side NumPy — static data, transferred at the first jit call,
+        never an eager device op; see :func:`conv_partition_ir`).
+
+    Boundary dtype: spectra (and the delay-line state) cross the jit
+    boundary as f32 real/imag pairs, NEVER as complex64 — the axon TPU
+    tunnel fails any executable invoked with *device-resident* complex64
+    inputs (minimal repro in docs/KNOWN_ISSUES.md), and a state feedback
+    loop hits that on the second dispatch.  Complex math stays complex
+    *inside* the trace (XLA represents complex as coupled reals anyway, so
+    this costs nothing on any backend).
     """
-    ir = jnp.atleast_2d(jnp.asarray(ir, jnp.float32))
+    ir = np.atleast_2d(np.asarray(ir, np.float32))
     ch, length = ir.shape
     f = block_frames
     p = max(1, -(-length // f))
-    padded = jnp.zeros((ch, p * f), jnp.float32).at[:, :length].set(ir)
+    padded = np.zeros((ch, p * f), np.float32)
+    padded[:, :length] = ir
     parts = padded.reshape(ch, p, f).transpose(1, 0, 2)  # [P, ch, F]
     # zero-pad each partition to 2F for linear (not circular) convolution
-    return jnp.fft.rfft(parts, n=2 * f, axis=-1).astype(jnp.complex64)
+    H = np.fft.rfft(parts, n=2 * f, axis=-1).astype(np.complex64)
+    return np.stack([H.real, H.imag], axis=-1).astype(np.float32)
+
+
+def as_complex(ri):
+    """``f32[..., 2]`` real/imag pair -> ``complex64[...]`` (in-trace)."""
+    return jax.lax.complex(ri[..., 0], ri[..., 1])
+
+
+def as_ri_pair(z):
+    """``complex64[...]`` -> ``f32[..., 2]`` real/imag pair (in-trace)."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
 
 
 def fdl_init(num_partitions: int, channels: int, block_frames: int):
-    """Fresh frequency-domain delay line state ``complex64[P, ch, F+1]``
-    plus the overlap-save input tail ``f32[ch, F]``."""
+    """Fresh frequency-domain delay line state ``f32[P, ch, F+1, 2]``
+    (real/imag pairs, see :func:`partition_ir`) plus the overlap-save
+    input tail ``f32[ch, F]`` (host-side NumPy)."""
     return (
-        jnp.zeros(
-            (num_partitions, channels, block_frames + 1), jnp.complex64
-        ),
-        jnp.zeros((channels, block_frames), jnp.float32),
+        np.zeros((num_partitions, channels, block_frames + 1, 2), np.float32),
+        np.zeros((channels, block_frames), np.float32),
     )
 
 
@@ -69,14 +90,18 @@ def fdl_step(x, state, H):
 
     Args:
         x: ``f32[ch, F]`` new input block.
-        state: ``(fdl complex64[P, ch, F+1], x_prev f32[ch, F])``.
-        H: partition spectra from :func:`partition_ir` — ``[P, irch, F+1]``
-           where ``irch`` is 1 (shared IR) or ``ch``.
+        state: ``(fdl f32[P, ch, F+1, 2], x_prev f32[ch, F])`` — the delay
+            line as real/imag pairs (boundary dtype, see
+            :func:`partition_ir`).
+        H: partition spectra from :func:`partition_ir` —
+           ``f32[P, irch, F+1, 2]`` where ``irch`` is 1 (shared IR) or
+           ``ch``.
 
     Returns:
         ``(y f32[ch, F], new_state)``
     """
-    fdl, x_prev = state
+    fdl_ri, x_prev = state
+    fdl = as_complex(fdl_ri)
     f = x.shape[-1]
 
     buf = jnp.concatenate([x_prev, x], axis=-1)  # [ch, 2F]
@@ -85,9 +110,9 @@ def fdl_step(x, state, H):
     # push newest spectrum at index 0 (aligned with H[0] = first partition)
     fdl = jnp.concatenate([X[None], fdl[:-1]], axis=0)
 
-    Y = jnp.sum(H * fdl, axis=0)  # [ch, F+1]
+    Y = jnp.sum(as_complex(H) * fdl, axis=0)  # [ch, F+1]
     y = jnp.fft.irfft(Y, n=2 * f, axis=-1)[..., f:].astype(jnp.float32)
-    return y, (fdl, x)
+    return y, (as_ri_pair(fdl), x)
 
 
 # -- zero-latency, any-hop partitioned convolution -----------------------------
@@ -123,42 +148,52 @@ def _next_pow2(v: int) -> int:
 def conv_partition_ir(ir, block_frames: int):
     """Split an IR for the zero-latency engine.
 
+    Host-side precompute (NumPy, not jnp): the IR spectra are static data,
+    so they are built on the host and transferred once at the first jit
+    call — never as eager device ops.  (Eager complex/FFT ops through the
+    axon tunnel can also hit spurious post-wedge ``UNIMPLEMENTED`` faults,
+    see docs/KNOWN_ISSUES.md; init paths avoid the device entirely.)
+
     Args:
         ir: ``f32[ch, L]`` (or ``[L]``) impulse response.
         block_frames: partition size ``F`` (the engine block size).
 
     Returns:
-        ``(h_head f32[ch, F], H_tail complex64[P-1, ch, LP//2+1])`` where
+        ``(h_head f32[ch, F], H_tail f32[P-1, ch, LP//2+1, 2])`` where
         ``LP = next_pow2(2F)`` — the head partition in the time domain,
-        later partitions as LP-point spectra (LP == 2F for pow2 F).
+        later partitions as LP-point spectra stored as real/imag pairs
+        (boundary dtype, see :func:`partition_ir`; LP == 2F for pow2 F).
     """
-    ir = jnp.atleast_2d(jnp.asarray(ir, jnp.float32))
+    ir = np.atleast_2d(np.asarray(ir, np.float32))
     ch, length = ir.shape
     f = block_frames
     # Power-of-two FFT lengths (fastest on every backend; overlap-save is
     # valid for any size >= 2F-1, so rounding up only costs padding)
     lp = _next_pow2(2 * f)
     p = max(1, -(-length // f))
-    padded = jnp.zeros((ch, p * f), jnp.float32).at[:, :length].set(ir)
+    padded = np.zeros((ch, p * f), np.float32)
+    padded[:, :length] = ir
     h_head = padded[:, :f]
     tail = padded[:, f:].reshape(ch, p - 1, f).transpose(1, 0, 2)
-    H_tail = jnp.fft.rfft(tail, n=lp, axis=-1).astype(jnp.complex64)
-    return h_head, H_tail
+    H_tail = np.fft.rfft(tail, n=lp, axis=-1).astype(np.complex64)
+    return h_head, np.stack([H_tail.real, H_tail.imag], axis=-1).astype(
+        np.float32
+    )
 
 
 def conv_state_init(num_partitions: int, channels: int, block_frames: int):
-    """Fresh state for :func:`conv_step`."""
+    """Fresh state for :func:`conv_step` (host-side NumPy, see above)."""
     f = block_frames
     lp = _next_pow2(2 * f)
     return {
-        "hist": jnp.zeros((channels, lp), jnp.float32),
-        "fill": jnp.zeros((), jnp.int32),
-        "fdl": jnp.zeros(
-            (max(num_partitions - 1, 0), channels, lp // 2 + 1),
-            jnp.complex64,
+        "hist": np.zeros((channels, lp), np.float32),
+        "fill": np.zeros((), np.int32),
+        "fdl": np.zeros(
+            (max(num_partitions - 1, 0), channels, lp // 2 + 1, 2),
+            np.float32,
         ),
-        "tailbuf": jnp.zeros((channels, 2 * f), jnp.float32),
-        "tfill": jnp.full((), f, jnp.int32),
+        "tailbuf": np.zeros((channels, 2 * f), np.float32),
+        "tfill": np.full((), f, np.int32),
     }
 
 
@@ -169,8 +204,9 @@ def conv_step(x, state, h_head, H_tail):
         x: ``f32[ch, n]`` input hop.
         state: dict from :func:`conv_state_init`.
         h_head: ``f32[irch, F]`` head partition (irch 1 or ch).
-        H_tail: ``complex64[P-1, irch, LP//2+1]`` tail partition spectra,
-            ``LP = next_pow2(2F)`` (from :func:`conv_partition_ir`).
+        H_tail: ``f32[P-1, irch, LP//2+1, 2]`` tail partition spectra as
+            real/imag pairs, ``LP = next_pow2(2F)`` (from
+            :func:`conv_partition_ir`).
 
     Returns:
         ``(y f32[ch, n], new_state)``
@@ -190,7 +226,8 @@ def conv_step(x, state, h_head, H_tail):
     y = jnp.fft.irfft(Y_dir, n=L, axis=-1)[..., -n:].astype(jnp.float32)
 
     fill = state["fill"]
-    fdl, tailbuf, tfill = state["fdl"], state["tailbuf"], state["tfill"]
+    fdl = as_complex(state["fdl"])
+    tailbuf, tfill = state["tailbuf"], state["tfill"]
     num_tail = fdl.shape[0]
 
     if num_tail > 0:
@@ -203,7 +240,7 @@ def conv_step(x, state, h_head, H_tail):
             X = jnp.fft.rfft(window, axis=-1).astype(jnp.complex64)
             fdl = jnp.concatenate([X[None], fdl[:-1]], axis=0)
             contrib = jnp.fft.irfft(
-                jnp.sum(H_tail * fdl, axis=0), n=lp, axis=-1
+                jnp.sum(as_complex(H_tail) * fdl, axis=0), n=lp, axis=-1
             )[..., -f:].astype(jnp.float32)
             tailbuf = jax.lax.dynamic_update_slice(tailbuf, contrib, (0, tfill))
             return fdl, tailbuf, tfill + f
@@ -230,7 +267,7 @@ def conv_step(x, state, h_head, H_tail):
         "fill": jnp.where(fill + n >= f, fill + n - f, fill + n).astype(
             jnp.int32
         ),
-        "fdl": fdl,
+        "fdl": as_ri_pair(fdl),
         "tailbuf": tailbuf,
         "tfill": (tfill - n).astype(jnp.int32),
     }

@@ -61,6 +61,39 @@ class BiquadCoeffs(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# Mosaic-safe inclusive scan
+# ---------------------------------------------------------------------------
+
+def _hs_affine_scan(compose, elems, identity, axis=-1):
+    """Hillis–Steele inclusive scan of associative affine maps.
+
+    ``lax.associative_scan`` emits zero-size strided slices at its recursion
+    leaves, which Mosaic rejects ("vector types must have positive constant
+    sizes") — so the Pallas megakernel (and, for one code path, everything
+    else) uses this doubling scan instead: ``log2(n)`` steps, each a
+    fixed-size shift (pad with the identity element) + one ``compose`` over
+    the full arrays.  Work is ``n·log n`` vs ``~2n``, but each step is one
+    fused elementwise op, so on VPU-bound audio blocks the difference is
+    noise.  Numerics: same log-depth rounding class as associative_scan
+    (golden-tested in tests/test_dsp_ops.py).
+    """
+    n = elems[0].shape[axis]
+    x = tuple(elems)
+    d = 1
+    while d < n:
+        shifted = []
+        for e, ident in zip(x, identity):
+            head = jnp.full_like(jax.lax.slice_in_dim(e, 0, d, axis=axis), ident)
+            body = jax.lax.slice_in_dim(e, 0, n - d, axis=axis)
+            shifted.append(jnp.concatenate([head, body], axis=axis))
+        # compose(e1=earlier prefix, e2=current): identity padding makes the
+        # first d lanes a no-op — no masking needed
+        x = tuple(compose(tuple(shifted), x))
+        d *= 2
+    return x
+
+
+# ---------------------------------------------------------------------------
 # One-pole lowpass (the smoother's filter, generalized)
 # ---------------------------------------------------------------------------
 
@@ -85,9 +118,9 @@ def one_pole_scan(x, y_prev, a, b):
         m2, v2 = e2
         return m1 * m2, v1 * m2 + v2
 
-    mm, vv = jax.lax.associative_scan(compose, (m, v), axis=-1)
+    mm, vv = _hs_affine_scan(compose, (m, v), (1.0, 0.0), axis=-1)
     y = mm * y_prev[..., None] + vv
-    return y, y[..., -1]
+    return y, y[..., x.shape[-1] - 1]
 
 
 # ---------------------------------------------------------------------------
@@ -236,15 +269,19 @@ def biquad_scan(x, z_prev, coeffs: BiquadCoeffs):
         )
 
     el = (m11, m12, m21, m22, v1, v2)
-    c11, c12, c21, c22, w1, w2 = jax.lax.associative_scan(compose, el, axis=-1)
+    c11, c12, c21, c22, w1, w2 = _hs_affine_scan(
+        compose, el, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0), axis=-1
+    )
 
     # z[n] from the initial carry
     z1 = c11 * z1p[..., None] + c12 * z2p[..., None] + w1
     z2 = c21 * z1p[..., None] + c22 * z2p[..., None] + w2
 
     # y[n] uses z1[n-1]: shift right, seed with the carry
+    n = x.shape[-1]
     z1_prev_seq = jnp.concatenate(
-        [z1p[..., None], z1[..., :-1]], axis=-1
+        [z1p[..., None], z1[..., : n - 1]], axis=-1
     )
     y = b0 * x + z1_prev_seq
-    return y, (z1[..., -1], z2[..., -1])
+    # positive static indices: [..., -1] lowers to a gather Mosaic rejects
+    return y, (z1[..., n - 1], z2[..., n - 1])
