@@ -13,6 +13,7 @@ from .sampler import LoopRange, SamplerNode
 from .pan import StereoPanNode
 from .stereo_width import StereoWidthNode
 from .filter import FilterNode, FilterType
+from .fir import FirFilterNode, design_windowed_sinc
 from .delay import DelayCompNode, EchoNode
 from .reverb import ConvolutionReverbNode
 from .spatial import Spatializer3DNode
@@ -29,6 +30,8 @@ __all__ = [
     "StereoWidthNode",
     "FilterNode",
     "FilterType",
+    "FirFilterNode",
+    "design_windowed_sinc",
     "DelayCompNode",
     "EchoNode",
     "ConvolutionReverbNode",
