@@ -17,6 +17,7 @@ from .fir import FirFilterNode, design_windowed_sinc
 from .delay import DelayCompNode, EchoNode
 from .reverb import ConvolutionReverbNode
 from .spatial import Spatializer3DNode
+from .binaural import BinauralSpatializerNode
 from .meter import DbMeterNode
 from .streaming_sampler import CallbackStreamReader, StreamingSamplerNode
 from .dynamics import CompressorNode, DuckerNode, LimiterNode
@@ -36,6 +37,7 @@ __all__ = [
     "EchoNode",
     "ConvolutionReverbNode",
     "Spatializer3DNode",
+    "BinauralSpatializerNode",
     "DbMeterNode",
     "CallbackStreamReader",
     "StreamingSamplerNode",

@@ -101,6 +101,34 @@ class BatchRenderer:
             lambda x: jax.device_put(x, self._batched_sharding), tree
         )
 
+    # -- per-instance control plane (the serving path) -------------------------
+    def update_instance(self, stacked, index: int, tree_i):
+        """Write one instance's slice of a stacked pytree (params or state)
+        without touching the other B−1 instances.
+
+        The serving control plane: when game instance ``i`` changes a
+        parameter, collect that instance's snapshot
+        (``program.collect_params()`` after applying the node edits) and
+        splice it in — O(one instance) of host→device traffic instead of
+        re-stacking and re-uploading all B instances.  Functional (returns
+        the new stacked tree); batch shape and sharding are preserved, so
+        the next ``render_chunk`` hits the same compiled program.
+        """
+        updated = jax.tree.map(
+            lambda s, x: s.at[index].set(
+                jnp.asarray(x, jnp.asarray(s).dtype)
+            ),
+            stacked,
+            tree_i,
+        )
+        return self._constrain(updated)
+
+    def reset_instance(self, state, index: int):
+        """Reset one instance to the program's initial state (a client
+        disconnect/reconnect in a game-server fleet) — all other
+        instances' recurrent state is untouched."""
+        return self.update_instance(state, index, self.program.init_state())
+
     # -- rendering ------------------------------------------------------------
     def _build(self, num_blocks: int):
         chunk = self.program.chunk_fn(num_blocks)

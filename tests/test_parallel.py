@@ -180,3 +180,62 @@ class TestVoiceParallelMixer:
         gain = 8 * 10 ** (-24 / 20) * np.cos(np.pi / 4)
         ideal = gain * np.sin(2 * np.pi * 440 / SR * np.arange(4 * F))
         np.testing.assert_allclose(sig, ideal, atol=1e-4)
+
+
+class TestServingControlPlane:
+    """Per-instance param/state surgery on a live batch
+    (BatchRenderer.update_instance / reset_instance)."""
+
+    def test_update_instance_isolates(self):
+        prog, vol = beep_volume_program()
+        br = BatchRenderer(prog, batch=4)
+        params = br.stack_params()
+        state = br.init_state()
+        # warm: all instances identical
+        out, _, state = br.render_chunk(params, state, num_blocks=60)
+
+        # instance 2 mutes; others untouched
+        p2 = dict(prog.collect_params())
+        p2[node_key(vol)] = {"raw_gain": np.float32(0.0)}
+        params = br.update_instance(params, 2, p2)
+        out, _, state = br.render_chunk(
+            params, state, start_sample=60 * F, num_blocks=60
+        )
+        out = np.asarray(out)[:, -8:]
+        assert np.abs(out[2]).max() < 1e-6
+        for b in (0, 1, 3):
+            np.testing.assert_array_equal(out[b], out[0])
+        assert np.abs(out[0]).max() > 0.1
+
+    def test_reset_instance_rewinds_state(self):
+        prog, _ = beep_volume_program()
+        br = BatchRenderer(prog, batch=3)
+        params = br.stack_params()
+        state = br.init_state()
+        out0, _, state1 = br.render_chunk(params, state, num_blocks=4)
+
+        # run further, then reset instance 1 only
+        _, _, state2 = br.render_chunk(
+            params, state1, start_sample=4 * F, num_blocks=4
+        )
+        state3 = br.reset_instance(state2, 1)
+        out, _, _ = br.render_chunk(params, state3, num_blocks=4)
+        out = np.asarray(out)
+        # instance 1 reproduces the from-scratch render exactly; instance 0
+        # continues from its (advanced) phase and differs
+        np.testing.assert_array_equal(out[1], np.asarray(out0)[1])
+        assert np.abs(out[0] - np.asarray(out0)[0]).max() > 1e-3
+
+    def test_update_instance_sharded(self):
+        mesh = make_mesh({"dp": 4})
+        prog, vol = beep_volume_program()
+        br = BatchRenderer(prog, batch=8, mesh=mesh, axis="dp")
+        params = br.stack_params()
+        state = br.init_state()
+        p5 = dict(prog.collect_params())
+        p5[node_key(vol)] = {"raw_gain": np.float32(0.0)}
+        params = br.update_instance(params, 5, p5)
+        out, _, state = br.render_chunk(params, state, num_blocks=60)
+        out = np.asarray(out)[:, -8:]
+        assert np.abs(out[5]).max() < 1e-6
+        assert np.abs(out[0]).max() > 0.1
