@@ -4,9 +4,10 @@ A music bed (pink noise) and a dialogue voice (beep) run through the
 game-audio master chain:
 
     music ──┐
-            ├── ducker (dialogue sidechain) ── compressor ── limiter ── out
-    voice ──┘                                                  │
-                                                        loudness meter
+            ├── ducker (dialogue sidechain) ── compressor ──
+    voice ──┘      linear-phase FIR high-shelf ── limiter ── out
+                                                      │
+                                               loudness meter
 
 While the stream runs, dialogue toggles on and off (the music ducks under
 it), and the loudness meter is polled every ~100 ms to feed the EBU R128
@@ -29,11 +30,13 @@ from firewheel_tpu.nodes import (
     BeepTestNode,
     CompressorNode,
     DuckerNode,
+    FirFilterNode,
     IntegratedLoudness,
     LimiterNode,
     LoudnessMeterNode,
     NoiseNode,
     SumNode,
+    design_windowed_sinc,
 )
 
 SR = 48000
@@ -53,6 +56,14 @@ def main():
     comp = g.add_node(2, 2, CompressorNode(threshold_db=-18.0, ratio=3.0,
                                            attack_secs=0.01,
                                            release_secs=0.15, makeup_db=3.0))
+    # linear-phase "air" shelf: +2 dB above 8 kHz as a 255-tap FIR
+    # (lowpass complement blend -> zero phase warp on the master bus;
+    # runs on the MXU via ops/direct_conv)
+    lp = design_windowed_sinc("lowpass", 255, SR, 8000.0)
+    air = np.zeros(255, np.float32)
+    air[127] = 1.259  # +2 dB full-band ...
+    air += lp * (1.0 - 1.259)  # ... minus the excess below 8 kHz
+    eq = g.add_node(2, 2, FirFilterNode(air))
     lim = g.add_node(2, 2, LimiterNode(ceiling_db=-1.0,
                                        lookahead_secs=0.003))
     meter = g.add_node(2, 2, LoudnessMeterNode())
@@ -63,7 +74,8 @@ def main():
         g.connect(duck, c, mix, c)            # ducked music
         g.connect(voice, c, mix, 2 + c)       # + the dialogue itself
         g.connect(mix, c, comp, c)
-        g.connect(comp, c, lim, c)
+        g.connect(comp, c, eq, c)
+        g.connect(eq, c, lim, c)
         g.connect(lim, c, meter, c)
         g.connect(meter, c, g.graph_out_node(), c)
 

@@ -66,7 +66,11 @@ __all__ = ["supports_megakernel", "MegaRenderer"]
 
 # node kernels known to lower through Mosaic (no FFT, no dynamic gather)
 _UNSUPPORTED_PROCS = (
+    # conv_general_dilated / FFT / data-dependent gathers have no Mosaic
+    # lowering inside this kernel; these nodes stay on the XLA executor
     "ConvolutionReverbProcessor",
+    "FirFilterProcessor",
+    "BinauralSpatializerProcessor",
     "SamplerProcessor",
     "StreamingSamplerProcessor",
 )
@@ -285,13 +289,19 @@ class MegaRenderer:
         )
 
         def run(params, state, start_sample):
+            from .ops.iir import mosaic_safe_scans
+
             pl_ = [lift(x) for x in jax.tree.leaves(params)]
             sl_ = [lift(x) for x in jax.tree.leaves(state)]
             start = jnp.asarray([start_sample], jnp.uint32)
             start_time = (
                 jnp.asarray([start_sample], jnp.float32) / jnp.float32(sr)
             )
-            results = call(start, start_time, *pl_, *sl_)
+            # trace-time context: IIR scans emit their Mosaic-compilable
+            # (Hillis-Steele) form only inside the megakernel; the XLA
+            # executor keeps the cheaper associative_scan
+            with mosaic_safe_scans():
+                results = call(start, start_time, *pl_, *sl_)
             outs = results[0]
             masks = results[1][:, :, :n_go] != 0.0
             s_out = [

@@ -27,6 +27,7 @@ Coefficient builders follow the Audio-EQ-Cookbook (RBJ) formulas.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import NamedTuple
 
@@ -64,19 +65,46 @@ class BiquadCoeffs(NamedTuple):
 # Mosaic-safe inclusive scan
 # ---------------------------------------------------------------------------
 
-def _hs_affine_scan(compose, elems, identity, axis=-1):
-    """Hillis–Steele inclusive scan of associative affine maps.
+_MOSAIC_SAFE_SCANS = False
 
-    ``lax.associative_scan`` emits zero-size strided slices at its recursion
-    leaves, which Mosaic rejects ("vector types must have positive constant
-    sizes") — so the Pallas megakernel (and, for one code path, everything
-    else) uses this doubling scan instead: ``log2(n)`` steps, each a
-    fixed-size shift (pad with the identity element) + one ``compose`` over
-    the full arrays.  Work is ``n·log n`` vs ``~2n``, but each step is one
-    fused elementwise op, so on VPU-bound audio blocks the difference is
-    noise.  Numerics: same log-depth rounding class as associative_scan
-    (golden-tested in tests/test_dsp_ops.py).
+
+@contextlib.contextmanager
+def mosaic_safe_scans():
+    """Trace scans in their Mosaic-compilable form (Hillis–Steele).
+
+    ``lax.associative_scan`` emits zero-size strided slices at its
+    recursion leaves, which Mosaic rejects ("vector types must have
+    positive constant sizes") — the Pallas megakernel wraps its trace in
+    this context so every IIR scan lowers as the doubling scan instead.
+    The default XLA path keeps ``associative_scan`` (~2n work vs n·log n —
+    measurably cheaper across a graph full of smoothers and biquads).
+    Trace-time only; thread-local semantics are unnecessary because all
+    tracing rides the engine's single dispatch thread (CLAUDE.md hazard).
     """
+    global _MOSAIC_SAFE_SCANS
+    prev = _MOSAIC_SAFE_SCANS
+    _MOSAIC_SAFE_SCANS = True
+    try:
+        yield
+    finally:
+        _MOSAIC_SAFE_SCANS = prev
+
+
+def _affine_scan(compose, elems, identity, axis=-1):
+    """Inclusive scan of associative affine maps — ``associative_scan``
+    normally, the Hillis–Steele form under :func:`mosaic_safe_scans`.
+    Both are log-depth and in the same rounding class (golden-tested in
+    tests/test_dsp_ops.py)."""
+    if _MOSAIC_SAFE_SCANS:
+        return _hs_affine_scan(compose, elems, identity, axis=axis)
+    return jax.lax.associative_scan(compose, tuple(elems), axis=axis)
+
+
+def _hs_affine_scan(compose, elems, identity, axis=-1):
+    """Hillis–Steele inclusive scan: ``log2(n)`` steps, each a fixed-size
+    shift (pad with the identity element) + one ``compose`` over the full
+    arrays.  Work is ``n·log n`` vs associative_scan's ``~2n``, but every
+    step is Mosaic-compilable (see :func:`mosaic_safe_scans`)."""
     n = elems[0].shape[axis]
     x = tuple(elems)
     d = 1
@@ -118,7 +146,7 @@ def one_pole_scan(x, y_prev, a, b):
         m2, v2 = e2
         return m1 * m2, v1 * m2 + v2
 
-    mm, vv = _hs_affine_scan(compose, (m, v), (1.0, 0.0), axis=-1)
+    mm, vv = _affine_scan(compose, (m, v), (1.0, 0.0), axis=-1)
     y = mm * y_prev[..., None] + vv
     return y, y[..., x.shape[-1] - 1]
 
@@ -269,7 +297,7 @@ def biquad_scan(x, z_prev, coeffs: BiquadCoeffs):
         )
 
     el = (m11, m12, m21, m22, v1, v2)
-    c11, c12, c21, c22, w1, w2 = _hs_affine_scan(
+    c11, c12, c21, c22, w1, w2 = _affine_scan(
         compose, el, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0), axis=-1
     )
 

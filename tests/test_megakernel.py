@@ -51,6 +51,29 @@ def test_eligibility():
     prog_fft = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
     assert not supports_megakernel(prog_fft)  # FFT nodes stay on XLA
 
+    # conv/gather nodes (no Mosaic lowering) are gated out too
+    from firewheel_tpu.nodes import BinauralSpatializerNode, FirFilterNode
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b = g.add_node(0, 1, BeepTestNode(440, -18, True))
+    bi = g.add_node(1, 2, BinauralSpatializerNode())
+    g.connect(b, 0, bi, 0)
+    g.connect(bi, 0, g.graph_out_node(), 0); g.connect(bi, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    assert not supports_megakernel(
+        ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    )
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b = g.add_node(0, 2, BeepTestNode(440, -18, True))
+    fir = g.add_node(2, 2, FirFilterNode(np.zeros(9, np.float32)))
+    g.connect(b, 0, fir, 0); g.connect(b, 1, fir, 1)
+    g.connect(fir, 0, g.graph_out_node(), 0); g.connect(fir, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    assert not supports_megakernel(
+        ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    )
+
 
 def test_bit_exact_vs_xla_executor():
     prog = mixer_program()
