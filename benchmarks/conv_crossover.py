@@ -38,7 +38,7 @@ def timeit_b(fn, state, B, iters=50):
     jax.block_until_ready(y)
     return (time.time() - t0) / iters * 1e6
 
-for taps in [1024, 2048, 4096, 8192, 16384, 32768]:
+for taps in [128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768]:
     ir = (rng.standard_normal((1, taps)) * 0.1).astype(np.float32)
     tj = jnp.asarray(ir)
     P = taps // F

@@ -25,7 +25,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from firewheel_tpu import AudioGraph, AudioGraphConfig, ScheduleProgram
-from firewheel_tpu.executor import node_key
 from firewheel_tpu.nodes import BeepTestNode, StereoPanNode, VolumeNode
 from firewheel_tpu.parallel import BatchRenderer
 
@@ -55,7 +54,6 @@ def main():
     br = BatchRenderer(prog, batch=B)
 
     # per-instance bring-up: each game gets its own pan position
-    base = prog.collect_params()
     plist = []
     for b in range(B):
         g.node(ids["pan"]).set_pan(-1.0 + 2.0 * b / (B - 1))

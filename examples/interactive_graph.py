@@ -137,14 +137,21 @@ class EngineApp:
             elif kind == "remove_voice":
                 self._remove_voice()
             elif kind == "try_cycle":
-                # wire the clip output back into the mixer: must be rejected
-                try:
-                    g.connect(self.clip, 0, self.mixer, 2 * MAX_VOICES - 1,
-                              check_for_cycles=True)
-                    self._log("BUG: cycle was accepted")
-                except CycleDetected:
-                    self._log("cycle attempt rejected (CycleDetected), "
-                              "graph untouched")
+                # wire the clip output back into the mixer: must be rejected.
+                # Target the next FREE voice slot so the demo exercises the
+                # cycle check, not InputPortAlreadyConnected (voices occupy
+                # ports 0..2*len(voices)-1).
+                if len(self.voices) >= MAX_VOICES:
+                    self._log("mixer ports full — remove a voice, then try")
+                else:
+                    try:
+                        g.connect(self.clip, 0, self.mixer,
+                                  2 * len(self.voices),
+                                  check_for_cycles=True)
+                        self._log("BUG: cycle was accepted")
+                    except CycleDetected:
+                        self._log("cycle attempt rejected (CycleDetected), "
+                                  "graph untouched")
         except Exception as e:  # editor robustness: report, don't die
             self._log(f"edit failed: {type(e).__name__}: {e}")
 

@@ -127,6 +127,7 @@ class SoundDeviceSink:
             max(1, int(buffer_secs * sample_rate)) * num_channels
         )
         self._closed = False
+        self._started = False  # set by the first write()
         self._space = threading.Condition()
 
         def callback(outdata, frames, time_info, status):
@@ -134,7 +135,11 @@ class SoundDeviceSink:
             got = self._ring.pop_into(flat)
             if got < len(flat):
                 flat[got:] = 0.0
-                self.underflow_count += 1
+                # silence before the first engine write (activation /
+                # first-compile time) is expected, not an underflow —
+                # count only once real audio has started flowing
+                if self._started:
+                    self.underflow_count += 1
             with self._space:
                 self._space.notify()
 
@@ -150,12 +155,27 @@ class SoundDeviceSink:
     # -- engine-side sink protocol ---------------------------------------------
     def write(self, interleaved: np.ndarray, num_channels: int):
         data = np.asarray(interleaved, np.float32).reshape(-1)
+        self._started = True
+        stalled = 0.0
         while len(data) and not self._closed:
             pushed = self._ring.push(data)
             data = data[pushed:]
             if len(data):
                 # ring full: wait for the callback to drain (backpressure —
-                # the engine-side pacing normally prevents ever landing here)
+                # the engine-side pacing normally prevents ever landing
+                # here).  Bounded: if the callback stops consuming (device
+                # unplugged, PortAudio killed the stream — the cpal
+                # error-callback case, lib.rs:286-297), raise instead of
+                # hanging the engine thread forever.
+                if pushed:
+                    stalled = 0.0
+                stalled += 0.1
+                if stalled > 2.0 or not getattr(self._stream, "active", True):
+                    raise RuntimeError(
+                        "OS audio output stalled (device lost or stream "
+                        "stopped); deactivate and re-activate onto a new "
+                        "device"
+                    )
                 with self._space:
                     self._space.wait(timeout=0.1)
 

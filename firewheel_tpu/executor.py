@@ -98,14 +98,16 @@ class _ResilientJit:
        evidence says unsticks the server);
     3. same, seed 2 (a different permutation);
     4. retry with add-zero input perturbation (changes the op histogram
-       itself, in case the module's exact op multiset is what's poisoned).
+       itself, in case the module's exact op multiset is what's poisoned);
+    5. retry with multiply-by-one input perturbation (a different
+       histogram change, last resort).
 
     Healthy backends never hit the retry path; the shuffle preserves the
     SSA dataflow exactly and the perturbation is an exact float identity —
     both golden-tested in tests/test_resilient_jit.py.
     """
 
-    _MAX_ATTEMPTS = 4
+    _MAX_ATTEMPTS = 5
 
     def __init__(self, fn, name: str, donate_argnums=()):
         self._fn = fn
@@ -121,7 +123,7 @@ class _ResilientJit:
         fn = self._fn
         if attempt in (2, 3):
             fn = shuffled(fn, attempt - 1)
-        perturb_mode = 1 if attempt == 4 else 0
+        perturb_mode = {4: 1, 5: 2}.get(attempt, 0)
 
         def trampoline(*a, __fn=fn, __mode=perturb_mode):
             if __mode:
@@ -334,9 +336,10 @@ class ScheduleProgram:
         new_state: dict[str, Any] = {}
 
         if pad_empty:
-            # Mosaic-safe flag representation: f32 0/1 scalars (see above)
-            def flag_store(b):
-                return jnp.where(b, jnp.float32(1.0), jnp.float32(0.0))
+            # Mosaic-safe flag representation: f32 0/1 scalars (see above);
+            # the encoding is core.node.flag_f32 — one definition to keep
+            # in sync with the node-side helpers
+            from .core.node import flag_f32 as flag_store
 
             def flag_is_set(f):
                 return f != jnp.float32(0.0)

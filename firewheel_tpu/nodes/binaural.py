@@ -141,8 +141,10 @@ class BinauralSpatializerProcessor(NodeProcessor):
         dr = _itd_seconds(cos_r, n.head_radius) * sr
         bl = _shadow_coeffs(cos_l, n.head_radius, sr)
         br = _shadow_coeffs(cos_r, n.head_radius, sr)
-        # air absorption: cutoff falls with distance (matches spatial.py)
-        cutoff = 20000.0 / (1.0 + 0.8 * max(dist - n.ref_distance, 0.0))
+        # air absorption: cutoff falls with distance (same law and
+        # coefficient as spatial.py:71 so speaker and headphone renderers
+        # of one emitter agree on distance filtering)
+        cutoff = 20000.0 / (1.0 + 0.5 * max(dist - n.ref_distance, 0.0))
         lp_b = math.exp(-2.0 * math.pi * cutoff / sr)
         return gain, dl, dr, bl, br, lp_b
 

@@ -103,6 +103,7 @@ class FirFilterProcessor(NodeProcessor):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
         self._num_taps = node.num_taps()
+        self._tap_channels = node._taps.shape[0]
 
     def group_key(self):
         return (self._num_taps, self._node._taps.shape[0])
@@ -118,6 +119,14 @@ class FirFilterProcessor(NodeProcessor):
                 f"taps length changed ({taps.shape[-1]} != activated "
                 f"{self._num_taps}); pad to the activated length or re-add "
                 "the node"
+            )
+        if taps.shape[0] != self._tap_channels:
+            # shape changes after activation would mis-stack in pooled
+            # programs (group_key covers the activated shape) — fail loudly
+            raise ValueError(
+                f"taps channel count changed ({taps.shape[0]} != activated "
+                f"{self._tap_channels}); re-add the node to change the "
+                "per-channel/shared layout"
             )
         return {"taps": taps, "gain": np.float32(node._gain)}
 

@@ -5,7 +5,7 @@ long FIR filters — but on TPU the trade-offs invert for short-to-medium
 IRs: FFTs and the complex multiply-reduce are VPU work, while a plain
 time-domain convolution lowers to ``lax.conv_general_dilated`` and rides
 the MXU (the systolic array), where the chip's FLOPs actually live.  A
-128-frame block against a 2048-tap IR is ~262K MACs/channel — microseconds
+128-frame block against a 512-tap IR is ~65K MACs/channel — microseconds
 of MXU time — with three structural bonuses:
 
 * **no complex64 anywhere** (the axon tunnel faults on device-resident
@@ -39,11 +39,13 @@ __all__ = [
 ]
 
 # IR lengths up to this ride the MXU path under method="auto"; above it the
-# partitioned-FFT engine wins.  Set from the on-chip crossover sweep
-# (docs/PERF.md, v5e round 2: direct wins batched through 4096 taps and
-# roughly ties single-instance at 2048; FFT wins clearly from 8192);
-# overridable per node via method="direct"/"fft".
-DIRECT_CONV_MAX_TAPS = 4096
+# partitioned-FFT engine wins.  Set from the on-chip crossover sweep at
+# f32 (Precision.HIGHEST) — docs/PERF.md, v5e round 2: direct wins through
+# 512 taps (its FIR-EQ niche), FFT from 1024.  (An earlier sweep at the
+# TPU's default bf16 conv precision showed direct winning to 4096, but
+# bf16 MACs violate the 1e-6 numerics contract — see the precision note
+# in direct_conv_step.)  Overridable per node via method="direct"/"fft".
+DIRECT_CONV_MAX_TAPS = 512
 
 
 def direct_hist_init(channels: int, num_taps: int):
@@ -76,6 +78,11 @@ def direct_conv_step(x, hist, taps):
     # convolution = correlation against the reversed taps.  Grouped form:
     # one group per channel when the IR is per-channel, else one shared
     # kernel applied to every channel via the batch dim.
+    # precision=HIGHEST: TPU convs default to bf16 MXU passes (~8-bit
+    # mantissa) — that would silently break this module's exact-f32-sum
+    # contract and the repo's 1e-6 golden tolerance on hardware while the
+    # CPU-forced test suite stays green.  HIGHEST runs the f32-accurate
+    # multi-pass MXU mode.
     rev = taps[:, ::-1]
     if irch == 1:
         lhs = buf[:, None, :]  # [ch(batch), 1, W]
@@ -83,6 +90,7 @@ def direct_conv_step(x, hist, taps):
         out = jax.lax.conv_general_dilated(
             lhs, rhs, window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,
         )  # [ch, 1, n]
         y = out[:, 0, :]
     else:
@@ -92,6 +100,7 @@ def direct_conv_step(x, hist, taps):
             lhs, rhs, window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=ch,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [1, ch, n]
         y = out[0]
     return y.astype(jnp.float32), buf[:, n:]

@@ -110,7 +110,12 @@ class TestSink:
     def test_underflow_counts_when_ring_runs_dry(self):
         sink = SoundDeviceSink(48000, 2, buffer_secs=0.05, _sd=FakeSD)
         try:
-            time.sleep(0.05)  # callback runs with nothing queued
+            # pre-first-write silence (activation/compile time) is NOT an
+            # underflow — the counter arms on the first engine write
+            time.sleep(0.05)
+            assert sink.underflow_count == 0
+            sink.write(np.ones(256, np.float32), 2)  # tiny: drains instantly
+            time.sleep(0.08)  # callback now starves on an armed counter
             assert sink.underflow_count > 0
         finally:
             sink.close()

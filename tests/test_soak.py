@@ -15,10 +15,12 @@ from firewheel_tpu.nodes import (
     CompressorNode,
     FilterNode,
     FilterType,
+    FirFilterNode,
     LimiterNode,
     NoiseNode,
     StereoPanNode,
     VolumeNode,
+    design_windowed_sinc,
 )
 
 SR = 48000
@@ -54,11 +56,20 @@ def test_soak_live_mutation(tmp_path):
         if i % 10 == 3:
             # insert a processing chain mid-stream (filter or pan)
             if len(extra) < 4:
-                node = (
-                    FilterNode(FilterType.LOWPASS, frequency_hz=float(rng.uniform(500, 8000)))
-                    if i % 20 == 3
-                    else StereoPanNode(float(rng.uniform(-1, 1)))
-                )
+                choice = (i // 10) % 3
+                if choice == 0:
+                    node = FilterNode(
+                        FilterType.LOWPASS,
+                        frequency_hz=float(rng.uniform(500, 8000)),
+                    )
+                elif choice == 1:
+                    node = StereoPanNode(float(rng.uniform(-1, 1)))
+                else:
+                    node = FirFilterNode(
+                        design_windowed_sinc(
+                            "lowpass", 33, SR, float(rng.uniform(2000, 9000))
+                        )
+                    )
                 nid = g.add_node(2, 2, node)
                 # splice between the current tail and graph_out
                 tail = extra[-1][0] if extra else vol
