@@ -50,8 +50,15 @@ def load_audio(path: str, device: bool = True):
             f"{supported_formats()} (register_format to extend)"
         )
     audio, sample_rate = loader(path)
-    return SampleResource(np.asarray(audio, np.float32), device=device), int(
-        sample_rate
+    # the resource carries its native rate, so samplers auto-convert when
+    # the stream runs at a different rate (SampleResource.sample_rate)
+    return (
+        SampleResource(
+            np.asarray(audio, np.float32),
+            sample_rate=float(sample_rate),
+            device=device,
+        ),
+        int(sample_rate),
     )
 
 

@@ -47,9 +47,22 @@ class SampleResource:
     (sample_resource.rs:28-335); all normalize into one canonical form.
     """
 
-    def __init__(self, channels: np.ndarray, *, device: bool = True):
+    def __init__(
+        self,
+        channels: np.ndarray,
+        *,
+        sample_rate: "float | None" = None,
+        device: bool = True,
+    ):
+        """``sample_rate``: the clip's native rate in Hz, if known.  A
+        sampler playing a rated clip into a stream of a different rate
+        auto-scales its playback rate (44.1 kHz clip in a 48 kHz stream
+        plays at native pitch), and seconds-based seeks/loops address
+        CLIP time.  ``None`` (the reference's behavior — PCM carries no
+        rate, sample_resource.rs:4-26) means "assume the stream rate"."""
         channels = np.atleast_2d(np.asarray(channels, np.float32))
         assert channels.ndim == 2, "expected [channels, frames]"
+        self.sample_rate = float(sample_rate) if sample_rate else None
         self._host = channels
         self._device = None
         if device:

@@ -279,7 +279,16 @@ class SamplerProcessor(NodeProcessor):
             data = jnp.asarray(_EMPTY_SAMPLE)
             has_sample = False
         sr = self.sample_rate
-        loop_on, loop_start, loop_end = node._loop_params(sr)
+        # clip-native rate (SampleResource.sample_rate): seconds-based
+        # seeks/loops address CLIP time, and playback auto-scales so a
+        # 44.1 kHz clip plays at native pitch in a 48 kHz stream.  An
+        # unrated clip keeps the reference's behavior (stream rate).
+        clip_sr = (
+            node._sample.sample_rate
+            if has_sample and node._sample.sample_rate
+            else sr
+        )
+        loop_on, loop_start, loop_end = node._loop_params(clip_sr)
         # per-sample envelope steps; 0-second times jump in one sample
         attack_step = (
             1.0 / (node._attack_secs * sr) if node._attack_secs > 0 else 2.0
@@ -292,9 +301,9 @@ class SamplerProcessor(NodeProcessor):
             "release_step": np.float32(release_step),
             "raw_gain": np.float32(node.raw_gain()),
             "playing": np.asarray(node._playing and has_sample, bool),
-            "rate": np.float32(node._rate),
+            "rate": np.float32(node._rate * clip_sr / sr),
             "seek_seq": np.uint32(node._seek_seq),
-            "seek_pos": np.uint32(node._seek_frame(sr)),
+            "seek_pos": np.uint32(node._seek_frame(clip_sr)),
             "loop_on": np.asarray(loop_on, bool),
             "loop_seq": np.uint32(node._loop_seq & 0xFFFFFFFF),
             "loop_start": np.uint32(_u32(loop_start)),

@@ -155,3 +155,68 @@ def test_sinc8_vs_scipy_polyphase_reference():
     got = render(node, 20)[0]
     want = scipy_signal.resample_poly(data.astype(np.float64), 2, 1)[: got.shape[0]]
     assert np.abs(got[16:-16] - want[16:-16]).max() < 5e-3
+
+
+class TestClipSampleRate:
+    """SampleResource.sample_rate: auto rate conversion + clip-time seeks."""
+
+    def _peak_hz(self, audio, sr=SR):
+        spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+        return float(np.fft.rfftfreq(len(audio), 1 / sr)[spec.argmax()])
+
+    def test_rated_clip_plays_native_pitch(self):
+        """A 1 kHz sine recorded at 44.1 kHz must sound at 1 kHz in a
+        48 kHz stream (auto rate 44100/48000), not at 1.088 kHz."""
+        clip_sr = 44100.0
+        n = 44100
+        x = np.sin(2 * np.pi * 1000.0 * np.arange(n) / clip_sr)
+        node = SamplerNode(100.0, quality="sinc8")
+        node.set_sample(SampleResource(
+            x[None, :].astype(np.float32), sample_rate=clip_sr, device=False
+        ))
+        node.play()
+        got = render(node, 60)[0]
+        assert abs(self._peak_hz(got) - 1000.0) < 10.0
+
+    def test_unrated_clip_keeps_reference_behavior(self):
+        """No sample_rate on the resource -> frames map 1:1 (the
+        reference's PCM semantics): the same clip sounds at ~1088 Hz."""
+        clip_sr = 44100.0
+        n = 44100
+        x = np.sin(2 * np.pi * 1000.0 * np.arange(n) / clip_sr)
+        node = SamplerNode(100.0)
+        node.set_sample(SampleResource(x[None, :].astype(np.float32), device=False))
+        node.play()
+        got = render(node, 60)[0]
+        assert abs(self._peak_hz(got) - 48000.0 / 44.1) < 12.0
+
+    def test_seek_addresses_clip_time(self):
+        """set_playhead(secs) on a rated clip lands at secs * clip_sr."""
+        clip_sr = 32000.0
+        n = 32000
+        x = np.zeros(n, np.float32)
+        marker = 16000  # = 0.5 s of clip time
+        x[marker:marker + 8] = 1.0
+        node = SamplerNode(100.0)
+        node.set_sample(SampleResource(
+            x[None, :], sample_rate=clip_sr, device=False
+        ))
+        node.set_playhead(0.5)
+        node.play()
+        got = render(node, 4)[0]
+        onset = int(np.argmax(np.abs(got) > 0.5))
+        assert onset <= 2  # marker plays immediately after the seek
+
+    def test_rate_composes_with_playback_rate(self):
+        """User rate 2.0 on a rated clip doubles the native pitch."""
+        clip_sr = 44100.0
+        n = 44100
+        x = np.sin(2 * np.pi * 1000.0 * np.arange(n) / clip_sr)
+        node = SamplerNode(100.0, quality="cubic")
+        node.set_sample(SampleResource(
+            x[None, :].astype(np.float32), sample_rate=clip_sr, device=False
+        ))
+        node.set_playback_rate(2.0)
+        node.play()
+        got = render(node, 60)[0]
+        assert abs(self._peak_hz(got) - 2000.0) < 15.0
