@@ -189,10 +189,17 @@ class StreamingSamplerProcessor(NodeProcessor):
         reader = node._reader
         has_reader = reader is not None
 
-        # apply seeks to the shadow playhead (seconds → frames at the
-        # activated stream rate)
+        # clip-native rate: rated readers auto-convert (a 44.1 kHz file
+        # plays at native pitch in a 48 kHz stream) and seeks address
+        # CLIP time — same contract as SampleResource.sample_rate
+        clip_sr = float(
+            getattr(reader, "sample_rate", 0) or self.sample_rate
+        ) if has_reader else float(self.sample_rate)
+        eff_rate = node._rate * clip_sr / self.sample_rate
+
+        # apply seeks to the shadow playhead (seconds → clip frames)
         seek_frame = min(
-            max(int(round(node._seek_secs * self.sample_rate)), 0), 0xFFFFFFFF
+            max(int(round(node._seek_secs * clip_sr)), 0), 0xFFFFFFFF
         )
         if node._seek_seq != self._seen_seek_seq:
             self._seen_seek_seq = node._seek_seq
@@ -204,7 +211,7 @@ class StreamingSamplerProcessor(NodeProcessor):
             # the whole upcoming dispatch must fit the window (plus an
             # interpolation guard); grow it for large chunked dispatches
             # (a growth is a one-time retrace)
-            needed = int(2 * span * max(node._rate, 1.0)) + 3 * self.max_block_frames
+            needed = int(2 * span * max(eff_rate, 1.0)) + 3 * self.max_block_frames
             if needed > self.window_frames:
                 self.window_frames = needed
                 self._window = np.zeros(
@@ -213,7 +220,7 @@ class StreamingSamplerProcessor(NodeProcessor):
                 self._window_valid = False
             need_start = int(self._est_playhead)
             lookahead_end = int(
-                self._est_playhead + span * max(node._rate, 1.0) * 2
+                self._est_playhead + span * max(eff_rate, 1.0) * 2
             )
             if (
                 not self._window_valid
@@ -228,7 +235,7 @@ class StreamingSamplerProcessor(NodeProcessor):
                 # unbounded shadow playhead would trigger useless (or, for
                 # callback readers, failing) refills past the clip forever
                 self._est_playhead = min(
-                    self._est_playhead + span * node._rate,
+                    self._est_playhead + span * eff_rate,
                     float(reader.len_frames),
                 )
         if self._window_dev is None:
@@ -237,7 +244,7 @@ class StreamingSamplerProcessor(NodeProcessor):
         return {
             "raw_gain": np.float32(node.raw_gain()),
             "playing": np.asarray(bool(node._playing and has_reader), bool),
-            "rate": np.float32(node._rate),
+            "rate": np.float32(eff_rate),
             "seek_seq": np.uint32(node._seek_seq),
             "seek_pos": np.uint32(seek_frame),
             "window": self._window_dev,

@@ -169,3 +169,37 @@ def test_streaming_with_chunked_dispatch(tmp_path):
     got = sink.audio(2)
     n = int(0.75 * SR)
     np.testing.assert_allclose(got[:, :n], audio[:, :n], atol=1e-6)
+
+
+def test_rated_reader_plays_native_pitch():
+    """A 24 kHz-rated stream reader in a 48 kHz stream auto-converts:
+    a 600 Hz clip tone sounds at 600 Hz (not 1200), and seeks address
+    clip time (SampleResource.sample_rate contract)."""
+    clip_sr = 24000
+    n = clip_sr * 2
+    tone = np.sin(2 * np.pi * 600.0 * np.arange(n) / clip_sr).astype(np.float32)
+
+    def read(start, num):
+        out = np.zeros((1, num), np.float32)
+        avail = max(0, min(num, n - start))
+        if avail:
+            out[0, :avail] = tone[start:start + avail]
+        return out
+
+    reader = CallbackStreamReader(read, 1, n, sample_rate=clip_sr)
+    cx = FirewheelCtx()
+    g = cx.graph_mut()
+    node = StreamingSamplerNode(reader)
+    smp = g.add_node(0, 1, node)
+    g.connect(smp, 0, g.graph_out_node(), 0)
+    sink = ArraySink()
+    cx.activate(StreamConfig(SR, 1, buffer_frames=512), sink=sink)
+    node.set_playhead(0.5)  # clip time: frame 12000 of the 24k clip
+    node.play()
+    cx.render_offline(0.5)
+    cx.deactivate()
+    a = sink.audio(1)[0]
+    a = a[512:]  # skip the gain ramp-in
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    peak = float(np.fft.rfftfreq(len(a), 1 / SR)[spec.argmax()])
+    assert abs(peak - 600.0) < 8.0, peak
