@@ -85,6 +85,8 @@ from .graph import (
     EdgeID,
     NodeID,
     SchedulePackage,
+    load_graph,
+    save_graph,
 )
 from .executor import ScheduleProgram, node_key
 from .context import GraphContext, UpdateResult, UpdateStatus
@@ -126,6 +128,8 @@ __all__ = [
     "register_format",
     "supported_formats",
     "AudioGraph",
+    "save_graph",
+    "load_graph",
     "AudioGraphConfig",
     "CompiledSchedule",
     "Edge",

@@ -62,3 +62,7 @@ __all__ = [
     "NodeWeight",
     "SchedulePackage",
 ]
+
+from .serialize import SCENE_VERSION, load_graph, save_graph  # noqa: E402
+
+__all__ += ["SCENE_VERSION", "load_graph", "save_graph"]

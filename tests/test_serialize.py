@@ -1,0 +1,225 @@
+"""Scene-file round trips: save_graph/load_graph over every node class.
+
+Contract: a loaded scene compiles to a schedule that renders
+bit-identically to the original graph's (same params, same structure,
+same arrays), and the node-id map lets callers re-acquire live handles.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from firewheel_tpu import (
+    AudioGraph,
+    AudioGraphConfig,
+    ScheduleProgram,
+    load_graph,
+    save_graph,
+)
+from firewheel_tpu.core.sample_resource import SampleResource
+from firewheel_tpu.nodes import (
+    BeepTestNode,
+    BinauralSpatializerNode,
+    CompressorNode,
+    ConvolutionReverbNode,
+    DbMeterNode,
+    DelayCompNode,
+    DuckerNode,
+    EchoNode,
+    FilterNode,
+    FilterType,
+    FirFilterNode,
+    HardClipNode,
+    LFONode,
+    LimiterNode,
+    LoopRange,
+    LoudnessMeterNode,
+    MonoToStereoNode,
+    NoiseNode,
+    SamplerNode,
+    Spatializer3DNode,
+    StereoPanNode,
+    StereoToMonoNode,
+    StereoWidthNode,
+    SumNode,
+    VolumeNode,
+    design_windowed_sinc,
+)
+
+SR, F = 48000, 128
+RNG = np.random.default_rng(17)
+
+
+def kitchen_sink():
+    """One graph containing every serializable node class."""
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    beep = g.add_node(0, 2, BeepTestNode(330.0, -15.0, True))
+    noise = g.add_node(0, 2, NoiseNode("pink", gain_db=-24.0, seed=99))
+    lfo = g.add_node(0, 2, LFONode("triangle", freq_hz=2.5, depth=0.8))
+
+    smp_node = SamplerNode(percent_volume=90.0, quality="cubic")
+    clip = RNG.standard_normal((2, 4000)).astype(np.float32) * 0.2
+    smp_node.set_sample(SampleResource(clip, sample_rate=44100.0))
+    smp_node.set_loop_range(LoopRange.range_secs(0.01, 0.08))
+    smp_node.set_playback_rate(1.25)
+    smp = g.add_node(0, 2, smp_node)
+
+    duck = g.add_node(4, 2, DuckerNode(threshold_db=-35.0, duck_db=-9.0))
+    mix = g.add_node(8, 2, SumNode())
+    vol = g.add_node(2, 2, VolumeNode(70.0))
+    pan = g.add_node(2, 2, StereoPanNode(-0.3))
+    wid = g.add_node(2, 2, StereoWidthNode(1.4))
+    filt = g.add_node(2, 2, FilterNode(FilterType.PEAKING, 2000.0, 1.2, 4.0))
+    fir = g.add_node(
+        2, 2, FirFilterNode(design_windowed_sinc("lowpass", 33, SR, 9000.0),
+                            gain=0.9)
+    )
+    echo = g.add_node(2, 2, EchoNode(delay_secs=0.05, feedback=0.25, wet=0.3))
+    dc = g.add_node(2, 2, DelayCompNode(delay_frames=64))
+    ir = (RNG.standard_normal((2, 600)) * 0.1).astype(np.float32)
+    rev = g.add_node(2, 2, ConvolutionReverbNode(ir, wet=0.2, method="direct"))
+    comp = g.add_node(2, 2, CompressorNode(threshold_db=-20.0, ratio=3.0))
+    lim = g.add_node(2, 2, LimiterNode(ceiling_db=-2.0))
+    clipn = g.add_node(2, 2, HardClipNode(-0.5))
+    meter = g.add_node(2, 2, DbMeterNode())
+    loud = g.add_node(2, 2, LoudnessMeterNode())
+
+    s2m = g.add_node(2, 1, StereoToMonoNode())
+    spat = g.add_node(1, 2, Spatializer3DNode((1.0, 0.0, -2.0), rolloff=0.7))
+    binaural = g.add_node(1, 2, BinauralSpatializerNode((-0.5, 0.2, -1.0)))
+    m2s = g.add_node(1, 2, MonoToStereoNode())
+
+    for c in range(2):
+        g.connect(noise, c, duck, c)
+        g.connect(beep, c, duck, 2 + c)      # sidechain
+        g.connect(duck, c, mix, c)
+        g.connect(beep, c, mix, 2 + c)
+        g.connect(lfo, c, mix, 4 + c)
+        g.connect(smp, c, mix, 6 + c)
+        g.connect(mix, c, vol, c)
+        g.connect(vol, c, pan, c)
+        g.connect(pan, c, wid, c)
+        g.connect(wid, c, filt, c)
+        g.connect(filt, c, fir, c)
+        g.connect(fir, c, echo, c)
+        g.connect(echo, c, dc, c)
+        g.connect(dc, c, rev, c)
+        g.connect(rev, c, comp, c)
+        g.connect(comp, c, lim, c)
+        g.connect(lim, c, clipn, c)
+        g.connect(clipn, c, meter, c)
+        g.connect(meter, c, loud, c)
+        g.connect(loud, c, s2m, min(c, 1))
+    # mono branch: s2m -> spatializer -> (sums into out via binaural? no)
+    g.connect(s2m, 0, spat, 0)
+    g.connect(spat, 0, g.graph_out_node(), 0)
+    g.connect(spat, 1, g.graph_out_node(), 1)
+    # independent mono chain kept alive so binaural/m2s serialize too:
+    # beep isn't mono, so drive them from the sampler's... use m2s off s2m
+    return g, {"smp": smp, "binaural": binaural, "m2s": m2s}
+
+
+def render(g, blocks=8, play_keys=()):
+    pkg = g.compile(SR, F)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    state = prog.init_state()
+    outs = []
+    for i in range(blocks):
+        params = prog.collect_params()
+        o, om, state = prog.render_chunk(
+            params, state,
+            jnp.zeros((1, 0, F), jnp.float32), jnp.zeros((1, 0), bool),
+            i * F,
+        )
+        outs.append(np.asarray(o))
+    return np.concatenate(outs, axis=0)
+
+
+def test_kitchen_sink_roundtrip(tmp_path):
+    g, ids = kitchen_sink()
+    # exercise the disconnected-node path too: binaural/m2s exist without
+    # edges (serialization must keep them)
+    path = str(tmp_path / "scene.npz")
+    save_graph(g, path)
+    g2, idmap = load_graph(path)
+
+    # structural parity
+    n1 = sorted(type(e.weight.node).__name__ for e in g.nodes())
+    n2 = sorted(type(e.weight.node).__name__ for e in g2.nodes())
+    assert n1 == n2
+    assert len(list(g.edges())) == len(list(g2.edges()))
+
+    # the reloaded sampler carries its clip, rate, loop and quality
+    smp2 = None
+    for e in g2.nodes():
+        if type(e.weight.node).__name__ == "SamplerNode":
+            smp2 = e.weight.node
+    assert smp2 is not None
+    assert smp2.quality == "cubic"
+    assert smp2._rate == 1.25
+    assert smp2._sample is not None and smp2._sample.sample_rate == 44100.0
+    assert smp2._loop is not None and smp2._loop.end_secs == 0.08
+
+    # start playback identically on both sides, then bit-exact render
+    g.node(ids["smp"]).play()
+    smp2.play()
+    a = render(g)
+    b = render(g2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_unknown_node_class_fails_loudly(tmp_path):
+    from firewheel_tpu.core.node import (
+        AudioNode, AudioNodeInfo, NodeProcessor,
+    )
+
+    class WeirdNode(AudioNode):
+        debug_name = "weird"
+
+        def info(self):
+            return AudioNodeInfo(0, 2, 1, 2)
+
+        def activate(self, sample_rate, max_block_frames, ni, no):
+            p = NodeProcessor(sample_rate, max_block_frames, ni, no)
+            return p
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    g.add_node(1, 1, WeirdNode())
+    with pytest.raises(TypeError, match="no serialization spec"):
+        save_graph(g, str(tmp_path / "x.npz"))
+
+
+def test_streaming_sampler_reader_path_roundtrip(tmp_path):
+    from firewheel_tpu.nodes import StreamingSamplerNode
+    from firewheel_tpu.utils.wav import WavStreamReader, write_wav
+
+    wav = str(tmp_path / "clip.wav")
+    write_wav(wav, RNG.standard_normal((2, SR // 4)).astype(np.float32) * 0.1, SR)
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    node = StreamingSamplerNode(WavStreamReader(wav), percent_volume=60.0)
+    s = g.add_node(0, 2, node)
+    g.connect(s, 0, g.graph_out_node(), 0)
+    g.connect(s, 1, g.graph_out_node(), 1)
+
+    path = str(tmp_path / "scene.npz")
+    save_graph(g, path)
+    g2, idmap = load_graph(path)
+    node2 = [e.weight.node for e in g2.nodes()
+             if type(e.weight.node).__name__ == "StreamingSamplerNode"][0]
+    assert node2._reader is not None and node2._reader.path == wav
+    assert node2._percent_volume == 60.0
+
+
+def test_graph_io_config_roundtrip(tmp_path):
+    g = AudioGraph(AudioGraphConfig(num_graph_inputs=3, num_graph_outputs=4))
+    v = g.add_node(3, 3, DbMeterNode())
+    for c in range(3):
+        g.connect(g.graph_in_node(), c, v, c)
+        g.connect(v, c, g.graph_out_node(), c)
+    path = str(tmp_path / "io.npz")
+    save_graph(g, path)
+    g2, _ = load_graph(path)
+    assert g2.node_info(g2.graph_in_node()).num_outputs == 3
+    assert g2.node_info(g2.graph_out_node()).num_inputs == 4
+    g2.compile(SR, F)  # edges reconnected across sentinels
