@@ -34,7 +34,7 @@ import numpy as np
 from ..core.sample_resource import SampleResource
 from .graph import AudioGraph, AudioGraphConfig
 
-__all__ = ["save_graph", "load_graph", "SCENE_VERSION"]
+__all__ = ["save_graph", "load_graph", "register_node_class", "SCENE_VERSION"]
 
 SCENE_VERSION = 1
 
@@ -100,11 +100,39 @@ _CTOR_ARGS: dict[str, tuple] = {
 }
 
 
+# Third-party node classes registered at runtime (register_node_class).
+_EXTRA_CLASSES: dict[str, type] = {}
+
+
+def register_node_class(
+    cls: type,
+    scalar_attrs: "list[str]",
+    array_attrs: "list[str] | None" = None,
+    ctor_args: tuple = (),
+) -> None:
+    """Make a custom node class scene-file serializable.
+
+    ``scalar_attrs``: JSON-able attributes copied verbatim on save/load;
+    ``array_attrs``: numpy-array attributes stored in the npz payload;
+    ``ctor_args``: a minimal valid constructor call (attrs are
+    overwritten after construction).  See docs/EXTENDING.md.
+    """
+    name = cls.__name__
+    _EXTRA_CLASSES[name] = cls
+    _SCALAR_ATTRS[name] = list(scalar_attrs)
+    if array_attrs:
+        _ARRAY_ATTRS[name] = list(array_attrs)
+    if ctor_args:
+        _CTOR_ARGS[name] = tuple(ctor_args)
+
+
 def _node_registry() -> dict[str, type]:
     from .. import nodes as _n
 
-    reg: dict[str, type] = {}
+    reg: dict[str, type] = dict(_EXTRA_CLASSES)
     for name in _SCALAR_ATTRS:
+        if name in reg:
+            continue
         cls = getattr(_n, name, None)
         if cls is None and name == "DummyAudioNode":
             from ..nodes.dummy import DummyAudioNode as cls  # noqa: N813

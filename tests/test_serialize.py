@@ -223,3 +223,38 @@ def test_graph_io_config_roundtrip(tmp_path):
     assert g2.node_info(g2.graph_in_node()).num_outputs == 3
     assert g2.node_info(g2.graph_out_node()).num_inputs == 4
     g2.compile(SR, F)  # edges reconnected across sentinels
+
+
+def test_register_custom_node_class(tmp_path):
+    from firewheel_tpu.core.node import (
+        AudioNode, AudioNodeInfo, NodeProcessor,
+    )
+    from firewheel_tpu.graph.serialize import register_node_class
+
+    class BitCrushNode(AudioNode):
+        debug_name = "bit_crush"
+
+        def __init__(self, levels=16.0):
+            self.levels = float(levels)
+
+        def info(self):
+            return AudioNodeInfo(1, 64, 1, 64)
+
+        def activate(self, sample_rate, max_block_frames, ni, no):
+            return NodeProcessor(sample_rate, max_block_frames, ni, no)
+
+    register_node_class(BitCrushNode, scalar_attrs=["levels"])
+    try:
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        bc = g.add_node(2, 2, BitCrushNode(levels=7.0))
+        g.connect(bc, 0, g.graph_out_node(), 0)
+        path = str(tmp_path / "custom.npz")
+        save_graph(g, path)
+        g2, ids = load_graph(path)
+        node2 = g2.node(ids[[k for k in ids if k.startswith("bit_crush")][0]])
+        assert type(node2).__name__ == "BitCrushNode"
+        assert node2.levels == 7.0
+    finally:
+        from firewheel_tpu.graph import serialize as _ser
+        _ser._EXTRA_CLASSES.pop("BitCrushNode", None)
+        _ser._SCALAR_ATTRS.pop("BitCrushNode", None)
