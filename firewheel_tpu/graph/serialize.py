@@ -173,6 +173,10 @@ def save_graph(graph: AudioGraph, path: str) -> None:
         cfg = {
             a: _jsonable(getattr(node, a)) for a in _SCALAR_ATTRS[cls_name]
         }
+        tuple_attrs = [
+            a for a in _SCALAR_ATTRS[cls_name]
+            if isinstance(getattr(node, a), tuple)
+        ]
         for a in _ARRAY_ATTRS.get(cls_name, ()):
             arrays[f"{key}:{a}"] = np.asarray(getattr(node, a))
         extra: dict[str, Any] = {}
@@ -196,6 +200,7 @@ def save_graph(graph: AudioGraph, path: str) -> None:
             "num_inputs": entry.num_inputs,
             "num_outputs": entry.num_outputs,
             "cfg": cfg,
+            "tuple_attrs": tuple_attrs,
             "extra": extra,
         })
 
@@ -231,9 +236,11 @@ def load_graph(path: str) -> "tuple[AudioGraph, dict]":
     node handles via ``graph.node(node_ids[key])``)."""
     data = np.load(path)
     scene = json.loads(bytes(data["__scene__"]).decode())
-    assert scene["version"] <= SCENE_VERSION, (
-        f"scene version {scene['version']} is newer than this engine"
-    )
+    if scene["version"] > SCENE_VERSION:
+        raise ValueError(
+            f"scene version {scene['version']} is newer than this engine "
+            f"(supports <= {SCENE_VERSION})"
+        )
     reg = _node_registry()
 
     g = AudioGraph(AudioGraphConfig(
@@ -248,8 +255,11 @@ def load_graph(path: str) -> "tuple[AudioGraph, dict]":
         node = cls(*_CTOR_ARGS.get(row["cls"], ()))
         for a in _ARRAY_ATTRS.get(row["cls"], ()):
             setattr(node, a, np.array(data[f"{row['key']}:{a}"]))
+        tuple_attrs = set(row.get("tuple_attrs", ()))
         for a, v in row["cfg"].items():
-            if a == "_position":
+            # JSON flattens tuples to lists; restore recorded tuple attrs
+            # (group_key hashing and position handling rely on tuples)
+            if a in tuple_attrs:
                 v = tuple(v)
             setattr(node, a, v)
         extra = row.get("extra", {})
@@ -269,7 +279,20 @@ def load_graph(path: str) -> "tuple[AudioGraph, dict]":
         if row["cls"] == "StreamingSamplerNode" and "reader_path" in extra:
             from ..utils.wav import WavStreamReader
 
-            node.set_reader(WavStreamReader(extra["reader_path"]))
+            try:
+                node.set_reader(WavStreamReader(extra["reader_path"]))
+            except Exception as e:
+                # the file moved/was deleted/is on another machine: the
+                # scene still loads (docstring contract) — re-attach a
+                # reader by hand via set_reader()
+                import sys as _sys
+
+                print(
+                    f"[firewheel_tpu] scene reader {extra['reader_path']!r} "
+                    f"unavailable ({type(e).__name__}); node loaded without "
+                    "a reader",
+                    file=_sys.stderr,
+                )
         ids[row["key"]] = g.add_node(
             row["num_inputs"], row["num_outputs"], node
         )

@@ -60,7 +60,13 @@ class CallbackStreamReader:
     """
 
     def __init__(self, read_fn: Callable, num_channels: int, len_frames: int,
-                 sample_rate: int = 48000):
+                 sample_rate: "int | None" = None):
+        """``sample_rate``: the produced audio's native rate, if known —
+        a rated reader auto-converts in non-matching streams (see the
+        processor).  ``None`` (default) means "produces at the stream
+        rate": frames map 1:1 at playback rate 1.0 whatever the stream
+        runs at (the pre-rate-conversion behavior — procedural
+        generators usually want this)."""
         self._read = read_fn
         self.num_channels = num_channels
         self.len_frames = len_frames

@@ -258,3 +258,51 @@ def test_register_custom_node_class(tmp_path):
         from firewheel_tpu.graph import serialize as _ser
         _ser._EXTRA_CLASSES.pop("BitCrushNode", None)
         _ser._SCALAR_ATTRS.pop("BitCrushNode", None)
+
+
+def test_missing_reader_path_loads_gracefully(tmp_path, capsys):
+    from firewheel_tpu.nodes import StreamingSamplerNode
+    from firewheel_tpu.utils.wav import WavStreamReader, write_wav
+
+    wav = str(tmp_path / "gone.wav")
+    write_wav(wav, np.zeros((2, 256), np.float32), SR)
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    s = g.add_node(0, 2, StreamingSamplerNode(WavStreamReader(wav)))
+    g.connect(s, 0, g.graph_out_node(), 0)
+    path = str(tmp_path / "scene.npz")
+    save_graph(g, path)
+    import os
+    os.remove(wav)
+    g2, _ = load_graph(path)  # must not raise
+    node2 = [e.weight.node for e in g2.nodes()
+             if type(e.weight.node).__name__ == "StreamingSamplerNode"][0]
+    assert node2._reader is None
+
+
+def test_newer_scene_version_rejected(tmp_path):
+    import json as _json
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    path = str(tmp_path / "v.npz")
+    save_graph(g, path)
+    data = dict(np.load(path))
+    scene = _json.loads(bytes(data["__scene__"]).decode())
+    scene["version"] = 999
+    data["__scene__"] = np.frombuffer(_json.dumps(scene).encode(), np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, **data)
+    with pytest.raises(ValueError, match="newer than this engine"):
+        load_graph(path)
+
+
+def test_tuple_attrs_roundtrip_generically(tmp_path):
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    sp = g.add_node(1, 2, Spatializer3DNode((0.5, -0.25, -3.0)))
+    g.connect(sp, 0, g.graph_out_node(), 0)
+    path = str(tmp_path / "t.npz")
+    save_graph(g, path)
+    g2, _ = load_graph(path)
+    node2 = [e.weight.node for e in g2.nodes()
+             if type(e.weight.node).__name__ == "Spatializer3DNode"][0]
+    assert node2._position == (0.5, -0.25, -3.0)
+    assert isinstance(node2._position, tuple)
