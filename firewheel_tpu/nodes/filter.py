@@ -67,10 +67,16 @@ class FilterProcessor(NodeProcessor):
         self._builder = _BUILDERS[node.filter_type]
         backend = node.backend
         if backend == "auto":
-            # The Pallas kernel wins on TPU at large batch (BatchRenderer);
-            # the associative scan is the portable default — a single-
-            # instance stereo filter has only 2 lanes, far below the
-            # kernel's lane tile.
+            # Measured head-to-head IN-GRAPH on v5e (same-process A/B/A,
+            # 64-node mixer, B=8192 K=32): scan 2.42 / pallas 2.78 / scan
+            # 2.39 ms per dispatch — inside a fused graph the scan wins
+            # (~15%): the standalone kernel's HBM win (docs/PERF.md) is
+            # outweighed by breaking XLA's fusion around the filter.
+            # "pallas" stays the right call for filter-dominated programs
+            # (many sections back-to-back) and for its exact sequential
+            # f32 semantics; opt in per node.  Cross-process comparisons
+            # on the tunnel are NOT valid evidence here — dispatch times
+            # for the identical program vary 2.4-5.8 ms across sessions.
             backend = "scan"
         self._backend = backend
 
@@ -96,7 +102,12 @@ class FilterProcessor(NodeProcessor):
         coeffs = self._builder(
             params["freq"], params["q"], params["gain_db"], self.sample_rate
         )
-        if self._backend == "pallas":
+        # inside the Pallas megakernel's trace a nested pallas_call is
+        # illegal — the mosaic_safe_scans context marks that trace, and
+        # the filter falls back to the (Mosaic-lowered) scan there
+        from ..ops import iir as _iir
+
+        if self._backend == "pallas" and not _iir._MOSAIC_SAFE_SCANS:
             from ..ops.pallas_iir import biquad_pallas, pallas_available
 
             y, (z1, z2) = biquad_pallas(

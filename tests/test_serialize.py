@@ -110,12 +110,11 @@ def kitchen_sink():
         g.connect(clipn, c, meter, c)
         g.connect(meter, c, loud, c)
         g.connect(loud, c, s2m, min(c, 1))
-    # mono branch: s2m -> spatializer -> (sums into out via binaural? no)
+    # mono branch: s2m -> spatializer -> graph_out; binaural/m2s stay
+    # unconnected on purpose (serialization must keep edge-less nodes)
     g.connect(s2m, 0, spat, 0)
     g.connect(spat, 0, g.graph_out_node(), 0)
     g.connect(spat, 1, g.graph_out_node(), 1)
-    # independent mono chain kept alive so binaural/m2s serialize too:
-    # beep isn't mono, so drive them from the sampler's... use m2s off s2m
     return g, {"smp": smp, "binaural": binaural, "m2s": m2s}
 
 
