@@ -97,6 +97,25 @@ class BatchRenderer:
     def _constrain(self, tree):
         if self._batched_sharding is None:
             return tree
+        if jax.process_count() > 1:
+            # Multi-host (DCN): this process can only place its
+            # addressable shard — lift host data through
+            # make_array_from_process_local_data.  Every process builds
+            # the same logical [B, ...] host tree (cheap — host memory)
+            # and contributes its contiguous slice; the dp ordering is
+            # process-major because make_mesh lays devices out in
+            # jax.devices() order.
+            per = self.batch // jax.process_count()
+            sl = slice(jax.process_index() * per, (jax.process_index() + 1) * per)
+
+            def lift(x):
+                x = np.asarray(x)
+                return jax.make_array_from_process_local_data(
+                    self._batched_sharding, np.ascontiguousarray(x[sl]),
+                    x.shape,
+                )
+
+            return jax.tree.map(lift, tree)
         return jax.tree.map(
             lambda x: jax.device_put(x, self._batched_sharding), tree
         )
