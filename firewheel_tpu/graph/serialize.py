@@ -54,6 +54,7 @@ _SCALAR_ATTRS: dict[str, list[str]] = {
     "MonoToStereoNode": [],
     "StereoToMonoNode": [],
     "StereoPanNode": ["_pan"],
+    "PitchShiftNode": ["_semitones", "_mix", "window_secs"],
     "StereoWidthNode": ["_width"],
     "FilterNode": ["filter_type", "backend", "_freq", "_q", "_gain_db"],
     "DelayCompNode": ["_delay_frames", "_delay_secs"],

@@ -11,6 +11,7 @@ from .hard_clip import HardClipNode
 from .channel import MonoToStereoNode, StereoToMonoNode
 from .sampler import LoopRange, SamplerNode
 from .pan import StereoPanNode
+from .pitch_shift import PitchShiftNode
 from .stereo_width import StereoWidthNode
 from .filter import FilterNode, FilterType
 from .fir import FirFilterNode, design_windowed_sinc
@@ -28,6 +29,7 @@ __all__ = [
     "LoopRange",
     "SamplerNode",
     "StereoPanNode",
+    "PitchShiftNode",
     "StereoWidthNode",
     "FilterNode",
     "FilterType",
