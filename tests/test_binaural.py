@@ -227,3 +227,32 @@ class TestStreaming:
 def test_activation_errors():
     with pytest.raises(NodeActivationError, match="1 \\(mono\\) input"):
         BinauralSpatializerNode().activate(SR, 128, 2, 2)
+
+
+def test_batched_instances_match_single():
+    """BatchRenderer over binaural graphs: every instance bit-matches the
+    single render (the node is vmap-safe end to end)."""
+    from firewheel_tpu import AudioGraph, AudioGraphConfig, ScheduleProgram
+    from firewheel_tpu.nodes import BeepTestNode
+    from firewheel_tpu.parallel import BatchRenderer
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b = g.add_node(0, 1, BeepTestNode(330.0, -15.0, True))
+    sp = g.add_node(1, 2, BinauralSpatializerNode(position=(0.8, 0.0, -1.0)))
+    g.connect(b, 0, sp, 0)
+    g.connect(sp, 0, g.graph_out_node(), 0)
+    g.connect(sp, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, 128)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+    br = BatchRenderer(prog, batch=3)
+    out, om, _ = br.render_chunk(
+        br.stack_params(), br.init_state(), num_blocks=4
+    )
+    out = np.asarray(out)
+    souts, _, _ = prog.render_chunk(
+        prog.collect_params(), prog.init_state(),
+        jnp.zeros((4, 0, 128), jnp.float32), jnp.zeros((4, 0), bool), 0,
+    )
+    for i in range(3):
+        np.testing.assert_allclose(out[i], np.asarray(souts), atol=1e-6)

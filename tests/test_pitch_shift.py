@@ -113,3 +113,28 @@ class TestPitch:
     def test_activation_errors(self):
         with pytest.raises(NodeActivationError, match="num_inputs"):
             PitchShiftNode().activate(SR, F, 2, 1)
+
+
+def test_streams_through_ctx():
+    """Public streaming path: live semitone changes ramp the pitch."""
+    from firewheel_tpu import ArraySink, AudioGraphConfig, FirewheelCtx, StreamConfig
+    from firewheel_tpu.nodes import BeepTestNode
+
+    cx = FirewheelCtx(AudioGraphConfig(0, 1))
+    g = cx.graph
+    beep = g.add_node(0, 1, BeepTestNode(440.0, -12.0, True))
+    node = PitchShiftNode(semitones=0.0)
+    ps = g.add_node(1, 1, node)
+    g.connect(beep, 0, ps, 0)
+    g.connect(ps, 0, g.graph_out_node(), 0)
+    sink = ArraySink()
+    cx.activate(StreamConfig(SR, 1, buffer_frames=256), sink=sink)
+    cx.render_offline(0.5)
+    node.set_semitones(12.0)   # live param: no recompile
+    cx.render_offline(0.5)
+    cx.deactivate()
+    a = sink.audio(1)[0]
+    first = a[SR // 4: SR // 2]
+    second = a[-SR // 4:]
+    assert abs(_peak_hz(first) - 440.0) < 20.0
+    assert abs(_peak_hz(second) - 880.0) < 36.0
