@@ -48,9 +48,14 @@ class PitchShiftProcessor(NodeProcessor):
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
-        # grain window: must exceed the block so a tap never crosses the
-        # write head mid-block; power of two keeps the ring mod cheap
-        w = max(int(node.window_secs * sample_rate), 2 * max_block_frames)
+        # grain window: the tap-position slack is W/8 (see kernel), so
+        # chunk invariance requires W >= 8*max_block_frames — otherwise a
+        # near-wrap tap could read samples written later in the same block
+        # and the output would depend on how the stream is chunked.  The
+        # floor scales the window up for large blocks (cpal's default 1024
+        # frames -> >= 8192) rather than breaking the invariant; power of
+        # two keeps the ring mod cheap.
+        w = max(int(node.window_secs * sample_rate), 8 * max_block_frames)
         self._window = 1 << (w - 1).bit_length()
 
     def group_key(self):
