@@ -155,11 +155,15 @@ class SoundDeviceSink:
     # -- engine-side sink protocol ---------------------------------------------
     def write(self, interleaved: np.ndarray, num_channels: int):
         data = np.asarray(interleaved, np.float32).reshape(-1)
-        self._started = True
         stalled = 0.0
         while len(data) and not self._closed:
             pushed = self._ring.push(data)
             data = data[pushed:]
+            # mark started only once samples are actually in the ring — an
+            # audio callback racing the first write must not count the
+            # pre-audio silence as an underflow
+            if pushed and not self._started:
+                self._started = True
             if len(data):
                 # ring full: wait for the callback to drain (backpressure —
                 # the engine-side pacing normally prevents ever landing

@@ -99,17 +99,24 @@ def gate(x, silent_flag):
     """Zero ``x`` where ``silent_flag`` is set, broadcasting the flag over
     ``x``'s trailing dims.
 
-    Mosaic-safe replacement for ``jnp.where(flag[..., None], 0, x)``: wide
-    selects whose i1 predicate needs a minor-dim insert (node pooling /
-    megakernel tile vmap) fail layout inference, while an f32 multiply
-    gate lowers everywhere and XLA fuses it identically.  Exact for finite
-    ``x`` (flag is 0/1).
+    XLA path: a real ``jnp.where`` select, so flagged-silent outputs are
+    *exactly* zero even if a kernel ever emits non-finite samples (a
+    blown-up filter state must not leak NaN through a silent mask —
+    ``0 * NaN`` would).  Mosaic path (megakernel trace): wide selects
+    whose i1 predicate needs a minor-dim insert (tile vmap) fail layout
+    inference, so the flag rides as an exact f32 0/1 multiply blend
+    instead — same value for finite ``x``, and the megakernel gates
+    eligibility to finite-state node families.
     """
     import jax.numpy as jnp
 
-    m = jnp.float32(1.0) - flag_f32(silent_flag)
+    from . import trace_mode
+
+    m = flag_f32(silent_flag)
     m = jnp.reshape(m, jnp.shape(m) + (1,) * (x.ndim - jnp.ndim(m)))
-    return x * m
+    if trace_mode.MOSAIC:
+        return x * (jnp.float32(1.0) - m)
+    return jnp.where(m != jnp.float32(0.0), jnp.zeros_like(x), x)
 
 
 def stream_time_from_sample(sample, sample_rate: float):

@@ -242,7 +242,7 @@ class MegaRenderer:
             shape = (tile,) + trailing
             return pl.BlockSpec(
                 shape, lambda i, *_: (i,) + (0,) * (len(shape) - 1),
-                memory_space=pltpu.ANY if self.interpret else pltpu.VMEM,
+                memory_space=pl.ANY if self.interpret else pltpu.VMEM,
             )
 
         in_specs = [leaf_spec(x) for x in p_leaves] + [
@@ -252,12 +252,12 @@ class MegaRenderer:
             pl.BlockSpec(
                 (tile, k_blocks, n_go, f),
                 lambda i, *_: (i, 0, 0, 0),
-                memory_space=pltpu.ANY if self.interpret else pltpu.VMEM,
+                memory_space=pl.ANY if self.interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (tile, k_blocks, 128),
                 lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.ANY if self.interpret else pltpu.VMEM,
+                memory_space=pl.ANY if self.interpret else pltpu.VMEM,
             ),
         ] + [leaf_spec(x) for x in s_leaves]
 

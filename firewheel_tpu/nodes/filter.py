@@ -103,11 +103,11 @@ class FilterProcessor(NodeProcessor):
             params["freq"], params["q"], params["gain_db"], self.sample_rate
         )
         # inside the Pallas megakernel's trace a nested pallas_call is
-        # illegal — the mosaic_safe_scans context marks that trace, and
+        # illegal — the mosaic trace-mode flag marks that trace, and
         # the filter falls back to the (Mosaic-lowered) scan there
-        from ..ops import iir as _iir
+        from ..core import trace_mode
 
-        if self._backend == "pallas" and not _iir._MOSAIC_SAFE_SCANS:
+        if self._backend == "pallas" and not trace_mode.MOSAIC:
             from ..ops.pallas_iir import biquad_pallas, pallas_available
 
             y, (z1, z2) = biquad_pallas(

@@ -65,29 +65,24 @@ class BiquadCoeffs(NamedTuple):
 # Mosaic-safe inclusive scan
 # ---------------------------------------------------------------------------
 
-_MOSAIC_SAFE_SCANS = False
-
-
 @contextlib.contextmanager
 def mosaic_safe_scans():
-    """Trace scans in their Mosaic-compilable form (Hillis–Steele).
+    """Trace kernels in their Mosaic-compilable form.
 
     ``lax.associative_scan`` emits zero-size strided slices at its
     recursion leaves, which Mosaic rejects ("vector types must have
     positive constant sizes") — the Pallas megakernel wraps its trace in
-    this context so every IIR scan lowers as the doubling scan instead.
-    The default XLA path keeps ``associative_scan`` (~2n work vs n·log n —
-    measurably cheaper across a graph full of smoothers and biquads).
-    Trace-time only; thread-local semantics are unnecessary because all
-    tracing rides the engine's single dispatch thread (CLAUDE.md hazard).
+    this context so every IIR scan lowers as the Hillis–Steele doubling
+    scan instead.  The default XLA path keeps ``associative_scan``
+    (~2n work vs n·log n — measurably cheaper across a graph full of
+    smoothers and biquads).  Delegates to the engine-wide trace-mode flag
+    (:mod:`firewheel_tpu.core.trace_mode`), which also switches the
+    silence-``gate`` emission in ``core.node``.
     """
-    global _MOSAIC_SAFE_SCANS
-    prev = _MOSAIC_SAFE_SCANS
-    _MOSAIC_SAFE_SCANS = True
-    try:
+    from ..core.trace_mode import mosaic_trace
+
+    with mosaic_trace():
         yield
-    finally:
-        _MOSAIC_SAFE_SCANS = prev
 
 
 def _affine_scan(compose, elems, identity, axis=-1):
@@ -95,7 +90,9 @@ def _affine_scan(compose, elems, identity, axis=-1):
     normally, the Hillis–Steele form under :func:`mosaic_safe_scans`.
     Both are log-depth and in the same rounding class (golden-tested in
     tests/test_dsp_ops.py)."""
-    if _MOSAIC_SAFE_SCANS:
+    from ..core import trace_mode
+
+    if trace_mode.MOSAIC:
         return _hs_affine_scan(compose, elems, identity, axis=axis)
     return jax.lax.associative_scan(compose, tuple(elems), axis=axis)
 
