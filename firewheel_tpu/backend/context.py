@@ -94,6 +94,7 @@ class FirewheelCtx:
             cfg.buffer_frames,
             user_cx if user_cx is not None else object(),
             chunk_blocks=cfg.chunk_buffers,
+            deferred_swap=cfg.deferred_swap,
         )
         assert processor is not None
 
@@ -148,9 +149,17 @@ class FirewheelCtx:
         result = self._cx.update()
         if self._active is not None:
             # automation runs on the stream clock (DESIGN_DOC.md:31 scope)
+            cfg = self._active.config
             self.automation.tick(
-                self._active.stream.frames_rendered
-                / self._active.config.sample_rate
+                self._active.stream.frames_rendered / cfg.sample_rate
+            )
+            # block-accurate lanes schedule one value per upcoming render
+            # block (consumed by the nodes' param timelines)
+            self.automation.tick_blocks(
+                self._active.stream.frames_rendered,
+                8 * cfg.buffer_frames * cfg.chunk_buffers,
+                cfg.sample_rate,
+                cfg.buffer_frames,
             )
             # Render ahead on this thread (see backend/stream.py: all device
             # work rides the caller's thread).

@@ -59,11 +59,19 @@ class StreamConfig:
         lookahead_buffers: int = 4,
         chunk_buffers: int = 1,
         warmup_full: bool = False,
+        deferred_swap: bool = True,
     ):
         """``chunk_buffers``: render up to this many stream buffers per
         device dispatch (one ``lax.scan``) — amortizes dispatch overhead on
         high-RTT transports; params/messages then apply at chunk
-        granularity."""
+        granularity.
+
+        ``deferred_swap`` (default on): live topology edits compile in the
+        background while the old schedule keeps rendering, and install as
+        soon as executable — the stream never stalls on an edit's XLA
+        compile.  Edits to a previously-seen graph shape install in
+        milliseconds via the cross-program compile cache.  Turn off for
+        the reference's strict install-next-buffer semantics."""
         self.sample_rate = sample_rate
         self.num_out_channels = num_out_channels
         self.num_in_channels = num_in_channels
@@ -74,6 +82,7 @@ class StreamConfig:
         #: precompile every power-of-two tail size at activate (see
         #: GraphProcessor.warmup)
         self.warmup_full = bool(warmup_full)
+        self.deferred_swap = bool(deferred_swap)
 
 
 class ArraySink:
@@ -306,7 +315,12 @@ class OutputStream:
             )
         self._pumping = True
         try:
-            return self._pump_locked(max_buffers)
+            rendered = self._pump_locked(max_buffers)
+            # Background-compile one step of any staged schedule AFTER
+            # filling the ring (maximal lookahead absorbs the compile
+            # pause); the swap happens inside once size-1 is executable.
+            self._processor.advance_pending(max_steps=1)
+            return rendered
         finally:
             self._pumping = False
 

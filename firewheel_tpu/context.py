@@ -69,8 +69,14 @@ class GraphContext:
         max_block_frames: int,
         user_cx: Any = None,
         chunk_blocks: int = 1,
+        deferred_swap: bool = False,
     ) -> Optional[GraphProcessor]:
-        """Create the processor; ``None`` if already active."""
+        """Create the processor; ``None`` if already active.
+
+        ``deferred_swap``: stage live topology edits and compile them in
+        the background while the old schedule keeps rendering (see
+        ``GraphProcessor.advance_pending``) — the streaming backend's
+        stall-free live-edit mode."""
         assert sample_rate != 0
         assert max_block_frames > 0
         if self._active is not None:
@@ -89,6 +95,7 @@ class GraphContext:
             max_block_frames=max_block_frames,
             user_cx=user_cx,
             chunk_blocks=chunk_blocks,
+            deferred_swap=deferred_swap,
         )
 
     def is_activated(self) -> bool:

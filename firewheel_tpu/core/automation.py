@@ -112,6 +112,11 @@ class _Lane:
     curve: AutomationCurve
     start_time: float
     loop: bool
+    #: block-accurate lane: the setter accepts ``at_sample=`` and the
+    #: automator schedules one value per render block ahead of the stream
+    block_accurate: bool = False
+    #: next stream sample to schedule (block-accurate lanes)
+    next_sample: int | None = None
 
 
 class ParamAutomator:
@@ -133,10 +138,19 @@ class ParamAutomator:
         curve: AutomationCurve,
         start_time: float = 0.0,
         loop: bool = False,
+        block_accurate: bool = False,
     ):
         """Bind ``setter`` (e.g. ``node.set_percent_volume``) to ``curve``.
-        ``key`` identifies the lane for removal (any hashable)."""
-        self._lanes[key] = _Lane(setter, curve, start_time, loop)
+        ``key`` identifies the lane for removal (any hashable).
+
+        ``block_accurate=True``: the setter must accept ``at_sample=`` (e.g.
+        ``VolumeNode.set_percent_volume``); the automator then schedules one
+        curve value per render block so the sweep applies block-accurately
+        even inside K-blocks-per-dispatch chunked streams (the reference's
+        per-block param application, volume.rs:92)."""
+        self._lanes[key] = _Lane(
+            setter, curve, start_time, loop, block_accurate=block_accurate
+        )
 
     def remove(self, key) -> bool:
         return self._lanes.pop(key, None) is not None
@@ -148,6 +162,8 @@ class ParamAutomator:
         done = []
         # setters may add/remove lanes (curve chaining) — snapshot first
         for key, lane in list(self._lanes.items()):
+            if lane.block_accurate:
+                continue  # driven by tick_blocks
             t = stream_time_secs - lane.start_time
             if t < 0:
                 continue
@@ -157,5 +173,47 @@ class ParamAutomator:
             if not lane.loop and t > lane.curve.end_time:
                 done.append(key)
         # finished one-shot lanes park at their final value and drop out
+        for key in done:
+            del self._lanes[key]
+
+    def tick_blocks(
+        self,
+        start_sample: int,
+        horizon_frames: int,
+        sample_rate: float,
+        block_frames: int,
+    ):
+        """Schedule block-accurate lane values for every block boundary in
+        ``[cursor, start_sample + horizon_frames)``.  Each boundary is
+        scheduled exactly once (a per-lane cursor), so over-scheduling
+        ahead of a backpressured stream never duplicates sets."""
+        end = int(start_sample) + int(horizon_frames)
+        done = []
+        for key, lane in list(self._lanes.items()):
+            if not lane.block_accurate:
+                continue
+            cur = (
+                lane.next_sample
+                if lane.next_sample is not None
+                else int(start_sample)
+            )
+            if cur % block_frames:
+                cur += block_frames - (cur % block_frames)
+            while cur < end:
+                t = cur / sample_rate - lane.start_time
+                if t >= 0:
+                    tt = (
+                        t % lane.curve.end_time
+                        if (lane.loop and lane.curve.end_time > 0)
+                        else t
+                    )
+                    lane.setter(lane.curve.value_at(tt), at_sample=cur)
+                cur += block_frames
+            lane.next_sample = cur
+            if (
+                not lane.loop
+                and (end / sample_rate - lane.start_time) > lane.curve.end_time
+            ):
+                done.append(key)
         for key in done:
             del self._lanes[key]

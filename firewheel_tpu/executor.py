@@ -53,6 +53,42 @@ def node_key(node_id: NodeID) -> str:
     return repr(node_id)
 
 
+class PerBlock:
+    """A param leaf carrying a per-block timeline: shape ``[K, ...]`` with
+    one value per block of a K-block chunk dispatch.
+
+    The reference applies params every block (an atomic load per
+    ``process``, volume.rs:92); chunked dispatch quantizes that to one
+    snapshot per chunk (~85 ms at the headline K=32).  Timeline leaves ride
+    the chunk scan's ``xs`` and are spliced into the param tree per block,
+    restoring block-accurate (2.67 ms) control latency inside a chunk.
+    Processors opt in with ``collect_timeline = True``; their
+    ``collect_params(blocks=K, start_sample=..., frames=..., consume=...)``
+    returns PerBlock leaves whenever ``start_sample`` is given."""
+
+    __slots__ = ("values",)
+
+    def __init__(self, values):
+        self.values = np.asarray(values)
+
+
+def _split_timelines(tree):
+    """Replace PerBlock leaves by their block-0 value (structure
+    placeholder) and collect the full ``[K, ...]`` timelines keyed by
+    flatten index — the index vocabulary both sides of the jit share."""
+    leaves, treedef = jax.tree.flatten(
+        tree, is_leaf=lambda x: isinstance(x, PerBlock)
+    )
+    static, timelines = [], {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, PerBlock):
+            static.append(leaf.values[0])
+            timelines[i] = leaf.values
+        else:
+            static.append(leaf)
+    return jax.tree.unflatten(treedef, static), timelines
+
+
 
 
 _RETRY_ERRORS = ("UNIMPLEMENTED", "INTERNAL", "UNAVAILABLE")
@@ -109,11 +145,15 @@ class _ResilientJit:
 
     _MAX_ATTEMPTS = 5
 
-    def __init__(self, fn, name: str, donate_argnums=()):
+    def __init__(self, fn, name: str, donate_argnums=(), **jit_kwargs):
+        """``jit_kwargs`` pass through to ``jax.jit`` (e.g.
+        ``out_shardings`` for the mesh-path renderers) on the primary jit
+        and on every retry rebuild."""
         self._fn = fn
         self._name = name
         self._donate = donate_argnums
-        self._jit = jax.jit(fn, donate_argnums=donate_argnums)
+        self._jit_kwargs = jit_kwargs
+        self._jit = jax.jit(fn, donate_argnums=donate_argnums, **jit_kwargs)
         self._ok = False
         self._attempt = 0
 
@@ -132,7 +172,13 @@ class _ResilientJit:
 
         trampoline.__name__ = f"{self._name}_retry{attempt}"
         trampoline.__qualname__ = trampoline.__name__
-        return jax.jit(trampoline, donate_argnums=self._donate)
+        return jax.jit(
+            trampoline, donate_argnums=self._donate, **self._jit_kwargs
+        )
+
+    def lower(self, *args, **kwargs):
+        """Passthrough to the current jit's ``lower`` (cost-model probes)."""
+        return self._jit.lower(*args, **kwargs)
 
     def __call__(self, *args):
         if self._ok:
@@ -168,6 +214,39 @@ class _ResilientJit:
 
 
 
+# ---------------------------------------------------------------------------
+# Cross-program compile cache
+# ---------------------------------------------------------------------------
+# Live topology edits build a FRESH ScheduleProgram, and a fresh jit means a
+# fresh XLA compile — seconds locally, minutes over the axon tunnel (the
+# reference recompiles in microseconds, context.rs:118-127).  But two
+# schedules that are *isomorphic* — same node kernels in the same order with
+# the same buffer wiring, all per-node differences living in params/state —
+# trace to the IDENTICAL computation.  ``NodeProcessor.group_key`` is
+# exactly that contract ("behaviorally identical given the same (params,
+# state, inputs)"), so a schedule whose every node has a non-None group_key
+# gets a canonical signature, and programs with equal signatures SHARE their
+# compiled packed-path executables + packers.  Editing a graph back to a
+# previously-seen shape (add voice, remove it, re-add it — the egui-editor
+# pattern) then installs in milliseconds: the "schedule-shape bucketing"
+# compile cache from VERDICT r2 item 1.
+#
+# The packed hot path makes this possible by keying its pytrees CANONICALLY
+# (schedule position, "n0017") instead of by NodeID, so arena indices never
+# leak into the traced structure; the public API (collect_params /
+# state_dict / node_key indexing) stays NodeID-keyed and is translated at
+# the render_packed boundary.  Unpacked paths (render_block/render_chunk —
+# the BatchRenderer/mesh entries) keep per-program jits: they are not on the
+# live-edit path.
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 64
+
+
+def clear_program_cache() -> None:
+    """Drop all shared compiled-program artifacts (mainly for tests)."""
+    _PROGRAM_CACHE.clear()
+
+
 class ScheduleProgram:
     """A compiled schedule bound to node processors, lowered to JAX fns.
 
@@ -186,6 +265,7 @@ class ScheduleProgram:
         sample_rate: int,
         donate_state: bool = False,
         group_nodes: bool = True,
+        share_compiled: bool = True,
     ):
         """``group_nodes``: pool behaviorally-identical consecutive nodes
         into one vmapped trace (see :meth:`NodeProcessor.group_key`).  A
@@ -208,10 +288,19 @@ class ScheduleProgram:
         graph_out_node = schedule.schedule[-1]
         self.num_graph_inputs = len(graph_in_node.output_buffers)
         self.num_graph_outputs = len(graph_out_node.input_buffers)
+        self._group_nodes = bool(group_nodes)
         self._plan = self._build_plan(group_nodes)
         self._plan_ungrouped = (
             self._plan if not group_nodes else None
         )  # built lazily for the megakernel (see _render)
+
+        # canonical (schedule-position) keys for the packed hot path; real
+        # NodeID keys stay the public pytree vocabulary
+        self._canon: dict[str, str] = {
+            node_key(sn.id): f"n{i:04d}"
+            for i, sn in enumerate(schedule.schedule)
+        }
+        self._canon_inv = {v: k for k, v in self._canon.items()}
 
         self._jit_block = _ResilientJit(
             functools.partial(self._render, self.max_block_frames),
@@ -225,6 +314,81 @@ class ScheduleProgram:
         self._state_packer = None
         self._jit_packed_cache: dict = {}
 
+        #: canonical shape signature, or None when some node opts out of
+        #: the behavioral-identity contract (group_key() is None)
+        self.signature = self._compute_signature() if share_compiled else None
+        if self.signature is not None:
+            donor = _PROGRAM_CACHE.get(self.signature)
+            if donor is not None:
+                # adopt the donor's packed-path artifacts: every warmed
+                # (frames, blocks) program and both packers are shared, so
+                # re-entering a previously-compiled shape costs a dispatch,
+                # not a compile
+                self._param_packer = donor._param_packer
+                self._state_packer = donor._state_packer
+                self._jit_packed_cache = donor._jit_packed_cache
+            else:
+                if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+                    _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+                _PROGRAM_CACHE[self.signature] = self
+
+    # -- canonical keying / signature ------------------------------------------
+    def _to_canon(self, tree: dict) -> dict:
+        return {self._canon[k]: v for k, v in tree.items()}
+
+    def _to_real(self, tree: dict) -> dict:
+        return {self._canon_inv[k]: v for k, v in tree.items()}
+
+    def _compute_signature(self):
+        """Canonical shape signature: node kernels in schedule order + the
+        buffer wiring under first-use renumbering.  Two programs with equal
+        signatures trace to identical computations over the canon-keyed
+        packed pytrees (the ``group_key`` behavioral-identity contract)."""
+        renum: dict[int, int] = {}
+
+        def canon_buf(b: int) -> int:
+            if b not in renum:
+                renum[b] = len(renum)
+            return renum[b]
+
+        entries = []
+        for sn in self.schedule.schedule:
+            proc = self._procs.get(node_key(sn.id))
+            if proc is None:
+                entry = ("<sentinel>",)
+            else:
+                gk = proc.group_key()
+                if gk is None:
+                    return None
+                entry = (
+                    type(proc).__name__,
+                    proc.num_inputs,
+                    proc.num_outputs,
+                    proc.sample_rate,
+                    proc.max_block_frames,
+                    gk,
+                )
+            ins = tuple(
+                ("clear",)
+                if ib.should_clear
+                else ("buf", canon_buf(ib.buffer_index))
+                for ib in sn.input_buffers
+            )
+            outs = tuple(canon_buf(ob.buffer_index) for ob in sn.output_buffers)
+            entries.append((entry, ins, outs))
+        sig = (
+            self.max_block_frames,
+            self.sample_rate,
+            bool(self._donate),
+            self._group_nodes,
+            tuple(entries),
+        )
+        try:
+            hash(sig)
+        except TypeError:  # an unhashable group_key opts the program out
+            return None
+        return sig
+
     # -- state / params ------------------------------------------------------
     def init_state(self) -> dict[str, Any]:
         state = {key: proc.init_state() for key, proc in self._procs.items()}
@@ -234,18 +398,43 @@ class ScheduleProgram:
             state = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
         return state
 
-    def collect_params(self, blocks: float = 1) -> dict[str, Any]:
+    def collect_params(
+        self,
+        blocks: float = 1,
+        start_sample: int | None = None,
+        frames: int | None = None,
+        consume: bool = True,
+    ) -> dict[str, Any]:
         """Host-side param snapshot for the next dispatch (the lock-free
         param channel; volume.rs:92's atomic load analog).
 
         ``blocks``: how many blocks the upcoming dispatch renders — host-side
         prefetchers (the streaming sampler's window) advance their shadow
         clocks by it.  Processors opt in by accepting a ``blocks`` kwarg.
+
+        ``start_sample``: the dispatch window's first absolute sample.
+        When given, timeline-capable processors (``collect_timeline``)
+        return :class:`PerBlock` leaves covering the window — scheduled
+        param changes land on their exact block.  ``consume=False`` is the
+        side-effect-free variant for warmup compiles: prefetchers don't
+        advance, scheduled sets aren't consumed, and timeline leaves come
+        back as constant vectors (same traced structure as the hot path).
         """
         out = {}
+        f = self.max_block_frames if frames is None else int(frames)
+        k = max(1, int(np.ceil(blocks)))
         for key, proc in self._procs.items():
-            if getattr(proc, "collect_accepts_blocks", False):
-                out[key] = proc.collect_params(blocks=blocks)
+            if getattr(proc, "collect_timeline", False):
+                out[key] = proc.collect_params(
+                    blocks=k,
+                    start_sample=start_sample,
+                    frames=f,
+                    consume=consume,
+                )
+            elif getattr(proc, "collect_accepts_blocks", False):
+                out[key] = proc.collect_params(
+                    blocks=blocks if consume else 0
+                )
             else:
                 out[key] = proc.collect_params()
         return out
@@ -490,14 +679,23 @@ class ScheduleProgram:
             self._state_packer = Packer(state_example)
 
     def pack_state(self, state):
-        """→ opaque packed state (keep between packed render calls)."""
+        """→ opaque packed state (keep between packed render calls).
+
+        ``state`` is NodeID-keyed (the public vocabulary); the packed
+        representation is canon-keyed so isomorphic schedules share
+        compiled programs (see the program-cache note above)."""
+        canon = self._to_canon(state)
         # blocks=0: structure-only snapshot — prefetching processors (the
-        # streaming sampler) must not advance their shadow clocks here
-        self._ensure_packers(self.collect_params(blocks=0), state)
-        return self._state_packer.pack(state)
+        # streaming sampler) must not advance their shadow clocks here;
+        # timeline leaves reduce to their placeholder for the packer
+        example = _split_timelines(
+            self._to_canon(self.collect_params(blocks=0))
+        )[0]
+        self._ensure_packers(example, canon)
+        return self._state_packer.pack(canon)
 
     def unpack_state(self, packed_state):
-        return self._state_packer.unpack(*packed_state)
+        return self._to_real(self._state_packer.unpack(*packed_state))
 
     def _packed_fn(self, frames: int, blocks: int):
         """Jitted packed step: ``blocks`` blocks of size ``frames``."""
@@ -508,10 +706,15 @@ class ScheduleProgram:
         ppack, spack = self._param_packer, self._state_packer
         sr = float(self.sample_rate)
 
-        def stepped(pgroups, ppass, sgroups, spass, gi, im, start_sample, status):
-            params = ppack.unpack(pgroups, ppass)
-            state = spack.unpack(sgroups, spass)
+        def stepped(
+            pgroups, ppass, timelines, sgroups, spass, gi, im, start_sample, status
+        ):
+            # canon-keyed on the wire; the owner's NodeID keys inside the
+            # trace (a zero-op pytree re-keying)
+            canon_params = ppack.unpack(pgroups, ppass)
+            state = self._to_real(spack.unpack(sgroups, spass))
             if blocks == 1:
+                params = self._to_real(canon_params)
                 info = BlockInfo(
                     stream_time_secs=stream_time_from_sample(start_sample, sr),
                     stream_sample=start_sample,
@@ -530,21 +733,30 @@ class ScheduleProgram:
                 times = stream_time_from_sample(samples, sr)
 
                 def body(st, xs):
-                    gi_k, im_k, sample, t = xs
+                    gi_k, im_k, sample, t, tl_k = xs
+                    p = canon_params
+                    if tl_k:
+                        # splice this block's timeline values over their
+                        # placeholders (indices share the canon flatten
+                        # order both sides of the jit)
+                        leaves, tdef = jax.tree.flatten(p)
+                        for i, v in tl_k.items():
+                            leaves[i] = v
+                        p = jax.tree.unflatten(tdef, leaves)
                     info = BlockInfo(
                         stream_time_secs=t,
                         stream_sample=sample,
                         stream_status=status,
                     )
                     out, om, st = self._render(
-                        frames, params, st, gi_k, im_k, info
+                        frames, self._to_real(p), st, gi_k, im_k, info
                     )
                     return st, (out, om)
 
                 state, (outs, oms) = jax.lax.scan(
-                    body, state, (gi, im, samples, times)
+                    body, state, (gi, im, samples, times, timelines)
                 )
-            sg, sp = spack.repack_traced(state)
+            sg, sp = spack.repack_traced(self._to_canon(state))
             return outs, oms, sg, sp
 
         fn = _ResilientJit(stepped, f"stepped{frames}x{blocks}")
@@ -571,12 +783,22 @@ class ScheduleProgram:
         frames = self.max_block_frames if frames is None else frames
         if self._param_packer is None:
             raise RuntimeError("call pack_state() before render_packed()")
-        pgroups, ppass = self._param_packer.pack(params)
+        canon, timelines = _split_timelines(self._to_canon(params))
+        if blocks == 1:
+            timelines = {}  # the placeholder already IS block 0's value
+        else:
+            for i, v in timelines.items():
+                assert v.shape[0] == blocks, (
+                    f"timeline leaf {i}: {v.shape[0]} entries for a "
+                    f"{blocks}-block dispatch"
+                )
+        pgroups, ppass = self._param_packer.pack(canon)
         sgroups, spass = packed_state
         fn = self._packed_fn(frames, blocks)
         outs, oms, sg, sp = fn(
             pgroups,
             ppass,
+            timelines,
             sgroups,
             spass,
             jnp.asarray(graph_in),

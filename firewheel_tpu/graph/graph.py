@@ -423,9 +423,12 @@ class AudioGraph:
             if entry.weight.activated:
                 entry.weight.node.deactivate(None)
                 entry.weight.activated = False
-            self._nodes_to_activate.append(
-                NodeID(idx, entry.weight.node.debug_name)
-            )
+            # requeue under the entry's ORIGINAL id: NodeID equality ignores
+            # the debug name but node_key (= repr) does not, and the
+            # sentinels' ids are named graph_in/graph_out while their node
+            # object is a Dummy — renaming them here would desync the
+            # processor's state keys from the schedule's
+            self._nodes_to_activate.append(entry.id)
 
     def update(self):
         for _, entry in self._nodes:

@@ -41,6 +41,11 @@ __all__ = ["VolumeNode", "VolumeProcessor"]
 
 
 class VolumeProcessor(NodeProcessor):
+    #: per-block param timelines: scheduled gain changes land on their
+    #: exact 128-frame block inside a K-block chunk dispatch (the
+    #: reference's per-block atomic load, volume.rs:92)
+    collect_timeline = True
+
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
@@ -50,8 +55,31 @@ class VolumeProcessor(NodeProcessor):
     def init_state(self):
         return {"gain": smoother_init(np.float32(self._node.raw_gain()))}
 
-    def collect_params(self):
-        return {"raw_gain": np.float32(self._node.raw_gain())}
+    def collect_params(
+        self, blocks=1, start_sample=None, frames=None, consume=True
+    ):
+        from ..executor import PerBlock
+
+        node = self._node
+        if start_sample is None:
+            # unpacked paths (BatchRenderer, direct kernels): plain scalar
+            return {"raw_gain": np.float32(node.raw_gain())}
+        f = int(frames or self.max_block_frames)
+        timeline = np.full(max(1, int(blocks)), node.raw_gain(), np.float32)
+        if consume and node._scheduled:
+            base = node._raw_gain
+            remaining = []
+            for at, g in node._scheduled:
+                b = (at - int(start_sample)) // f
+                if b >= blocks:
+                    remaining.append((at, g))
+                    continue
+                b = max(0, int(b))
+                timeline[b:] = g
+                base = g
+            node._raw_gain = base
+            node._scheduled = remaining
+        return {"raw_gain": PerBlock(timeline)}
 
     def group_key(self):
         return ()
@@ -88,16 +116,28 @@ class VolumeNode(AudioNode):
     def __init__(self, percent_volume: float):
         self._percent_volume = max(float(percent_volume), 0.0)
         self._raw_gain = float(percent_volume_to_raw_gain(np.float32(percent_volume)))
+        #: (at_sample, raw_gain) pairs awaiting their block (sorted)
+        self._scheduled: list[tuple[int, float]] = []
 
     def percent_volume(self) -> float:
         return self._percent_volume
 
-    def set_percent_volume(self, percent_volume: float):
-        """Live control (volume.rs:28-34)."""
-        self._raw_gain = float(
-            percent_volume_to_raw_gain(np.float32(percent_volume))
-        )
+    def set_percent_volume(self, percent_volume: float, at_sample: int | None = None):
+        """Live control (volume.rs:28-34).
+
+        ``at_sample``: absolute stream sample at which the change should
+        land — it applies on that sample's 128-frame block boundary even
+        inside a chunked (K-blocks-per-dispatch) stream, instead of at the
+        next chunk boundary.  ``None`` applies at the next dispatch and
+        clears any scheduled changes."""
+        g = float(percent_volume_to_raw_gain(np.float32(percent_volume)))
         self._percent_volume = max(float(percent_volume), 0.0)
+        if at_sample is None:
+            self._raw_gain = g
+            self._scheduled.clear()
+        else:
+            self._scheduled.append((int(at_sample), g))
+            self._scheduled.sort(key=lambda p: p[0])
 
     def raw_gain(self) -> float:
         return self._raw_gain

@@ -67,6 +67,27 @@ class ProcessorToContextMsg:
     is_dropped: bool = False
 
 
+@dataclasses.dataclass
+class _PendingSchedule:
+    """A staged schedule compiling in the background while the old one
+    keeps rendering (the deferred-install half of the live-edit story;
+    the reference swaps next block because its compile is microseconds,
+    context.rs:118-127 — ours is an XLA compile, so the swap waits until
+    the incoming programs are executable)."""
+
+    package: SchedulePackage
+    program: ScheduleProgram
+    #: processors added then removed while pending (deactivate via the
+    #: returned package, never installed)
+    extra_removed: list
+    #: throwaway packed state used for warmup compiles
+    packed_state: Any
+    #: dispatch sizes still to compile, in install order (1 first so the
+    #: swap can happen ASAP; larger chunk sizes keep warming after install)
+    to_warm: list
+    warmed: set
+
+
 class GraphProcessor:
     """Render-side half of the engine (FirewheelProcessor analog)."""
 
@@ -80,12 +101,21 @@ class GraphProcessor:
         max_block_frames: int,
         user_cx: Any = None,
         chunk_blocks: int = 1,
+        deferred_swap: bool = False,
     ):
         """``chunk_blocks``: when > 1, runs of that many full blocks render
         as ONE device dispatch (``lax.scan``), amortizing dispatch overhead
         at the cost of message-polling/param granularity (the reference
         polls per block, processor.rs:214; chunking polls per chunk).
-        Essential on high-RTT transports."""
+        Essential on high-RTT transports.
+
+        ``deferred_swap``: stage incoming schedules instead of installing
+        them immediately — the OLD schedule keeps rendering while the new
+        one's programs compile (driven by :meth:`advance_pending`, one
+        compile step per call), and the state-migrating swap happens only
+        once the new size-1 program is executable.  The streaming backend
+        turns this on; direct processor use keeps the reference's
+        install-next-block semantics."""
         assert num_stream_in_channels <= 64
         assert num_stream_out_channels <= 64
         chunk_blocks = max(1, int(chunk_blocks))
@@ -104,10 +134,13 @@ class GraphProcessor:
         self.sample_rate = int(sample_rate)
         self.max_block_frames = int(max_block_frames)
         self.user_cx = user_cx
+        self.deferred_swap = bool(deferred_swap)
+        self._warmup_full = False
 
         self._processors: dict[NodeID, NodeProcessor] = {}
         self._package: Optional[SchedulePackage] = None
         self._program: Optional[ScheduleProgram] = None
+        self._pending: Optional[_PendingSchedule] = None
         # recurrent state lives PACKED between dispatches (see packing.py);
         # unpacked views are materialized on demand (migration, readback)
         self._packed_state = None
@@ -127,7 +160,18 @@ class GraphProcessor:
 
     def _install_schedule(self, new_package: SchedulePackage) -> None:
         assert new_package.schedule.max_block_frames == self.max_block_frames
+        if self._program is not None and self.deferred_swap:
+            self._stage_schedule(new_package)
+        else:
+            self._swap_schedule(new_package)
 
+    def _swap_schedule(
+        self,
+        new_package: SchedulePackage,
+        program: Optional[ScheduleProgram] = None,
+        warmed: Optional[set] = None,
+        extra_removed: tuple = (),
+    ) -> None:
         old_package = self._package
         state = self.state_dict()  # unpack surviving state for migration
 
@@ -139,6 +183,7 @@ class GraphProcessor:
                 if proc is not None:
                     old_package.removed_node_processors.append((node_id, proc))
                 state.pop(node_key(node_id), None)
+            old_package.removed_node_processors.extend(extra_removed)
             try:
                 self._to_ctx.push(
                     ProcessorToContextMsg(returned_schedule=old_package)
@@ -153,16 +198,184 @@ class GraphProcessor:
             state[node_key(node_id)] = proc.init_state()
         new_package.new_node_processors = []
 
-        self._warmed_sizes = {1}
-        self._strict_sizes = False
+        if warmed is None:
+            self._warmed_sizes = {1}
+            self._strict_sizes = False
+        else:
+            # deferred install: only compiled sizes are dispatchable — the
+            # hot path floors its chunk size into this set, so a not-yet
+            # warmed chunk program degrades throughput, never stalls
+            self._warmed_sizes = {1} | warmed
+            self._strict_sizes = True
         self._package = new_package
-        self._program = ScheduleProgram(
+        self._program = program or ScheduleProgram(
             new_package.schedule, self._processors, self.sample_rate
         )
         # Prune state for nodes no longer scheduled (e.g. after deactivate).
         live = {node_key(nid) for nid in self._processors}
         state = {k: v for k, v in state.items() if k in live}
         self._packed_state = self._program.pack_state(state)
+
+    # -- deferred install (live-edit path) -------------------------------------
+    def _stage_schedule(self, new_package: SchedulePackage) -> None:
+        """Stage an incoming schedule: build its program (adopting cached
+        executables when the shape was seen before) and queue its warmup;
+        the old schedule keeps rendering until :meth:`advance_pending`
+        finishes the size-1 compile."""
+        extra_removed: list = []
+        if self._pending is not None:
+            # merge: the superseded pending was never installed, so its
+            # adds/removes fold into the new package relative to the LIVE
+            # processor set
+            prev = self._pending.package
+            extra_removed = self._pending.extra_removed
+            dead = set(new_package.nodes_to_remove)
+            merged_new = []
+            for nid, proc in (
+                prev.new_node_processors + new_package.new_node_processors
+            ):
+                if nid in dead:
+                    extra_removed.append((nid, proc))
+                else:
+                    merged_new.append((nid, proc))
+            removals = list(
+                dict.fromkeys(
+                    prev.nodes_to_remove + new_package.nodes_to_remove
+                )
+            )
+            new_package.nodes_to_remove = removals
+            new_package.new_node_processors = merged_new
+            self._pending = None
+
+        future = dict(self._processors)
+        for nid in new_package.nodes_to_remove:
+            future.pop(nid, None)
+        future.update(dict(new_package.new_node_processors))
+
+        program = ScheduleProgram(
+            new_package.schedule, future, self.sample_rate
+        )
+        warm_state = program.pack_state(
+            {node_key(nid): proc.init_state() for nid, proc in future.items()}
+        )
+
+        sizes = [1]
+        k = 2
+        while k <= self.chunk_blocks:
+            if self._warmup_full or k == self.chunk_blocks:
+                sizes.append(k)
+            k *= 2
+        self._pending = _PendingSchedule(
+            package=new_package,
+            program=program,
+            extra_removed=extra_removed,
+            packed_state=warm_state,
+            to_warm=sizes,
+            warmed=set(),
+        )
+
+    def has_pending(self) -> bool:
+        return self._pending is not None
+
+    def advance_pending(self, max_steps: int = 1) -> bool:
+        """Compile up to ``max_steps`` programs of the staged schedule;
+        install it (state-migrating swap) as soon as its size-1 program is
+        executable.  Returns True while work remains.  Called between
+        stream buffers — "background" compilation rides the single device
+        thread (the axon hazard forbids a compile thread), so each step
+        blocks for one compile, but the stream keeps serving the OLD
+        schedule between steps and the swap itself is instant."""
+        pend = self._pending
+        if pend is None:
+            return False
+        f = self.max_block_frames
+        n_gi = pend.program.num_graph_inputs
+        for _ in range(max_steps):
+            if not pend.to_warm:
+                break
+            k = pend.to_warm[0]
+            if k == 1:
+                gi = np.zeros((n_gi, f), np.float32)
+                im = np.ones((n_gi,), bool)
+            else:
+                gi = np.zeros((k, n_gi, f), np.float32)
+                im = np.ones((k, n_gi), bool)
+            try:
+                # rendering is pure: executing with throwaway state
+                # compiles the program and advances nothing (consume=False:
+                # no scheduled sets eaten, no prefetch clocks advanced)
+                params = pend.program.collect_params(
+                    blocks=k, start_sample=0, consume=False
+                )
+                pend.program.render_packed(
+                    params, pend.packed_state, gi, im, 0, blocks=k
+                )
+            except Exception as e:  # pragma: no cover - backend-dependent
+                log.error(
+                    "pending-schedule compile failed (%s); keeping the "
+                    "running schedule",
+                    e,
+                )
+                # return the stale package so the context can reconcile
+                self._swap_abandoned_pending()
+                return False
+            pend.to_warm.pop(0)
+            pend.warmed.add(k)
+            if pend.package is None:
+                # tail-warming an already-installed program: the freshly
+                # compiled chunk size becomes dispatchable immediately
+                self._warmed_sizes.add(k)
+                if not pend.to_warm:
+                    self._pending = None
+                    return False
+            elif 1 in pend.warmed:
+                # install at the earliest executable moment; remaining
+                # chunk sizes keep compiling on later calls
+                self._finalize_pending()
+                pend = self._pending
+                if pend is None:
+                    return False
+        return self._pending is not None
+
+    def _finalize_pending(self) -> None:
+        pend = self._pending
+        assert pend is not None
+        self._pending = None
+        self._swap_schedule(
+            pend.package,
+            program=pend.program,
+            warmed=set(pend.warmed),
+            extra_removed=tuple(pend.extra_removed),
+        )
+        if pend.to_warm:
+            # keep a tail-warming pending (package already installed)
+            pend.package = None
+            pend.extra_removed = []
+            self._pending = pend
+
+    def _swap_abandoned_pending(self) -> None:
+        """A pending compile failed: drop it, handing its never-installed
+        processors back for deactivation."""
+        pend = self._pending
+        self._pending = None
+        if pend is None or pend.package is None:
+            return
+        try:
+            self._to_ctx.push(
+                ProcessorToContextMsg(
+                    returned_schedule=SchedulePackage(
+                        pend.package.schedule,
+                        [],
+                        [],
+                        removed_node_processors=list(
+                            pend.package.new_node_processors
+                        )
+                        + list(pend.extra_removed),
+                    )
+                )
+            )
+        except ChannelFull:  # pragma: no cover
+            log.error("could not return abandoned pending schedule")
 
     def state_dict(self) -> dict:
         """Unpacked per-node state dict (for migration/checkpointing);
@@ -193,13 +406,17 @@ class GraphProcessor:
         stream dispatches).  ``full=True`` also compiles every power-of-two
         tail size — zero mid-stream compiles ever, at the cost of a longer
         activate (for strict-latency deployments)."""
+        self._warmup_full = self._warmup_full or bool(full)
         self.poll_messages()
+        # a staged schedule warms to completion here (warmup is the
+        # blocking entry point — activation, tests)
+        while self.advance_pending(max_steps=8):
+            pass
         if self._program is not None:
             try:
                 program = self._program
                 n_gi = program.num_graph_inputs
                 f = self.max_block_frames
-                params = program.collect_params(blocks=0)
                 # results discarded — rendering is pure
                 sizes = {1, self.chunk_blocks}
                 if full:
@@ -214,6 +431,13 @@ class GraphProcessor:
                     else:
                         gi = np.zeros((k, n_gi, f), np.float32)
                         im = np.ones((k, n_gi), bool)
+                    # side-effect-free collect WITH a start sample: the
+                    # warmed trace must match the hot path's (timeline
+                    # leaves present), without consuming scheduled sets or
+                    # advancing prefetch clocks
+                    params = program.collect_params(
+                        blocks=k, start_sample=0, consume=False
+                    )
                     program.render_packed(
                         params, self._packed_state, gi, im, 0, blocks=k
                     )
@@ -320,7 +544,11 @@ class GraphProcessor:
             # max_block_frames get a dedicated program per size so state
             # advances by exactly `block` frames (processor.rs:95-158).
             outs, oms, self._packed_state = program.render_packed(
-                program.collect_params(blocks=block / self.max_block_frames),
+                program.collect_params(
+                    blocks=block / self.max_block_frames,
+                    start_sample=sample,
+                    frames=block,
+                ),
                 self._packed_state,
                 gi[:, :block],
                 im,
@@ -386,7 +614,7 @@ class GraphProcessor:
             round(stream_time_secs * self.sample_rate)
         )
         outs, oms, self._packed_state = program.render_packed(
-            program.collect_params(blocks=k),
+            program.collect_params(blocks=k, start_sample=start_sample),
             self._packed_state,
             gi,
             im,
@@ -413,6 +641,11 @@ class GraphProcessor:
     def drop(self) -> None:
         """Ship all node processors back to the context for deactivation."""
         nodes = dict(self._processors)
+        if self._pending is not None and self._pending.package is not None:
+            # never-installed pending processors still need deactivation
+            nodes.update(dict(self._pending.package.new_node_processors))
+            nodes.update(dict(self._pending.extra_removed))
+        self._pending = None
         self._processors = {}
         try:
             self._to_ctx.push(
