@@ -37,24 +37,43 @@ from firewheel_tpu.parallel import BatchRenderer, make_mesh
 def program():
     g = AudioGraph(AudioGraphConfig(0, 2))
     b = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
-    v = g.add_node(2, 2, VolumeNode(100.0))
+    vn = VolumeNode(100.0)
+    v = g.add_node(2, 2, vn)
     g.connect(b, 0, v, 0); g.connect(b, 1, v, 1)
     g.connect(v, 0, g.graph_out_node(), 0); g.connect(v, 1, g.graph_out_node(), 1)
     pkg = g.compile(48000, 64)
-    return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), 48000)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), 48000)
+    return prog, vn
 
 B, K = 8, 2
-prog = program()
+prog, vol = program()
 mesh = make_mesh({"dp": 4})
 br = BatchRenderer(prog, batch=B, mesh=mesh, axis="dp")
-out, om, state = br.render_chunk(br.stack_params(), br.init_state(), num_blocks=K)
+params, state = br.stack_params(), br.init_state()
+out, om, state = br.render_chunk(params, state, num_blocks=K)
 # single-process unsharded reference (local devices only)
 ref = BatchRenderer(prog, batch=B)
-rout, _, _ = ref.render_chunk(ref.stack_params(), ref.init_state(), num_blocks=K)
+rparams, rstate = ref.stack_params(), ref.init_state()
+rout, _, rstate = ref.render_chunk(rparams, rstate, num_blocks=K)
 rout = np.asarray(rout)
 for s in out.addressable_shards:
     got = np.asarray(s.data)
     want = rout[s.index[0]]
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+# Multi-host per-instance control plane: update_instance must ride the
+# SPMD jitted scatter (the eager .at[].set / np.asarray lift faults on
+# non-addressable shards — ADVICE r2).  Every process makes the same call.
+vol.set_percent_volume(50.0)
+tree_i = prog.collect_params()
+params2 = br.update_instance(params, 3, tree_i)
+out2, _, _ = br.render_chunk(params2, state, num_blocks=K)
+rparams2 = ref.update_instance(rparams, 3, tree_i)
+rout2 = np.asarray(ref.render_chunk(rparams2, rstate, num_blocks=K)[0])
+# reference continued from rstate; re-render sharded from same point
+for s in out2.addressable_shards:
+    got = np.asarray(s.data)
+    want = rout2[s.index[0]]
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
 with open(out_path, "w") as f:
     f.write(f"RANK{rank}_OK")
