@@ -155,7 +155,7 @@ def main():
             log(f"  cost model unavailable: {type(e).__name__}: {e}")
             return None
 
-    def bench_config(batch, k_blocks, pipeline=8, trials=5, budget_s=240.0):
+    def bench_config(batch, k_blocks, pipeline=8, trials=7, budget_s=120.0):
         br = BatchRenderer(program, batch=batch)
         params = br.stack_params()
         state = br.init_state()
@@ -182,13 +182,18 @@ def main():
             wall = time.time() - t0
             return n_dispatch * audio_per_dispatch / wall, wall
 
+        # The trial budget starts AFTER compile (session setup + first
+        # compile can eat minutes on the tunnel; trials themselves are tens
+        # of ms) and never cuts below 5 trials — the harness standard is
+        # median of >=5.
+        t_cfg = time.time()
         rts = []
         for trial in range(trials):
             rt, wall = window(pipeline)
             rts.append(rt)
             log(f"  trial {trial}: {wall*1e3:.1f} ms for "
                 f"{pipeline*audio_per_dispatch:.1f} audio-s → {rt:.0f}x")
-            if time.time() - t_start > budget_s and len(rts) >= 3:
+            if time.time() - t_cfg > budget_s and len(rts) >= 5:
                 log("  (config budget reached)")
                 break
         median = float(np.median(rts))
@@ -261,7 +266,7 @@ def main():
                 "metric": (
                     "median realtime factor (audio-sec/sec/chip), 64-node "
                     f"48kHz stereo graph, batch={best_cfg[0]}, "
-                    f"K={best_cfg[1]}, median of >=3 trials; p99 block "
+                    f"K={best_cfg[1]}, median of >=5 trials; p99 block "
                     f"latency {best_res['p99_block_ms']:.3f} ms"
                 ),
                 "value": round(best_res["median"], 1),
