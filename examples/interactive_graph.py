@@ -177,10 +177,12 @@ class EngineApp:
         try:
             st = self.cx.node_state(self.meter)
             if st is not None:
-                meter_db = [round(float(x), 1)
+                # clamp at the meter's -100 dB floor: -inf (pure silence)
+                # is not valid JSON and would break the page's JSON.parse
+                meter_db = [round(max(float(x), -100.0), 1)
                             for x in DbMeterNode.read(st)["rms_db"]]
-        except Exception:
-            pass
+        except Exception as e:  # surface readback failures in the page log
+            self._log(f"meter readback failed: {type(e).__name__}: {e}")
         stream = self.cx.stream
         stats = {}
         if stream is not None:
@@ -226,7 +228,26 @@ class EngineApp:
                         self._apply(self.cmds.get_nowait())
                 except queue.Empty:
                     pass
-                self.cx.update()
+                res = self.cx.update()
+                if res.status.name == "DEACTIVATED":
+                    # a stream error deactivated the engine (the reference's
+                    # fault-tolerance story, lib.rs README:24): say so on
+                    # the page and re-activate on the next loop — without
+                    # this the editor keeps serving stale snapshots with a
+                    # null meter and empty stats while looking alive
+                    self._log(f"stream deactivated ({res.error}); "
+                              "re-activating")
+                    try:
+                        self.cx.activate(
+                            StreamConfig(SR, 2, buffer_frames=512,
+                                         realtime=True),
+                            sink=self.sink,
+                        )
+                        self._log("engine re-activated")
+                    except Exception as e:
+                        self._log(f"re-activation failed: "
+                                  f"{type(e).__name__}: {e}")
+                        time.sleep(0.5)
                 now = time.time()
                 if now - last_pub > 0.10:
                     self._publish()
