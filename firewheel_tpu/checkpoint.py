@@ -15,8 +15,18 @@ Format: a directory containing
 * ``meta.json``      — sample rate, block size, stream position, node keys.
 
 ``flax.serialization`` keeps the dependency footprint minimal and the files
-portable; swap in orbax for sharded multi-host arrays if state ever grows
-past host memory (audio state never does).
+portable.
+
+**Sharded fleets** (a dp-sharded :class:`~firewheel_tpu.parallel.mesh.
+BatchRenderer` spanning hosts — the SERVING.md story): per-process shard
+files.  Each process writes only its *addressable* slice of the batch axis
+(``state.rank<k>.msgpack``), rank 0 writes the fleet metadata, and restore
+lifts each process's slice back through
+``jax.make_array_from_process_local_data`` — no host ever gathers the
+global array, so checkpoints scale with per-host state, not fleet size.
+Entry points: :meth:`BatchRenderer.save_checkpoint` /
+:meth:`BatchRenderer.restore_checkpoint`, built on
+:func:`save_sharded_checkpoint` / :func:`load_sharded_local` here.
 """
 
 from __future__ import annotations
@@ -28,7 +38,13 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "restore_into"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "restore_into",
+    "save_sharded_checkpoint",
+    "load_sharded_local",
+]
 
 _STATE_FILE = "state.msgpack"
 _META_FILE = "meta.json"
@@ -36,6 +52,94 @@ _META_FILE = "meta.json"
 
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+# ---------------------------------------------------------------------------
+# Sharded (per-process) checkpointing
+# ---------------------------------------------------------------------------
+
+def _local_slice(x):
+    """This process's contiguous slice of a leading-axis-sharded array.
+
+    ``np.asarray`` on an array spanning non-addressable devices gathers or
+    faults; instead concatenate the *addressable* shards in index order.
+    Replicated leaves (every shard covers the full array) dedupe to one
+    copy."""
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    try:
+        shards = x.addressable_shards
+    except (AttributeError, RuntimeError):
+        return np.asarray(x)
+    by_start: dict[int, np.ndarray] = {}
+    for s in shards:
+        idx = s.index[0] if s.index else slice(None)
+        start = idx.start if isinstance(idx, slice) and idx.start else 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    parts = [by_start[k] for k in sorted(by_start)]
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+
+def save_sharded_checkpoint(
+    path: str, state, meta: dict | None = None
+) -> None:
+    """Write this process's shard of a (possibly multi-host) sharded state
+    pytree to ``path``; rank 0 also writes the fleet metadata.
+
+    Every process of the fleet must call this with the same ``path`` (a
+    shared filesystem) and the same logical state.  Single-process use
+    degenerates to one ``state.rank0.msgpack`` holding everything.
+    """
+    from flax import serialization
+
+    rank = jax.process_index()
+    os.makedirs(path, exist_ok=True)
+    local = jax.tree.map(_local_slice, state)
+    with open(os.path.join(path, f"state.rank{rank}.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(local))
+    if rank == 0:
+        full_meta = {
+            "sharded": True,
+            "process_count": jax.process_count(),
+            "node_keys": sorted(state.keys())
+            if isinstance(state, dict)
+            else None,
+        }
+        if meta:
+            reserved = set(full_meta) & set(meta)
+            if reserved:
+                raise ValueError(
+                    f"meta uses reserved keys {sorted(reserved)}; nest user "
+                    "metadata under your own key instead"
+                )
+            full_meta.update(meta)
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump(full_meta, f, indent=2)
+
+
+def load_sharded_local(path: str, local_template):
+    """Load this process's shard back → ``(local_state, meta)``.
+
+    ``local_template``: a pytree with the *local* (per-process) structure
+    and shapes — e.g. ``jax.tree.map(_local_slice, renderer.init_state())``.
+    The caller lifts the result onto devices
+    (``jax.make_array_from_process_local_data`` for multi-host meshes).
+    """
+    from flax import serialization
+
+    rank = jax.process_index()
+    with open(os.path.join(path, f"state.rank{rank}.msgpack"), "rb") as f:
+        local = serialization.from_bytes(_to_host(local_template), f.read())
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    if meta.get("process_count") != jax.process_count():
+        raise ValueError(
+            f"fleet size mismatch: checkpoint has "
+            f"{meta.get('process_count')} processes, this fleet has "
+            f"{jax.process_count()} (resharding requires equal counts)"
+        )
+    return local, meta
 
 
 def save_checkpoint(path: str, processor, extra_meta: dict | None = None) -> None:

@@ -166,6 +166,69 @@ class BatchRenderer:
         instances' recurrent state is untouched."""
         return self.update_instance(state, index, self.program.init_state())
 
+    # -- fleet checkpoint/restore ----------------------------------------------
+    def save_checkpoint(self, path: str, state, extra_meta: dict | None = None):
+        """Snapshot a (possibly multi-host dp-sharded) fleet's recurrent
+        state: each process writes only its addressable batch slice — no
+        host gathers the global array.  Every process calls this with the
+        same ``path`` (shared filesystem); see ``checkpoint.py``."""
+        from ..checkpoint import save_sharded_checkpoint
+
+        meta = {
+            "batch": self.batch,
+            "axis": self.axis,
+            "sample_rate": self.program.sample_rate,
+            "max_block_frames": self.program.max_block_frames,
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        save_sharded_checkpoint(path, state, meta)
+
+    def restore_checkpoint(self, path: str):
+        """Restore a fleet checkpoint → ``(state, meta)``; this process
+        reads its own shard file and lifts it straight to its addressable
+        devices (bit-exact resume, validated in tests/test_multiprocess.py
+        and tests/test_checkpoint.py)."""
+        from ..checkpoint import _local_slice, load_sharded_local
+
+        template = jax.tree.map(_local_slice, self.program.init_state())
+        per = self.batch // max(jax.process_count(), 1)
+        template = jax.tree.map(
+            lambda x: np.broadcast_to(np.asarray(x), (per,) + np.shape(x)),
+            template,
+        )
+        local, meta = load_sharded_local(path, template)
+        if meta.get("batch") != self.batch:
+            raise ValueError(
+                f"batch mismatch: checkpoint {meta.get('batch')} vs "
+                f"renderer {self.batch}"
+            )
+        if meta.get("sample_rate") != self.program.sample_rate:
+            raise ValueError(
+                f"sample-rate mismatch: checkpoint {meta.get('sample_rate')} "
+                f"vs program {self.program.sample_rate}"
+            )
+        return self._lift_local(local), meta
+
+    def _lift_local(self, local_tree):
+        """Place per-process-local ``[B/processes, ...]`` host leaves as the
+        (sharded) global batch tree."""
+        if self._batched_sharding is None:
+            return jax.tree.map(jnp.asarray, local_tree)
+        if jax.process_count() > 1:
+
+            def lift(x):
+                x = np.ascontiguousarray(np.asarray(x))
+                return jax.make_array_from_process_local_data(
+                    self._batched_sharding, x,
+                    (self.batch,) + x.shape[1:],
+                )
+
+            return jax.tree.map(lift, local_tree)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._batched_sharding), local_tree
+        )
+
     # -- rendering ------------------------------------------------------------
     def _build(self, num_blocks: int):
         chunk = self.program.chunk_fn(num_blocks)

@@ -89,3 +89,75 @@ def test_checkpoint_sample_rate_mismatch_rejected(tmp_path):
     with pytest.raises(ValueError, match="sample-rate"):
         cx2.load_checkpoint(ckpt)
     cx2.deactivate()
+
+
+class TestShardedFleetCheckpoint:
+    """VERDICT r2 item 5: a dp-sharded BatchRenderer fleet snapshots and
+    resumes bit-exactly via per-process shard files (no global gather).
+    Single-process here (4-device virtual dp mesh); the real two-process
+    DCN path runs in tests/test_multiprocess.py."""
+
+    def _program(self):
+        from firewheel_tpu import AudioGraph, AudioGraphConfig, ScheduleProgram
+        from firewheel_tpu.nodes import EchoNode
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        b = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+        e = g.add_node(2, 2, EchoNode(0.05, 0.4))
+        g.connect(b, 0, e, 0); g.connect(b, 1, e, 1)
+        g.connect(e, 0, g.graph_out_node(), 0)
+        g.connect(e, 1, g.graph_out_node(), 1)
+        pkg = g.compile(SR, 64)
+        return ScheduleProgram(
+            pkg.schedule, dict(pkg.new_node_processors), SR
+        )
+
+    def test_sharded_save_restore_bit_exact(self, tmp_path):
+        from firewheel_tpu.parallel import BatchRenderer, make_mesh
+
+        prog = self._program()
+        mesh = make_mesh({"dp": 4})
+        br = BatchRenderer(prog, batch=8, mesh=mesh, axis="dp")
+        params, state = br.stack_params(), br.init_state()
+        out1, _, state = br.render_chunk(params, state, num_blocks=4)
+
+        ck = str(tmp_path / "fleet_ck")
+        br.save_checkpoint(ck, state, extra_meta={"app": {"tick": 17}})
+        # ground truth: uninterrupted continuation
+        truth, _, _ = br.render_chunk(params, state, num_blocks=4)
+
+        # fresh fleet (new renderer, new program instance), restore, resume
+        br2 = BatchRenderer(self._program(), batch=8, mesh=mesh, axis="dp")
+        state2, meta = br2.restore_checkpoint(ck)
+        assert meta["app"] == {"tick": 17}
+        assert meta["batch"] == 8
+        out2, _, _ = br2.render_chunk(br2.stack_params(), state2, num_blocks=4)
+        np.testing.assert_array_equal(np.asarray(truth), np.asarray(out2))
+
+    def test_sharded_restore_validates(self, tmp_path):
+        from firewheel_tpu.parallel import BatchRenderer, make_mesh
+
+        prog = self._program()
+        mesh = make_mesh({"dp": 4})
+        br = BatchRenderer(prog, batch=8, mesh=mesh, axis="dp")
+        state = br.init_state()
+        ck = str(tmp_path / "fleet_ck2")
+        br.save_checkpoint(ck, state)
+        wrong = BatchRenderer(self._program(), batch=16, mesh=mesh, axis="dp")
+        with pytest.raises(ValueError, match="batch mismatch"):
+            wrong.restore_checkpoint(ck)
+
+    def test_unsharded_renderer_roundtrip(self, tmp_path):
+        """No mesh at all: degenerates to one rank file, same API."""
+        from firewheel_tpu.parallel import BatchRenderer
+
+        prog = self._program()
+        br = BatchRenderer(prog, batch=4)
+        params, state = br.stack_params(), br.init_state()
+        _, _, state = br.render_chunk(params, state, num_blocks=2)
+        ck = str(tmp_path / "solo_ck")
+        br.save_checkpoint(ck, state)
+        truth, _, _ = br.render_chunk(params, state, num_blocks=2)
+        state2, _ = br.restore_checkpoint(ck)
+        out2, _, _ = br.render_chunk(params, state2, num_blocks=2)
+        np.testing.assert_array_equal(np.asarray(truth), np.asarray(out2))

@@ -75,6 +75,30 @@ for s in out2.addressable_shards:
     got = np.asarray(s.data)
     want = rout2[s.index[0]]
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+# Fleet checkpoint/resume across the two hosts (VERDICT r2 item 5): each
+# process writes only its addressable shard, a FRESH renderer restores its
+# own shard through make_array_from_process_local_data, and the resumed
+# render is bit-exact vs the uninterrupted continuation.
+ck = os.path.join(os.path.dirname(out_path), "fleet_ck")
+br.save_checkpoint(ck, state, extra_meta={"app": {"tick": 7}})
+truth, _, _ = br.render_chunk(params2, state, num_blocks=K)
+assert os.path.exists(os.path.join(ck, f"state.rank{rank}.msgpack"))
+
+import time
+for _ in range(200):  # rank 0 writes meta.json; wait for the shared FS
+    if os.path.exists(os.path.join(ck, "meta.json")):
+        break
+    time.sleep(0.05)
+
+br3 = BatchRenderer(program()[0], batch=B, mesh=mesh, axis="dp")
+state3, meta = br3.restore_checkpoint(ck)
+assert meta["app"] == {"tick": 7}
+resumed, _, _ = br3.render_chunk(params2, state3, num_blocks=K)
+for s_t, s_r in zip(truth.addressable_shards, resumed.addressable_shards):
+    assert s_t.index == s_r.index
+    np.testing.assert_array_equal(np.asarray(s_t.data), np.asarray(s_r.data))
+
 with open(out_path, "w") as f:
     f.write(f"RANK{rank}_OK")
 print(f"RANK{rank}_OK", flush=True)
