@@ -233,6 +233,26 @@ class AudioNode:
 
     debug_name: str = "node"
 
+    #: silence in ⇒ silence out with no self-generated signal: the node may
+    #: be dropped from a compiled schedule when everything feeding it is
+    #: dormant (the opt-in compile-time pruning pass,
+    #: ``AudioGraph.prune_dormant`` — SURVEY §7 "(b) compile-time pruning").
+    #: Leave False for nodes with audible tails (echo/reverb/filters keep
+    #: rendering their decay) or observable state (meters keep reading).
+    silence_transparent: bool = False
+
+    def is_dormant(self) -> bool:
+        """True while this node is guaranteed to output silence (e.g. a
+        disabled generator).  With ``graph.prune_dormant`` set, dormant
+        nodes — and any ``silence_transparent`` subgraph fed only by them —
+        are dropped from the compiled schedule entirely (the static
+        counterpart of the reference's per-block silence-mask skipping,
+        volume.rs:94-100).  Flipping dormancy does NOT dirty the graph by
+        itself: call ``graph.notify_dormancy_changed()`` after toggling so
+        the next update() recompiles (recompile-on-enable; the pruned
+        node's recurrent state is parked and resumes frozen)."""
+        return False
+
     def info(self) -> AudioNodeInfo:
         raise NotImplementedError
 

@@ -280,9 +280,16 @@ class ScheduleProgram:
         self.schedule = schedule
         self.sample_rate = int(sample_rate)
         self.max_block_frames = schedule.max_block_frames
-        # Keyed copies for pytree plumbing.
+        # Keyed copies for pytree plumbing.  Restricted to SCHEDULED nodes:
+        # with dormancy pruning (graph.prune_dormant) the caller's
+        # processor dict may hold activated-but-unscheduled nodes — their
+        # state is parked host-side by GraphProcessor, not threaded
+        # through the program.
+        scheduled = {node_key(sn.id) for sn in schedule.schedule}
         self._procs: dict[str, NodeProcessor] = {
-            node_key(nid): proc for nid, proc in processors.items()
+            node_key(nid): proc
+            for nid, proc in processors.items()
+            if node_key(nid) in scheduled
         }
         graph_in_node = schedule.schedule[0]
         graph_out_node = schedule.schedule[-1]
@@ -683,8 +690,12 @@ class ScheduleProgram:
 
         ``state`` is NodeID-keyed (the public vocabulary); the packed
         representation is canon-keyed so isomorphic schedules share
-        compiled programs (see the program-cache note above)."""
-        canon = self._to_canon(state)
+        compiled programs (see the program-cache note above).  Keys for
+        nodes outside the schedule (dormancy-pruned) are ignored — the
+        GraphProcessor parks that state host-side."""
+        canon = self._to_canon(
+            {k: v for k, v in state.items() if k in self._canon}
+        )
         # blocks=0: structure-only snapshot — prefetching processors (the
         # streaming sampler) must not advance their shadow clocks here;
         # timeline leaves reduce to their placeholder for the packer

@@ -96,6 +96,38 @@ class _DummySentinel(AudioNode):
         return DummyProcessor(sample_rate, max_block_frames, num_inputs, num_outputs)
 
 
+class _ArenaView:
+    """Read-only arena facade hiding a set of slots from iteration/len —
+    how the pruning pass feeds the compiler a subgraph without cloning
+    the arena (NodeIDs must stay stable for state migration)."""
+
+    __slots__ = ("_arena", "_hidden")
+
+    def __init__(self, arena: Arena, hidden_slots: frozenset):
+        self._arena = arena
+        self._hidden = hidden_slots
+
+    def __iter__(self):
+        return (
+            (idx, entry)
+            for idx, entry in self._arena
+            if entry.id.idx.slot not in self._hidden
+        )
+
+    def __len__(self) -> int:
+        return len(self._arena) - len(self._hidden)
+
+    @property
+    def capacity(self) -> int:
+        return self._arena.capacity
+
+    def get(self, index):
+        return self._arena.get(index)
+
+    def get_by_slot(self, slot: int):
+        return self._arena.get_by_slot(slot)
+
+
 class AudioGraph:
     """User-mutable DAG compiled into :class:`CompiledSchedule`\\ s."""
 
@@ -122,6 +154,20 @@ class AudioGraph:
         self._nodes_to_remove_from_schedule: list[NodeID] = []
         self._nodes_to_activate: list[NodeID] = [self._graph_in_id, self._graph_out_id]
         self._active_nodes_to_remove: dict[NodeID, NodeEntry] = {}
+
+        #: opt-in compile-time pruning: dormant nodes (``AudioNode.
+        #: is_dormant``) and silence-transparent subgraphs fed only by them
+        #: are dropped from the compiled schedule — the static counterpart
+        #: of the reference's per-block silence skipping (volume.rs:94-100).
+        #: Re-enable via ``notify_dormancy_changed()``; parked state
+        #: resumes frozen (processor.py keeps it host-side).
+        self.prune_dormant = False
+
+    def notify_dormancy_changed(self) -> None:
+        """Mark the graph dirty after toggling a node's dormancy (e.g.
+        ``BeepTestNode.set_enabled``) so the next ``update()`` recompiles —
+        with ``prune_dormant`` set this is the recompile-on-enable hook."""
+        self._needs_compile = True
 
     # -- introspection -------------------------------------------------------
     def graph_in_node(self) -> NodeID:
@@ -331,16 +377,59 @@ class AudioGraph:
         return to_remove
 
     # -- compilation ---------------------------------------------------------
-    def _preprocess(self):
-        """Rebuild adjacency (compiler.rs:191-228)."""
+    def _preprocess(self, exclude_slots: frozenset = frozenset()):
+        """Rebuild adjacency (compiler.rs:191-228), optionally dropping
+        every edge touching an excluded node (the pruning pass)."""
         for _, entry in self._nodes:
             assert entry.num_inputs <= MAX_PORTS
             assert entry.num_outputs <= MAX_PORTS
             entry.incoming.clear()
             entry.outgoing.clear()
         for _, edge in self._edges:
+            if (
+                edge.src_node.idx.slot in exclude_slots
+                or edge.dst_node.idx.slot in exclude_slots
+            ):
+                continue
             self._nodes.get(edge.src_node.idx).outgoing.append(edge)
             self._nodes.get(edge.dst_node.idx).incoming.append(edge)
+
+    def _dormant_pruned_slots(self) -> frozenset:
+        """Arena slots dropped by the dormancy pruning pass: nodes whose
+        ``is_dormant()`` is True, then (to a fixed point) every
+        ``silence_transparent`` node all of whose connected inputs come
+        from pruned nodes.  Requires ``_preprocess()`` adjacency."""
+        sentinels = {self._graph_in_id.idx.slot, self._graph_out_id.idx.slot}
+        pruned: set[int] = set()
+        for _, entry in self._nodes:
+            slot = entry.id.idx.slot
+            if slot in sentinels:
+                continue
+            try:
+                dormant = bool(entry.weight.node.is_dormant())
+            except Exception:  # a user node with a broken hook must not
+                dormant = False  # take compilation down
+            if dormant:
+                pruned.add(slot)
+        changed = True
+        while changed:
+            changed = False
+            for _, entry in self._nodes:
+                slot = entry.id.idx.slot
+                if slot in pruned or slot in sentinels:
+                    continue
+                if not getattr(
+                    entry.weight.node, "silence_transparent", False
+                ):
+                    continue
+                if all(
+                    e.src_node.idx.slot in pruned for e in entry.incoming
+                ):
+                    # every *connected* input (possibly none) feeds from a
+                    # pruned node — this node can only emit silence
+                    pruned.add(slot)
+                    changed = True
+        return frozenset(pruned)
 
     def cycle_detected(self) -> bool:
         self._preprocess()
@@ -351,8 +440,14 @@ class AudioGraph:
         the reference unit-tests against (graph.rs:629-642)."""
         assert max_block_frames > 0
         self._preprocess()
+        nodes = self._nodes
+        if self.prune_dormant:
+            pruned = self._dormant_pruned_slots()
+            if pruned:
+                self._preprocess(exclude_slots=pruned)
+                nodes = _ArenaView(self._nodes, pruned)
         return compile_graph(
-            self._nodes, self._graph_in_id, self._graph_out_id, max_block_frames
+            nodes, self._graph_in_id, self._graph_out_id, max_block_frames
         )
 
     def compile(

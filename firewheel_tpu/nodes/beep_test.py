@@ -111,6 +111,12 @@ class BeepTestNode(AudioNode):
         """Live control; staged into the next dispatch (beep_test.rs:30-32)."""
         self._enabled = bool(enabled)
 
+    def is_dormant(self) -> bool:
+        """A disabled beep is pure silence — prunable from the schedule
+        when ``graph.prune_dormant`` is on (remember to call
+        ``graph.notify_dormancy_changed()`` after ``set_enabled``)."""
+        return not self._enabled
+
     def set_frequency(self, freq_hz: float):
         """Live frequency change (same clamp as construction,
         beep_test.rs:16); phase stays continuous — no click, no retrace."""

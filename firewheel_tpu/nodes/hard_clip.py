@@ -42,6 +42,10 @@ class HardClipProcessor(NodeProcessor):
 
 
 class HardClipNode(AudioNode):
+
+    #: silence in => silence out, no self-generated signal: prunable
+    #: by the dormancy pass (graph.prune_dormant)
+    silence_transparent = True
     debug_name = "hard_clip"
 
     def __init__(self, threshold_db: float):

@@ -71,6 +71,10 @@ class StereoPanProcessor(NodeProcessor):
 
 
 class StereoPanNode(AudioNode):
+
+    #: silence in => silence out, no self-generated signal: prunable
+    #: by the dormancy pass (graph.prune_dormant)
+    silence_transparent = True
     debug_name = "stereo_pan"
 
     def __init__(self, pan: float = 0.0):

@@ -53,6 +53,10 @@ class SumProcessor(NodeProcessor):
 
 
 class SumNode(AudioNode):
+
+    #: silence in => silence out, no self-generated signal: prunable
+    #: by the dormancy pass (graph.prune_dormant)
+    silence_transparent = True
     debug_name = "sum"
 
     def info(self) -> AudioNodeInfo:

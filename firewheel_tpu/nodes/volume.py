@@ -111,6 +111,10 @@ class VolumeProcessor(NodeProcessor):
 
 
 class VolumeNode(AudioNode):
+
+    #: silence in => silence out, no self-generated signal: prunable
+    #: by the dormancy pass (graph.prune_dormant)
+    silence_transparent = True
     debug_name = "volume"
 
     def __init__(self, percent_volume: float):

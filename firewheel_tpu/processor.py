@@ -141,6 +141,9 @@ class GraphProcessor:
         self._package: Optional[SchedulePackage] = None
         self._program: Optional[ScheduleProgram] = None
         self._pending: Optional[_PendingSchedule] = None
+        #: frozen state of activated-but-unscheduled nodes (dormancy
+        #: pruning) — revived when a recompile reschedules them
+        self._parked_state: dict[str, Any] = {}
         # recurrent state lives PACKED between dispatches (see packing.py);
         # unpacked views are materialized on demand (migration, readback)
         self._packed_state = None
@@ -211,9 +214,20 @@ class GraphProcessor:
         self._program = program or ScheduleProgram(
             new_package.schedule, self._processors, self.sample_rate
         )
-        # Prune state for nodes no longer scheduled (e.g. after deactivate).
+        # Split surviving state: scheduled nodes ride the packed hot path;
+        # activated-but-unscheduled nodes (dormancy pruning,
+        # graph.prune_dormant) PARK host-side and resume frozen when a
+        # recompile brings them back; removed nodes drop entirely.
         live = {node_key(nid) for nid in self._processors}
-        state = {k: v for k, v in state.items() if k in live}
+        sched = {node_key(sn.id) for sn in new_package.schedule.schedule}
+        for k in list(state):
+            if k not in live:
+                state.pop(k)
+                self._parked_state.pop(k, None)
+            elif k not in sched:
+                self._parked_state[k] = state.pop(k)
+        for k in sched & set(self._parked_state):
+            state.setdefault(k, self._parked_state.pop(k))
         self._packed_state = self._program.pack_state(state)
 
     # -- deferred install (live-edit path) -------------------------------------
@@ -379,13 +393,20 @@ class GraphProcessor:
 
     def state_dict(self) -> dict:
         """Unpacked per-node state dict (for migration/checkpointing);
-        the steady-state representation stays packed."""
+        the steady-state representation stays packed.  Includes parked
+        (dormancy-pruned) nodes so checkpoints carry the whole graph."""
         if self._packed_state is None or self._program is None:
-            return {}
-        return self._program.unpack_state(self._packed_state)
+            return dict(self._parked_state)
+        out = dict(self._parked_state)
+        out.update(self._program.unpack_state(self._packed_state))
+        return out
 
     def set_state_dict(self, state: dict) -> None:
         assert self._program is not None
+        scheduled = set(self._program._procs)
+        for k, v in state.items():
+            if k not in scheduled and k in self._parked_state:
+                self._parked_state[k] = v
         self._packed_state = self._program.pack_state(state)
 
     def node_state(self, node_id: NodeID):
