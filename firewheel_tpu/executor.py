@@ -505,59 +505,44 @@ class ScheduleProgram:
         return plan
 
     # -- tracing -------------------------------------------------------------
-    def _render(self, frames: int, params, state, graph_in, in_mask,
-                info: BlockInfo, pad_empty: bool = False):
-        """Trace one block through the schedule (schedule.rs:289-343).
-
-        ``pad_empty``: Mosaic-safe tracing mode for the Pallas megakernel.
-        Two Mosaic limits shape it (probed on v5e, jax 0.9):
-
-        * zero-size arrays feeding ops fail MLIR typing — zero-row input
-          stacks (source nodes) pad to one dead zero row.  Node kernels key
-          behavior off their declared port counts, never off
-          ``inputs.shape[0]``, so the extra silent row is inert.
-        * i1 vectors built by stacking *replicated* boolean scalars need an
-          ``i1->i32`` vreg relayout Mosaic rejects ("Invalid vector
-          register cast") — so silence flags ride between nodes as f32 0/1
-          scalars; kernel-input masks are rebuilt with a ``!= 0`` compare
-          (a natural-layout i1, which Mosaic supports), and the graph-out
-          mask returns as an f32 0/1 vector instead of bool.
-        * node pooling's member-vmap SIGABRTs the Mosaic compiler — the
-          megakernel traces the ungrouped plan (pooling only shrinks
-          compile time; outputs are equivalent).
-        """
-        sched = self.schedule.schedule
-        bufs: dict[int, jnp.ndarray] = {}
-        flags: dict[int, jnp.ndarray] = {}
-        new_state: dict[str, Any] = {}
-
+    @staticmethod
+    def _flag_ops(pad_empty: bool):
+        """Per-buffer silence-flag representation: plain bools on the XLA
+        path, f32 0/1 scalars in Mosaic-safe (``pad_empty``) traces — see
+        the :meth:`_render` docstring for the probed Mosaic rules."""
         if pad_empty:
-            # Mosaic-safe flag representation: f32 0/1 scalars (see above);
-            # the encoding is core.node.flag_f32 — one definition to keep
-            # in sync with the node-side helpers
             from .core.node import flag_f32 as flag_store
 
             def flag_is_set(f):
                 return f != jnp.float32(0.0)
 
-            _true_flag = jnp.float32(1.0)
-        else:
-            def flag_store(b):
-                return b
+            return flag_store, flag_is_set, jnp.float32(1.0)
 
-            def flag_is_set(f):
-                return f
+        def flag_store(b):
+            return b
 
-            _true_flag = jnp.asarray(True)
+        def flag_is_set(f):
+            return f
 
-        # Graph inputs (prepare_graph_inputs, schedule.rs:213-253).
-        for i, ob in enumerate(sched[0].output_buffers):
-            bufs[ob.buffer_index] = graph_in[i]
-            flags[ob.buffer_index] = flag_store(in_mask[i])
-        key0 = node_key(sched[0].id)
-        if key0 in self._procs:
-            new_state[key0] = state[key0]
+        return flag_store, flag_is_set, jnp.asarray(True)
 
+    def plan_for(self, pad_empty: bool):
+        """The execution plan: pooled groups on the XLA path; strictly
+        ungrouped under Mosaic (member-vmap SIGABRTs the Mosaic compiler)."""
+        if pad_empty:
+            if self._plan_ungrouped is None:
+                self._plan_ungrouped = self._build_plan(False)
+            return self._plan_ungrouped
+        return self._plan
+
+    def _walk_segment(self, frames, plan, params, state, bufs, flags,
+                      info: BlockInfo, pad_empty: bool, new_state: dict):
+        """Execute plan entries in schedule order against explicit buffer/
+        flag environments (mutated in place).  Factored out of
+        :meth:`_render` so the hybrid megakernel
+        (``executor_pallas.HybridMegaRenderer``) can run sub-schedule
+        segments with live-in/live-out buffers as kernel operands."""
+        flag_store, flag_is_set, _true_flag = self._flag_ops(pad_empty)
         zeros_row = jnp.zeros((frames,), jnp.float32)
 
         def gather_inputs(sn):
@@ -595,13 +580,6 @@ class ScheduleProgram:
                 bufs[ob.buffer_index] = outputs[j]
                 flags[ob.buffer_index] = flag_store(out_mask[j])
 
-        # Interior nodes, in schedule order (identical pools vmapped).
-        if pad_empty:
-            if self._plan_ungrouped is None:
-                self._plan_ungrouped = self._build_plan(False)
-            plan = self._plan_ungrouped
-        else:
-            plan = self._plan
         for kind, members in plan:
             if kind == "single":
                 sn = members[0]
@@ -634,6 +612,50 @@ class ScheduleProgram:
             for j, (sn, key) in enumerate(zip(members, keys)):
                 new_state[key] = jax.tree.map(lambda x: x[j], st_g)
                 scatter_outputs(sn, outs_g[j], om_g[j])
+
+    def _render(self, frames: int, params, state, graph_in, in_mask,
+                info: BlockInfo, pad_empty: bool = False):
+        """Trace one block through the schedule (schedule.rs:289-343).
+
+        ``pad_empty``: Mosaic-safe tracing mode for the Pallas megakernel.
+        Two Mosaic limits shape it (probed on v5e, jax 0.9):
+
+        * zero-size arrays feeding ops fail MLIR typing — zero-row input
+          stacks (source nodes) pad to one dead zero row.  Node kernels key
+          behavior off their declared port counts, never off
+          ``inputs.shape[0]``, so the extra silent row is inert.
+        * i1 vectors built by stacking *replicated* boolean scalars need an
+          ``i1->i32`` vreg relayout Mosaic rejects ("Invalid vector
+          register cast") — so silence flags ride between nodes as f32 0/1
+          scalars; kernel-input masks are rebuilt with a ``!= 0`` compare
+          (a natural-layout i1, which Mosaic supports), and the graph-out
+          mask returns as an f32 0/1 vector instead of bool.
+        * node pooling's member-vmap SIGABRTs the Mosaic compiler — the
+          megakernel traces the ungrouped plan (pooling only shrinks
+          compile time; outputs are equivalent).
+        """
+        sched = self.schedule.schedule
+        bufs: dict[int, jnp.ndarray] = {}
+        flags: dict[int, jnp.ndarray] = {}
+        new_state: dict[str, Any] = {}
+
+        flag_store, flag_is_set, _true_flag = self._flag_ops(pad_empty)
+
+        # Graph inputs (prepare_graph_inputs, schedule.rs:213-253).
+        for i, ob in enumerate(sched[0].output_buffers):
+            bufs[ob.buffer_index] = graph_in[i]
+            flags[ob.buffer_index] = flag_store(in_mask[i])
+        key0 = node_key(sched[0].id)
+        if key0 in self._procs:
+            new_state[key0] = state[key0]
+
+        zeros_row = jnp.zeros((frames,), jnp.float32)
+
+        # Interior nodes, in schedule order (identical pools vmapped).
+        self._walk_segment(
+            frames, self.plan_for(pad_empty), params, state, bufs, flags,
+            info, pad_empty, new_state,
+        )
 
         # Graph outputs (read_graph_outputs, schedule.rs:255-287): flagged
         # channels read as zero, exactly like interleave-with-mask.

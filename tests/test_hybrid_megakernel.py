@@ -1,0 +1,193 @@
+"""Hybrid megakernel: Pallas islands between XLA stages (VERDICT r2 item 4).
+
+The BASELINE effects-chain (sampler → filter → echo → clip → reverb)
+could never take the all-or-nothing megakernel; the hybrid partitions the
+schedule so every Mosaic-eligible run executes as a Pallas island with
+its live buffers as kernel operands, and the rest (FFT reverb, gather
+samplers) stays on the exact XLA path.  Stream-input graphs work too —
+graph_in rows are just live-in buffers of the first segment (item 4a).
+
+All parity is against the XLA BatchRenderer chunk path (interpret-mode
+Pallas on CPU; on-chip measurement in docs/PERF.md).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from firewheel_tpu import AudioGraph, AudioGraphConfig, ScheduleProgram
+from firewheel_tpu.core.sample_resource import SampleResource
+from firewheel_tpu.executor_pallas import (
+    HybridMegaRenderer,
+    partition_schedule,
+)
+from firewheel_tpu.nodes import (
+    BeepTestNode,
+    ConvolutionReverbNode,
+    EchoNode,
+    FilterNode,
+    HardClipNode,
+    SamplerNode,
+    StereoPanNode,
+    SumNode,
+    VolumeNode,
+)
+from firewheel_tpu.parallel import BatchRenderer
+
+SR, F = 48000, 128
+B, K = 8, 4
+
+
+def _program(g):
+    pkg = g.compile(SR, F)
+    return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+
+def effects_chain_program():
+    """BASELINE config 4: sampler → filter → echo → clip → reverb."""
+    rng = np.random.default_rng(3)
+    clip_audio = (rng.standard_normal((2, 4096)) * 0.25).astype(np.float32)
+    ir = (rng.standard_normal((2, 256)) * np.exp(
+        -np.arange(256, dtype=np.float32) / 48.0
+    )).astype(np.float32)
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    sampler_node = SamplerNode(percent_volume=100.0, quality="cubic")
+    sampler_node.set_sample(SampleResource(clip_audio))
+    sampler_node.play()
+    sampler = g.add_node(0, 2, sampler_node)
+    filt = g.add_node(2, 2, FilterNode("lowpass", frequency_hz=6000.0, q=0.9))
+    echo = g.add_node(2, 2, EchoNode(delay_secs=0.01, feedback=0.35, wet=0.4))
+    clip = g.add_node(2, 2, HardClipNode(threshold_db=-3.0))
+    rev = g.add_node(2, 2, ConvolutionReverbNode(ir, wet=0.35))
+    chain = [sampler, filt, echo, clip, rev, g.graph_out_node()]
+    for a, b in zip(chain[:-1], chain[1:]):
+        for ch in range(2):
+            g.connect(a, ch, b, ch)
+    return _program(g)
+
+
+def stream_in_program():
+    """Graph with stream inputs: in → volume → pan → clip → out."""
+    g = AudioGraph(AudioGraphConfig(2, 2))
+    vol = g.add_node(2, 2, VolumeNode(80.0))
+    pan = g.add_node(2, 2, StereoPanNode(0.25))
+    clip = g.add_node(2, 2, HardClipNode(0.0))
+    chain = [g.graph_in_node(), vol, pan, clip, g.graph_out_node()]
+    for a, b in zip(chain[:-1], chain[1:]):
+        for ch in range(2):
+            g.connect(a, ch, b, ch)
+    return _program(g)
+
+
+def mixer_program():
+    """All-eligible source graph: one island end to end."""
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b1 = g.add_node(0, 2, BeepTestNode(440, -18, True))
+    b2 = g.add_node(0, 2, BeepTestNode(660, -18, True))
+    v = g.add_node(2, 2, VolumeNode(80.0))
+    s = g.add_node(4, 2, SumNode())
+    c = g.add_node(2, 2, HardClipNode(0.0))
+    g.connect(b1, 0, v, 0); g.connect(b1, 1, v, 1)
+    g.connect(v, 0, s, 0); g.connect(v, 1, s, 1)
+    g.connect(b2, 0, s, 2); g.connect(b2, 1, s, 3)
+    g.connect(s, 0, c, 0); g.connect(s, 1, c, 1)
+    g.connect(c, 0, g.graph_out_node(), 0)
+    g.connect(c, 1, g.graph_out_node(), 1)
+    return _program(g)
+
+
+def _xla_reference(prog, params, state, graph_in=None, in_mask=None,
+                   start_sample=0):
+    """Reference: the XLA BatchRenderer chunk path."""
+    br = BatchRenderer(prog, batch=B)
+    gi = (
+        jnp.zeros((B, K, prog.num_graph_inputs, F), jnp.float32)
+        if graph_in is None
+        else graph_in
+    )
+    im = (
+        jnp.ones((B, K, prog.num_graph_inputs), bool)
+        if in_mask is None
+        else in_mask
+    )
+    return br.render_chunk(
+        params, state, gi, im, start_sample=start_sample, num_blocks=K
+    )
+
+
+class TestPartition:
+    def test_effects_chain_partitions(self):
+        prog = effects_chain_program()
+        segs = partition_schedule(prog)
+        kinds = [k for k, _ in segs]
+        # sampler (xla) | filter+echo+clip island | reverb (xla)
+        assert kinds == ["xla", "mega", "xla"]
+        assert [len(n) for _, n in segs] == [1, 3, 1]
+
+    def test_all_eligible_is_one_island(self):
+        prog = mixer_program()
+        segs = partition_schedule(prog)
+        assert [k for k, _ in segs] == ["mega"]
+
+    def test_min_island_folds_tiny_runs(self):
+        prog = effects_chain_program()
+        segs = partition_schedule(prog, min_island=5)
+        assert [k for k, _ in segs] == ["xla"]
+
+
+class TestHybridParity:
+    def test_effects_chain_matches_xla(self):
+        prog = effects_chain_program()
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=4,
+                                interpret=True)
+        params, state = hy.stack_params(), hy.init_state()
+        out_h, om_h, st_h = hy.render_chunk(params, state)
+        out_x, om_x, st_x = _xla_reference(prog, params, state)
+        np.testing.assert_allclose(
+            np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(om_h), np.asarray(om_x))
+
+    def test_stream_input_graph(self):
+        prog = stream_in_program()
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=4,
+                                interpret=True, min_island=1)
+        assert any(k == "mega" for k, _ in hy.segments)
+        rng = np.random.default_rng(11)
+        gi = jnp.asarray(rng.standard_normal((B, K, 2, F)), jnp.float32) * 0.3
+        im = jnp.zeros((B, K, 2), bool)
+        params, state = hy.stack_params(), hy.init_state()
+        out_h, om_h, _ = hy.render_chunk(params, state, gi, im)
+        out_x, om_x, _ = _xla_reference(prog, params, state, gi, im)
+        np.testing.assert_allclose(
+            np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(om_h), np.asarray(om_x))
+
+    def test_single_island_source_graph(self):
+        prog = mixer_program()
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=4,
+                                interpret=True)
+        params, state = hy.stack_params(), hy.init_state()
+        out_h, _, _ = hy.render_chunk(params, state)
+        out_x, _, _ = _xla_reference(prog, params, state)
+        np.testing.assert_allclose(
+            np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
+        )
+
+    def test_state_carries_across_chunks(self):
+        prog = effects_chain_program()
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=4,
+                                interpret=True)
+        params, state = hy.stack_params(), hy.init_state()
+        out1, _, st1 = hy.render_chunk(params, state, start_sample=0)
+        out2, _, _ = hy.render_chunk(params, st1, start_sample=K * F)
+
+        out_x1, _, sx1 = _xla_reference(prog, params, state)
+        out_x2, _, _ = _xla_reference(
+            prog, params, sx1, start_sample=K * F
+        )
+        np.testing.assert_allclose(
+            np.asarray(out2), np.asarray(out_x2), atol=2e-6, rtol=0
+        )
