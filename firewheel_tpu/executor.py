@@ -266,6 +266,7 @@ class ScheduleProgram:
         donate_state: bool = False,
         group_nodes: bool = True,
         share_compiled: bool = True,
+        strip_masks: bool = False,
     ):
         """``group_nodes``: pool behaviorally-identical consecutive nodes
         into one vmapped trace (see :meth:`NodeProcessor.group_key`).  A
@@ -277,6 +278,10 @@ class ScheduleProgram:
         # next to audio buffers) and is unsupported on some backends (e.g.
         # the axon TPU tunnel), so it is opt-in.
         self._donate = (1,) if donate_state else ()
+        #: measurement-only ablation (see _flag_ops): constant-fold the
+        #: silence-mask threading away; audio values are unchanged, output
+        #: masks are meaningless.  Used by the PERF.md silence-cost A/B.
+        self._strip_masks = bool(strip_masks)
         self.schedule = schedule
         self.sample_rate = int(sample_rate)
         self.max_block_frames = schedule.max_block_frames
@@ -388,6 +393,7 @@ class ScheduleProgram:
             self.sample_rate,
             bool(self._donate),
             self._group_nodes,
+            self._strip_masks,
             tuple(entries),
         )
         try:
@@ -505,11 +511,25 @@ class ScheduleProgram:
         return plan
 
     # -- tracing -------------------------------------------------------------
-    @staticmethod
-    def _flag_ops(pad_empty: bool):
+    def _flag_ops(self, pad_empty: bool):
         """Per-buffer silence-flag representation: plain bools on the XLA
         path, f32 0/1 scalars in Mosaic-safe (``pad_empty``) traces — see
-        the :meth:`_render` docstring for the probed Mosaic rules."""
+        the :meth:`_render` docstring for the probed Mosaic rules.
+
+        ``strip_masks`` (measurement ablation): every stored flag becomes
+        the not-silent constant, so XLA constant-folds the entire mask
+        threading out of the program — the A/B that bounds what silence
+        semantics cost the fused executable (docs/PERF.md)."""
+        if self._strip_masks:
+            const = jnp.float32(0.0) if pad_empty else jnp.asarray(False)
+
+            def flag_store(_):
+                return const
+
+            def flag_is_set(f):
+                return f != jnp.float32(0.0) if pad_empty else f
+
+            return flag_store, flag_is_set, const
         if pad_empty:
             from .core.node import flag_f32 as flag_store
 

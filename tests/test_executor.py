@@ -248,3 +248,57 @@ def test_mixer_graph_sum():
         acc = (acc + tone).astype(np.float32)
     expected = np.clip(acc, -1.0, 1.0)
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6, rtol=0)
+
+
+class TestStateDonation:
+    """Roofline item (ii): donate_state plumbing proven on a non-axon
+    backend — the chunk jit aliases the state pytree, the donated input
+    buffers are actually released, and outputs are unchanged.  (On the
+    axon tunnel donation faults at runtime, so the engine keeps it
+    opt-in/off there — CLAUDE.md; the expected TPU win is an HBM
+    round-trip per state leaf per dispatch.)"""
+
+    def _program(self, donate):
+        from firewheel_tpu import AudioGraph, AudioGraphConfig
+        from firewheel_tpu.nodes import BeepTestNode, SumNode, VolumeNode
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        s = g.add_node(4, 2, SumNode())
+        for i, f_ in enumerate([440.0, 660.0]):
+            b = g.add_node(0, 2, BeepTestNode(f_, -18.0, True))
+            v = g.add_node(2, 2, VolumeNode(80.0))
+            g.connect(b, 0, v, 0); g.connect(b, 1, v, 1)
+            g.connect(v, 0, s, 2 * i); g.connect(v, 1, s, 2 * i + 1)
+        g.connect(s, 0, g.graph_out_node(), 0)
+        g.connect(s, 1, g.graph_out_node(), 1)
+        pkg = g.compile(SR, F)
+        return ScheduleProgram(
+            pkg.schedule, dict(pkg.new_node_processors), SR,
+            donate_state=donate,
+        )
+
+    def test_donated_chunk_matches_and_frees(self):
+        import jax
+
+        K = 4
+        gi = jnp.zeros((K, 0, F), jnp.float32)
+        im = jnp.zeros((K, 0), bool)
+
+        ref = self._program(donate=False)
+        r_o, _, r_st = ref.render_chunk(
+            ref.collect_params(), ref.init_state(), gi, im, 0
+        )
+
+        don = self._program(donate=True)
+        st0 = don.init_state()
+        d_o, _, d_st = don.render_chunk(don.collect_params(), st0, gi, im, 0)
+        np.testing.assert_array_equal(np.asarray(r_o), np.asarray(d_o))
+        # a second chunk continues identically from the new state
+        r_o2, _, _ = ref.render_chunk(ref.collect_params(), r_st, gi, im, K * F)
+        d_o2, _, _ = don.render_chunk(don.collect_params(), d_st, gi, im, K * F)
+        np.testing.assert_array_equal(np.asarray(r_o2), np.asarray(d_o2))
+        # the donated input state was actually released (buffer aliasing)
+        assert any(
+            getattr(x, "is_deleted", lambda: False)()
+            for x in jax.tree.leaves(st0)
+        )
