@@ -281,8 +281,89 @@ def main():
     )
 
 
+def bench_hybrid():
+    """`bench.py --hybrid`: the hybrid (Pallas-island) lowering of the
+    BASELINE effects-chain vs the XLA path, interleaved windows (the
+    within-process drift lesson, docs/PERF.md).  One JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from firewheel_tpu import AudioGraph, AudioGraphConfig, ScheduleProgram
+    from firewheel_tpu.core.sample_resource import SampleResource
+    from firewheel_tpu.executor_pallas import HybridMegaRenderer
+    from firewheel_tpu.nodes import (
+        ConvolutionReverbNode, EchoNode, FilterNode, HardClipNode,
+        SamplerNode,
+    )
+    from firewheel_tpu.parallel import BatchRenderer
+
+    log(f"device: {jax.devices()[0]}")
+    rng = np.random.default_rng(3)
+    clip_audio = (rng.standard_normal((2, 8192)) * 0.25).astype(np.float32)
+    ir = (rng.standard_normal((2, 256)) * np.exp(
+        -np.arange(256, dtype=np.float32) / 48.0)).astype(np.float32)
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    sn = SamplerNode(percent_volume=100.0, quality="cubic")
+    sn.set_sample(SampleResource(clip_audio)); sn.play()
+    sampler = g.add_node(0, 2, sn)
+    filt = g.add_node(2, 2, FilterNode("lowpass", frequency_hz=6000.0, q=0.9))
+    echo = g.add_node(2, 2, EchoNode(delay_secs=0.01, feedback=0.35, wet=0.4))
+    clip = g.add_node(2, 2, HardClipNode(threshold_db=-3.0))
+    rev = g.add_node(2, 2, ConvolutionReverbNode(ir, wet=0.35))
+    chain = [sampler, filt, echo, clip, rev, g.graph_out_node()]
+    for a, b in zip(chain[:-1], chain[1:]):
+        for ch in range(2):
+            g.connect(a, ch, b, ch)
+    pkg = g.compile(SR, BLOCK)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+    B, K, PIPE = 1024, 8, 4
+    br = BatchRenderer(prog, batch=B)
+    xp, xs = br.stack_params(), br.init_state()
+    gi = jnp.zeros((B, K, 0, BLOCK), jnp.float32)
+    im = jnp.zeros((B, K, 0), bool)
+    o, _, xs = br.render_chunk(xp, xs, gi, im, 0, num_blocks=K)
+    jax.block_until_ready(o)
+    hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=8)
+    hp, hs = hy.stack_params(), hy.init_state()
+    o, _, hs = hy.render_chunk(hp, hs)
+    jax.block_until_ready(o)
+    log("both lowerings compiled; interleaving windows")
+    audio = B * K * BLOCK / SR * PIPE
+    xla_rts, hyb_rts = [], []
+    state = {"x": xs, "h": hs}
+    for r in range(7):
+        t0 = time.time()
+        for i in range(PIPE):
+            o, _, state["x"] = br.render_chunk(
+                xp, state["x"], gi, im, (i + 1) * K * BLOCK, num_blocks=K)
+        jax.block_until_ready(o)
+        xla_rts.append(audio / (time.time() - t0))
+        t0 = time.time()
+        for i in range(PIPE):
+            o, _, state["h"] = hy.render_chunk(
+                hp, state["h"], start_sample=(i + 1) * K * BLOCK)
+        jax.block_until_ready(o)
+        hyb_rts.append(audio / (time.time() - t0))
+        log(f"  round {r}: xla {xla_rts[-1]:.0f}x, hybrid {hyb_rts[-1]:.0f}x")
+    xm, hm = float(np.median(xla_rts)), float(np.median(hyb_rts))
+    print(json.dumps({
+        "metric": (
+            "median realtime factor, hybrid Pallas-island lowering of the "
+            f"effects-chain (sampler->filter->echo->clip->reverb), B={B} "
+            f"K={K}, interleaved vs XLA ({xm:.0f}x)"
+        ),
+        "value": round(hm, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(hm / TARGET, 3),
+        "speedup_vs_xla": round(hm / xm, 3),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     if "--megakernel" in sys.argv[1:]:
         bench_megakernel()
+    elif "--hybrid" in sys.argv[1:]:
+        bench_hybrid()
     else:
         main()
