@@ -97,6 +97,10 @@ class FirewheelCtx:
             deferred_swap=cfg.deferred_swap,
         )
         assert processor is not None
+        # a fresh stream restarts its sample clock at 0: stale
+        # block-accurate automation cursors from a previous stream would
+        # otherwise park their lanes until the new clock caught up
+        self.automation.reset_block_cursors()
 
         try:
             from_err = MessageChannel(MSG_CHANNEL_CAPACITY)
@@ -155,9 +159,11 @@ class FirewheelCtx:
             )
             # block-accurate lanes schedule one value per upcoming render
             # block (consumed by the nodes' param timelines)
+            from .stream import PUMP_MAX_BUFFERS
+
             self.automation.tick_blocks(
                 self._active.stream.frames_rendered,
-                8 * cfg.buffer_frames * cfg.chunk_buffers,
+                PUMP_MAX_BUFFERS * cfg.buffer_frames * cfg.chunk_buffers,
                 cfg.sample_rate,
                 cfg.buffer_frames,
             )

@@ -42,6 +42,12 @@ log = logging.getLogger(__name__)
 __all__ = ["StreamConfig", "StreamError", "OutputStream", "ArraySink", "WavSink"]
 
 
+#: default buffers rendered per ``OutputStream.pump`` — also the horizon
+#: (in buffers) the block-accurate automation scheduler must stay ahead of
+#: (FirewheelCtx.update passes it to ParamAutomator.tick_blocks)
+PUMP_MAX_BUFFERS = 8
+
+
 class StreamError(Exception):
     pass
 
@@ -292,7 +298,7 @@ class OutputStream:
         )
 
     # -- render side (caller's thread; the cpal callback body) ----------------
-    def pump(self, max_buffers: int = 8) -> int:
+    def pump(self, max_buffers: int = PUMP_MAX_BUFFERS) -> int:
         """Render up to ``max_buffers`` stream buffers; returns frames
         rendered.  Called from the context's ``update()``.
 

@@ -73,6 +73,19 @@ def _local_slice(x):
         return np.asarray(x)
     by_start: dict[int, np.ndarray] = {}
     for s in shards:
+        # only leading-axis (batch) sharding and replication are
+        # reconstructible from per-start dedup; a leaf sharded along a
+        # trailing axis would silently lose data here — refuse instead
+        for d, idx in enumerate((s.index or ())[1:], start=1):
+            if isinstance(idx, slice) and not (
+                idx.start in (None, 0)
+                and idx.stop in (None, x.shape[d])
+            ):
+                raise ValueError(
+                    "save_sharded_checkpoint supports leading-axis "
+                    f"(batch) sharding only; got shard index {s.index} "
+                    f"on a leaf of shape {x.shape}"
+                )
         idx = s.index[0] if s.index else slice(None)
         start = idx.start if isinstance(idx, slice) and idx.start else 0
         if start not in by_start:

@@ -199,6 +199,7 @@ class ParamAutomator:
             )
             if cur % block_frames:
                 cur += block_frames - (cur % block_frames)
+            finished = False
             while cur < end:
                 t = cur / sample_rate - lane.start_time
                 if t >= 0:
@@ -208,12 +209,24 @@ class ParamAutomator:
                         else t
                     )
                     lane.setter(lane.curve.value_at(tt), at_sample=cur)
+                    if not lane.loop and t >= lane.curve.end_time:
+                        # this set carried the clamped final value — the
+                        # lane parks exactly at curve end, not one block
+                        # short of it
+                        finished = True
+                        break
                 cur += block_frames
             lane.next_sample = cur
-            if (
-                not lane.loop
-                and (end / sample_rate - lane.start_time) > lane.curve.end_time
-            ):
+            if finished:
                 done.append(key)
         for key in done:
             del self._lanes[key]
+
+    def reset_block_cursors(self) -> None:
+        """Rewind every block-accurate lane's scheduling cursor.  Called on
+        stream (re-)activation: a fresh OutputStream restarts its sample
+        clock at 0, and a stale cursor from the previous stream would park
+        the lane until the new clock caught up."""
+        for lane in self._lanes.values():
+            if lane.block_accurate:
+                lane.next_sample = None

@@ -239,11 +239,18 @@ class _ResilientJit:
 # the BatchRenderer/mesh entries) keep per-program jits: they are not on the
 # live-edit path.
 _PROGRAM_CACHE: dict = {}
-_PROGRAM_CACHE_MAX = 64
+#: LRU bound.  Each cached donor pins its whole graph — processors, node
+#: objects (incl. sampler clips / reverb IRs / FIR taps), packers, and
+#: compiled executables — until evicted, because the shared jitted steps
+#: close over the donor program.  16 covers any realistic editor shape
+#: envelope; long-lived hosts cycling through many topologies can call
+#: :func:`clear_program_cache` at scene boundaries.
+_PROGRAM_CACHE_MAX = 16
 
 
 def clear_program_cache() -> None:
-    """Drop all shared compiled-program artifacts (mainly for tests)."""
+    """Drop all shared compiled-program artifacts (mainly for tests and
+    scene changes — releases every donor program the cache pins)."""
     _PROGRAM_CACHE.clear()
 
 
@@ -335,10 +342,12 @@ class ScheduleProgram:
                 # adopt the donor's packed-path artifacts: every warmed
                 # (frames, blocks) program and both packers are shared, so
                 # re-entering a previously-compiled shape costs a dispatch,
-                # not a compile
+                # not a compile.  Re-insert for LRU recency.
                 self._param_packer = donor._param_packer
                 self._state_packer = donor._state_packer
                 self._jit_packed_cache = donor._jit_packed_cache
+                _PROGRAM_CACHE.pop(self.signature, None)
+                _PROGRAM_CACHE[self.signature] = donor
             else:
                 if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
                     _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))

@@ -303,10 +303,13 @@ class MegaRenderer:
 
             pl_ = [lift(x) for x in jax.tree.leaves(params)]
             sl_ = [lift(x) for x in jax.tree.leaves(state)]
+            from .core.node import stream_time_from_sample
+
             start = jnp.asarray([start_sample], jnp.uint32)
-            start_time = (
-                jnp.asarray([start_sample], jnp.float32) / jnp.float32(sr)
-            )
+            # split-precision clock (core.node): a direct f32 cast of the
+            # sample count quantizes past 2^25 samples (~12 min) and would
+            # diverge from the XLA executor's stream_time_secs
+            start_time = stream_time_from_sample(start, sr)
             # trace-time context: IIR scans emit their Mosaic-compilable
             # (Hillis-Steele) form only inside the megakernel; the XLA
             # executor keeps the cheaper associative_scan
@@ -772,10 +775,9 @@ class HybridMegaRenderer:
                         axis=2,
                     )
                     start_v = jnp.asarray([start_sample], jnp.uint32)
-                    start_t = (
-                        jnp.asarray([start_sample], jnp.float32)
-                        / jnp.float32(sr)
-                    )
+                    # same split-precision clock as the XLA segments of
+                    # this very dispatch (times above)
+                    start_t = stream_time_from_sample(start_v, sr)
                     out_rows, out_flags, s2 = mega_runs[i](
                         pseg, sseg, rows, flr, start_v, start_t
                     )

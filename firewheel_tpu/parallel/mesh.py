@@ -72,6 +72,8 @@ class BatchRenderer:
         self.axis = axis
         self._chunk_cache: dict[int, Any] = {}
         self._silent_in_cache: dict[int, Any] = {}
+        #: multi-host update_instance scatter jits, keyed by tree structure
+        self._scatter_cache: dict[Any, Any] = {}
 
         if mesh is not None:
             assert batch % mesh.shape[axis] == 0, (
@@ -139,18 +141,25 @@ class BatchRenderer:
             # devices — run the scatter as an SPMD jit instead (every
             # process calls update_instance with the same args, per the
             # DCN contract in tests/test_multiprocess.py), with outputs
-            # constrained back to the batch sharding.
-            shard = self._batched_sharding
+            # constrained back to the batch sharding.  The jit is cached
+            # per tree structure with ``index`` as a TRACED operand, so
+            # the serving hot path compiles once, not per update.
+            key = jax.tree.structure(stacked)
+            jitted = self._scatter_cache.get(key)
+            if jitted is None:
+                shard = self._batched_sharding
 
-            def scatter(s_tree, x_tree):
-                return jax.tree.map(
-                    lambda s, x: s.at[index].set(jnp.asarray(x, s.dtype)),
-                    s_tree,
-                    x_tree,
-                )
+                def scatter(s_tree, x_tree, idx):
+                    return jax.tree.map(
+                        lambda s, x: s.at[idx].set(jnp.asarray(x, s.dtype)),
+                        s_tree,
+                        x_tree,
+                    )
 
-            out_sh = jax.tree.map(lambda _: shard, stacked)
-            return jax.jit(scatter, out_shardings=out_sh)(stacked, tree_i)
+                out_sh = jax.tree.map(lambda _: shard, stacked)
+                jitted = jax.jit(scatter, out_shardings=out_sh)
+                self._scatter_cache[key] = jitted
+            return jitted(stacked, tree_i, jnp.asarray(index, jnp.int32))
         updated = jax.tree.map(
             lambda s, x: s.at[index].set(
                 jnp.asarray(x, jnp.asarray(s).dtype)

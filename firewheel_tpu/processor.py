@@ -237,6 +237,11 @@ class GraphProcessor:
         the old schedule keeps rendering until :meth:`advance_pending`
         finishes the size-1 compile."""
         extra_removed: list = []
+        if self._pending is not None and self._pending.package is None:
+            # the pending is only tail-warming an ALREADY-INSTALLED
+            # program (package handed over at install) — there is nothing
+            # to merge; just stop warming the superseded chunk sizes
+            self._pending = None
         if self._pending is not None:
             # merge: the superseded pending was never installed, so its
             # adds/removes fold into the new package relative to the LIVE

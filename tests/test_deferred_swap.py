@@ -166,3 +166,50 @@ class TestDeferredSwap:
         assert not proc.has_pending()
         cx.deactivate()
         assert _spectrum_has(880.0, sink.audio(2)[0][-SR // 20:])
+
+
+class TestEditDuringTailWarming:
+    def test_edit_while_tail_warming_does_not_crash(self):
+        """Review finding: a live edit arriving while the pending is only
+        tail-warming an already-installed program (package=None) must not
+        dereference the handed-over package — it supersedes the leftover
+        warming and stages normally."""
+        cx = FirewheelCtx(AudioGraphConfig(0, 2))
+        g = cx.graph
+        s = g.add_node(4, 2, SumNode())
+        beep = g.add_node(0, 2, BeepTestNode(440.0, -18.0, True))
+        for ch in range(2):
+            g.connect(beep, ch, s, ch)
+            g.connect(s, ch, g.graph_out_node(), ch)
+        sink = ArraySink()
+        cx.activate(
+            StreamConfig(SR, 2, buffer_frames=F, chunk_buffers=4,
+                         deferred_swap=True),
+            sink=sink,
+        )
+        proc = cx.stream._processor
+        cx.render_offline(0.05)
+
+        # edit #1: stage, then advance just enough to INSTALL (size-1
+        # compiled) while the chunk-size program still tail-warms
+        beep2 = g.add_node(0, 2, BeepTestNode(880.0, -18.0, True))
+        for ch in range(2):
+            g.connect(beep2, ch, s, ch + 2)
+        cx._cx.update()
+        proc.poll_messages()
+        assert proc.has_pending()
+        proc.advance_pending(max_steps=1)   # compiles size 1 -> installs
+        assert proc.has_pending()           # tail-warming remains
+        assert proc._pending.package is None
+
+        # edit #2 lands DURING tail-warming
+        g.remove_node(beep2)
+        cx._cx.update()
+        proc.poll_messages()                # must not raise
+        assert proc.has_pending()
+        cx.render_offline(0.3)
+        assert not proc.has_pending()
+        cx.deactivate()
+        a = sink.audio(2)[0]
+        assert _spectrum_has(440.0, a[-SR // 5:])
+        assert not _spectrum_has(880.0, a[-SR // 5:])

@@ -171,3 +171,83 @@ class TestAutomationChunkInvariance:
         np.testing.assert_allclose(a1[:n], a8[:n], atol=1e-6, rtol=0)
         # and the sweep actually happened
         assert np.abs(a1[: SR // 20]).max() > 10 * np.abs(a1[-SR // 20:]).max()
+
+
+class TestBlockAccurateLaneLifecycle:
+    """Review findings: final clamped value + cursor reset."""
+
+    def test_final_clamped_value_is_scheduled(self):
+        """A non-loop lane's last set carries value_at(end_time) (the
+        clamped final value), not the value one block short of it."""
+        from firewheel_tpu.core.automation import ParamAutomator
+
+        auto = ParamAutomator()
+        sets = []
+        auto.add(
+            "fade",
+            lambda v, at_sample=None: sets.append((at_sample, v)),
+            AutomationCurve.linear([(0.0, 1.0), (1.0, 0.0)]),  # 1 s fade
+            start_time=0.0,
+            block_accurate=True,
+        )
+        # tick well past the curve end in several horizons
+        for start in range(0, 2 * SR, 4096):
+            auto.tick_blocks(start, 4096, SR, F)
+        assert not auto._lanes  # finished lane removed
+        assert sets, "lane never fired"
+        last_at, last_v = sets[-1]
+        assert last_v == 0.0, f"parked at {last_v}, not the clamped end"
+        # and the final set is at/after the curve end
+        assert last_at >= SR
+
+    def test_cursor_resets_on_reactivation(self):
+        """After deactivate/activate the stream clock restarts at 0; a
+        stale lane cursor must not park the lane until it catches up."""
+        from firewheel_tpu.core.automation import ParamAutomator
+
+        auto = ParamAutomator()
+        sets = []
+        auto.add(
+            "lfo",
+            lambda v, at_sample=None: sets.append(at_sample),
+            AutomationCurve.linear([(0.0, 0.0), (10.0, 1.0)]),
+            loop=True,
+            block_accurate=True,
+        )
+        auto.tick_blocks(0, 4096, SR, F)
+        n1 = len(sets)
+        assert n1 > 0
+        # simulate a stream restart without reset: cursor is far ahead
+        auto.reset_block_cursors()
+        auto.tick_blocks(0, 4096, SR, F)
+        assert len(sets) > n1, "lane frozen after restart"
+
+    def test_ctx_reactivation_resets_cursors(self):
+        """The FirewheelCtx activate path calls reset_block_cursors."""
+        cx = FirewheelCtx(AudioGraphConfig(0, 2))
+        g = cx.graph
+        beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+        vn = VolumeNode(100.0)
+        vol = g.add_node(2, 2, vn)
+        for ch in range(2):
+            g.connect(beep, ch, vol, ch)
+            g.connect(vol, ch, g.graph_out_node(), ch)
+        cx.automation.add(
+            "vol",
+            vn.set_percent_volume,
+            AutomationCurve.linear([(0.0, 100.0), (100.0, 0.0)]),
+            loop=True,
+            block_accurate=True,
+        )
+        sink = ArraySink()
+        cfg = StreamConfig(SR, 2, buffer_frames=F, deferred_swap=False)
+        cx.activate(cfg, sink=sink)
+        cx.render_offline(0.1)
+        lane = cx.automation._lanes["vol"]
+        assert lane.next_sample and lane.next_sample > 0
+        cx.deactivate()
+        cx.activate(cfg, sink=ArraySink())
+        assert lane.next_sample is None  # rewound at activate
+        cx.render_offline(0.05)
+        assert lane.next_sample and lane.next_sample > 0  # scheduling again
+        cx.deactivate()
