@@ -436,13 +436,27 @@ class HybridMegaRenderer:
         tile: int = 8,
         min_island: int = 2,
         interpret: bool = False,
+        mesh=None,
+        axis: str = "dp",
     ):
-        assert batch % tile == 0, f"batch {batch} % tile {tile} != 0"
+        """``mesh``/``axis``: shard the batch over a device mesh axis — the
+        whole per-shard hybrid (XLA stages + Pallas islands) runs inside
+        ``shard_map`` with zero collectives, exactly the BatchRenderer dp
+        story but with the winning lowering."""
         self.program = program
         self.batch = batch
         self.num_blocks = num_blocks
         self.tile = tile
         self.interpret = interpret
+        self.mesh = mesh
+        self.axis = axis
+        self._shards = int(mesh.shape[axis]) if mesh is not None else 1
+        assert batch % self._shards == 0, (
+            f"batch {batch} must divide over mesh axis {axis}={self._shards}"
+        )
+        assert (batch // self._shards) % tile == 0, (
+            f"per-shard batch {batch // self._shards} % tile {tile} != 0"
+        )
         self.segments = partition_schedule(program, min_island)
         self._live_in, self._live_out, self._out_bufs = _live_sets(
             program, self.segments
@@ -509,7 +523,7 @@ class HybridMegaRenderer:
 
         return run
 
-    def _mega_segment(self, seg_idx, nodes, params_seg, state_seg):
+    def _mega_segment(self, seg_idx, nodes, params_seg, state_seg, batch):
         """Pallas island: the segment's nodes walk inside one kernel, K
         blocks looped in VMEM, batch tiled over the grid.  Live-in rows/
         flags are kernel operands; live-outs and per-node state leave
@@ -613,7 +627,7 @@ class HybridMegaRenderer:
                 v = _to_kernel_dtype(v)
                 r[...] = v[:, None] if e else v
 
-        grid = (self.batch // tile,)
+        grid = (batch // tile,)
 
         def leaf_spec(leaf):
             trailing = tuple(leaf.shape[1:]) if leaf.ndim > 1 else (1,)
@@ -650,9 +664,9 @@ class HybridMegaRenderer:
 
         out_shapes = [
             jax.ShapeDtypeStruct(
-                (self.batch, k_blocks, max(n_out, 1), f), jnp.float32
+                (batch, k_blocks, max(n_out, 1), f), jnp.float32
             ),
-            jax.ShapeDtypeStruct((self.batch, k_blocks, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch, k_blocks, 128), jnp.float32),
         ] + [lifted_shape(x) for x in s_templates]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -696,15 +710,17 @@ class HybridMegaRenderer:
         seg_keys = [self._seg_keys(nodes) for _, nodes in self.segments]
         key0, key_out = node_key(sched[0].id), node_key(sched[-1].id)
 
-        # pre-build mega callables OUTSIDE the jit (pallas_call objects)
+        # pre-build mega callables OUTSIDE the jit (pallas_call objects);
+        # under a mesh each shard runs the hybrid on its LOCAL batch slice
+        lb = self.batch // self._shards
         mega_runs = {}
         for i, (kind, nodes) in enumerate(self.segments):
             if kind == "mega":
                 pseg = {k: jax.tree.map(lambda x: x[0], params[k]) for k in seg_keys[i]}
                 sseg = {k: jax.tree.map(lambda x: x[0], state[k]) for k in seg_keys[i]}
-                pseg = jax.tree.map(lambda x: jnp.stack([x] * self.batch), pseg)
-                sseg = jax.tree.map(lambda x: jnp.stack([x] * self.batch), sseg)
-                mega_runs[i] = self._mega_segment(i, nodes, pseg, sseg)
+                pseg = jax.tree.map(lambda x: jnp.stack([x] * lb), pseg)
+                sseg = jax.tree.map(lambda x: jnp.stack([x] * lb), sseg)
+                mega_runs[i] = self._mega_segment(i, nodes, pseg, sseg, lb)
 
         sr = float(program.sample_rate)
 
@@ -739,12 +755,12 @@ class HybridMegaRenderer:
                     rows = (
                         jnp.stack([env[b] for b in in_bufs], axis=2)
                         if in_bufs
-                        else jnp.zeros((self.batch, k_blocks, 0, f), jnp.float32)
+                        else jnp.zeros((lb, k_blocks, 0, f), jnp.float32)
                     )
                     flr = (
                         jnp.stack([fenv[b] for b in in_bufs], axis=2)
                         if in_bufs
-                        else jnp.zeros((self.batch, k_blocks, 0), bool)
+                        else jnp.zeros((lb, k_blocks, 0), bool)
                     )
                     seg_fn = self._xla_segment(i, nodes)
                     out_rows, out_flags, s2 = jax.vmap(
@@ -754,7 +770,7 @@ class HybridMegaRenderer:
                     rows = (
                         jnp.stack([env[b] for b in in_bufs], axis=2)
                         if in_bufs
-                        else jnp.zeros((self.batch, k_blocks, 1, f), jnp.float32)
+                        else jnp.zeros((lb, k_blocks, 1, f), jnp.float32)
                     )
                     flr_narrow = (
                         jnp.stack(
@@ -762,13 +778,13 @@ class HybridMegaRenderer:
                             axis=2,
                         )
                         if in_bufs
-                        else jnp.zeros((self.batch, k_blocks, 0), jnp.float32)
+                        else jnp.zeros((lb, k_blocks, 0), jnp.float32)
                     )
                     flr = jnp.concatenate(
                         [
                             flr_narrow,
                             jnp.zeros(
-                                (self.batch, k_blocks, 128 - len(in_bufs)),
+                                (lb, k_blocks, 128 - len(in_bufs)),
                                 jnp.float32,
                             ),
                         ],
@@ -791,10 +807,10 @@ class HybridMegaRenderer:
             for b in self._out_bufs:
                 if b is None:
                     out_rows.append(
-                        jnp.zeros((self.batch, k_blocks, f), jnp.float32)
+                        jnp.zeros((lb, k_blocks, f), jnp.float32)
                     )
                     out_flags.append(
-                        jnp.ones((self.batch, k_blocks), bool)
+                        jnp.ones((lb, k_blocks), bool)
                     )
                 else:
                     row, fl = env[b], fenv[b]
@@ -805,16 +821,28 @@ class HybridMegaRenderer:
             out = (
                 jnp.stack(out_rows, axis=2)
                 if out_rows
-                else jnp.zeros((self.batch, k_blocks, 0, f), jnp.float32)
+                else jnp.zeros((lb, k_blocks, 0, f), jnp.float32)
             )
             om = (
                 jnp.stack(out_flags, axis=2)
                 if out_flags
-                else jnp.zeros((self.batch, k_blocks, 0), bool)
+                else jnp.zeros((lb, k_blocks, 0), bool)
             )
             return out, om, new_state
 
-        return jax.jit(run)
+        if self.mesh is None:
+            return jax.jit(run)
+        from jax.sharding import PartitionSpec as P
+
+        bspec = P(self.axis)
+        smapped = jax.shard_map(
+            run,
+            mesh=self.mesh,
+            in_specs=(bspec, bspec, bspec, bspec, P()),
+            out_specs=(bspec, bspec, bspec),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
 
     def render_chunk(self, params, state, graph_in=None, in_mask=None,
                      start_sample=0):

@@ -191,3 +191,46 @@ class TestHybridParity:
         np.testing.assert_allclose(
             np.asarray(out2), np.asarray(out_x2), atol=2e-6, rtol=0
         )
+
+
+class TestHybridMesh:
+    """The winning lowering scales out: the whole per-shard hybrid (XLA
+    stages + Pallas islands) runs inside shard_map over a dp axis with
+    zero collectives — BatchRenderer's dp story at island speed."""
+
+    def test_dp_sharded_matches_unsharded(self):
+        from firewheel_tpu.parallel import make_mesh
+
+        prog = effects_chain_program()
+        mesh = make_mesh({"dp": 4})
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=2,
+                                interpret=True, mesh=mesh, axis="dp")
+        params, state = hy.stack_params(), hy.init_state()
+        out_s, om_s, st_s = hy.render_chunk(params, state)
+
+        ref = HybridMegaRenderer(effects_chain_program(), batch=B,
+                                 num_blocks=K, tile=2, interpret=True)
+        out_u, om_u, _ = ref.render_chunk(ref.stack_params(), ref.init_state())
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_u), atol=1e-6, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(om_s), np.asarray(om_u))
+
+    def test_dp_sharded_state_carries(self):
+        from firewheel_tpu.parallel import make_mesh
+
+        prog = effects_chain_program()
+        mesh = make_mesh({"dp": 4})
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=2,
+                                interpret=True, mesh=mesh, axis="dp")
+        params, state = hy.stack_params(), hy.init_state()
+        _, _, st1 = hy.render_chunk(params, state)
+        out2, _, _ = hy.render_chunk(params, st1, start_sample=K * F)
+        ref = HybridMegaRenderer(effects_chain_program(), batch=B,
+                                 num_blocks=K, tile=2, interpret=True)
+        rp, rs = ref.stack_params(), ref.init_state()
+        _, _, rst1 = ref.render_chunk(rp, rs)
+        rout2, _, _ = ref.render_chunk(rp, rst1, start_sample=K * F)
+        np.testing.assert_allclose(
+            np.asarray(out2), np.asarray(rout2), atol=1e-6, rtol=0
+        )
