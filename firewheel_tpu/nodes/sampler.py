@@ -139,6 +139,9 @@ class SamplerNode(AudioNode):
         self._seek: tuple = ("secs", 0.0)
         self._loop_seq = 0
         self._sample_rate = 48000  # set at activate
+        #: (at_sample, kind, payload) commands awaiting their exact block
+        #: (play/pause/stop/seek with ``at_sample=`` — per-block timelines)
+        self._scheduled: list[tuple] = []
 
     # -- control API (sampler.rs:67-181) --------------------------------------
     def set_sample(self, sample: SampleResource, stop_playback: bool = True):
@@ -148,21 +151,45 @@ class SamplerNode(AudioNode):
             self._seek = ("loop_start",)
             self._playing = False
 
-    def play(self):
-        self._playing = True
+    def play(self, at_sample: int | None = None):
+        """Start playback.  ``at_sample``: absolute stream sample at which
+        to start — the trigger lands on that sample's block boundary even
+        inside a chunked (K-blocks-per-dispatch) stream (sample-accurate
+        game events: the gunshot fires on its exact block, not at the
+        next chunk boundary).  Rides the same per-block param timelines
+        as ``VolumeNode.set_percent_volume(at_sample=...)``."""
+        if at_sample is None:
+            self._playing = True
+        else:
+            self._scheduled.append((int(at_sample), "play", None))
+            self._scheduled.sort(key=lambda e: e[0])
 
-    def pause(self):
-        self._playing = False
+    def pause(self, at_sample: int | None = None):
+        if at_sample is None:
+            self._playing = False
+        else:
+            self._scheduled.append((int(at_sample), "pause", None))
+            self._scheduled.sort(key=lambda e: e[0])
 
-    def stop(self):
+    def stop(self, at_sample: int | None = None):
         """Stop playback and rewind to the loop start (sampler.rs:379-391)."""
-        self._playing = False
-        self._seek_seq += 1
-        self._seek = ("loop_start",)
+        if at_sample is None:
+            self._playing = False
+            self._seek_seq += 1
+            self._seek = ("loop_start",)
+        else:
+            self._scheduled.append((int(at_sample), "stop", None))
+            self._scheduled.sort(key=lambda e: e[0])
 
-    def set_playhead(self, playhead_secs: float):
-        self._seek_seq += 1
-        self._seek = ("secs", float(playhead_secs))
+    def set_playhead(self, playhead_secs: float, at_sample: int | None = None):
+        if at_sample is None:
+            self._seek_seq += 1
+            self._seek = ("secs", float(playhead_secs))
+        else:
+            self._scheduled.append(
+                (int(at_sample), "seek", float(playhead_secs))
+            )
+            self._scheduled.sort(key=lambda e: e[0])
 
     def set_loop_range(self, loop_range: Optional[LoopRange]):
         self._loop = loop_range
@@ -267,7 +294,16 @@ class SamplerProcessor(NodeProcessor):
         # quality is structural (it decides the tap count traced)
         return (shape, node.quality)
 
-    def collect_params(self):
+    #: scheduled play/pause/stop/seek commands ride per-block param
+    #: timelines (executor.PerBlock) so they land on their exact
+    #: 128-frame block inside a K-block chunk dispatch — the kernel's
+    #: sequence-number application is unchanged; only the params it sees
+    #: per block differ
+    collect_timeline = True
+
+    def collect_params(
+        self, blocks=1, start_sample=None, frames=None, consume=True
+    ):
         node = self._node
         if node._sample is not None:
             if self._sample_cache_src is not node._sample:
@@ -296,7 +332,7 @@ class SamplerProcessor(NodeProcessor):
         release_step = (
             1.0 / (node._release_secs * sr) if node._release_secs > 0 else 2.0
         )
-        return {
+        out = {
             "attack_step": np.float32(attack_step),
             "release_step": np.float32(release_step),
             "raw_gain": np.float32(node.raw_gain()),
@@ -310,6 +346,54 @@ class SamplerProcessor(NodeProcessor):
             "loop_end": np.uint32(_u32(loop_end)),
             "sample": data,
         }
+        if start_sample is None:
+            # unpacked paths: immediate values only; scheduled commands
+            # stay queued for a timeline-capable dispatch
+            return out
+
+        # -- per-block command timelines (packed/chunked hot path) ----------
+        from ..executor import PerBlock
+
+        k = max(1, int(blocks))
+        f = int(frames or self.max_block_frames)
+        start = int(start_sample)
+        playing_tl = np.full(k, bool(node._playing and has_sample))
+        seq_tl = np.full(k, np.uint32(node._seek_seq), np.uint32)
+        pos_tl = np.full(k, np.uint32(node._seek_frame(clip_sr)), np.uint32)
+        if consume and node._scheduled:
+            end = start + k * f
+            cur_playing = node._playing
+            cur_seq = node._seek_seq
+            cur_seek = node._seek
+            remaining = []
+            for at, kind, payload in node._scheduled:
+                if at >= end:
+                    remaining.append((at, kind, payload))
+                    continue
+                b = max(0, (at - start) // f)
+                if kind == "play":
+                    cur_playing = True
+                elif kind == "pause":
+                    cur_playing = False
+                elif kind == "stop":
+                    cur_playing = False
+                    cur_seq += 1
+                    cur_seek = ("loop_start",)
+                    pos_tl[b:] = np.uint32(loop_start)
+                elif kind == "seek":
+                    cur_seq += 1
+                    cur_seek = ("secs", float(payload))
+                    pos_tl[b:] = np.uint32(_u32(round(payload * clip_sr)))
+                playing_tl[b:] = cur_playing and has_sample
+                seq_tl[b:] = np.uint32(cur_seq & 0xFFFFFFFF)
+            node._playing = cur_playing
+            node._seek_seq = cur_seq
+            node._seek = cur_seek
+            node._scheduled = remaining
+        out["playing"] = PerBlock(playing_tl)
+        out["seek_seq"] = PerBlock(seq_tl)
+        out["seek_pos"] = PerBlock(pos_tl)
+        return out
 
     def kernel(self, params, state, inputs, in_mask, info):
         frames = self.max_block_frames if inputs.ndim < 2 else inputs.shape[-1]

@@ -251,3 +251,100 @@ class TestBlockAccurateLaneLifecycle:
         cx.render_offline(0.05)
         assert lane.next_sample and lane.next_sample > 0  # scheduling again
         cx.deactivate()
+
+
+class TestScheduledSamplerCommands:
+    """Sample-accurate (block-exact) sampler triggering: play/stop/seek
+    with ``at_sample=`` land on their exact 128-frame block inside a
+    chunked dispatch via the same PerBlock timelines as volume."""
+
+    def _program(self):
+        from firewheel_tpu.core.sample_resource import SampleResource
+        from firewheel_tpu.nodes import SamplerNode
+
+        rng = np.random.default_rng(7)
+        clip = (rng.standard_normal((2, SR)) * 0.3).astype(np.float32)
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        sn = SamplerNode(percent_volume=100.0)
+        sn.set_sample(SampleResource(clip))
+        sid = g.add_node(0, 2, sn)
+        for ch in range(2):
+            g.connect(sid, ch, g.graph_out_node(), ch)
+        pkg = g.compile(SR, F)
+        prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+        return prog, sn
+
+    def _render_chunk_packed(self, prog, k, start):
+        packed = prog.pack_state(prog.init_state()) if not hasattr(
+            self, "_st") else self._st
+        params = prog.collect_params(blocks=k, start_sample=start)
+        gi = jnp.zeros((k, 0, F), jnp.float32)
+        im = jnp.zeros((k, 0), bool)
+        outs, oms, self._st = prog.render_packed(
+            params, packed, gi, im, start, blocks=k
+        )
+        return np.asarray(outs)
+
+    def test_play_lands_on_exact_block(self):
+        clear_program_cache()
+        prog, sn = self._program()
+        k = 16
+        trigger_block = 5
+        sn.play(at_sample=trigger_block * F)
+        out = self._render_chunk_packed(prog, k, 0)
+        del self._st
+        # blocks before the trigger are silent; the trigger block is not
+        energy = np.abs(out).max(axis=(1, 2))
+        assert np.all(energy[:trigger_block] == 0.0), energy
+        assert energy[trigger_block] > 0.01
+        # playback starts AT the trigger block: the first nonzero sample
+        # across channels is exactly the block start
+        nz = np.nonzero(np.abs(out.reshape(k, 2, F)[..., :]).sum(axis=1).ravel())[0]
+        assert nz[0] == trigger_block * F
+
+    def test_stop_and_seek_land_mid_chunk(self):
+        clear_program_cache()
+        prog, sn = self._program()
+        k = 16
+        sn.play()
+        out1 = self._render_chunk_packed(prog, k, 0)
+        assert np.abs(out1).max() > 0.01
+        # schedule a stop at block 4 of the NEXT chunk
+        stop_at = (k + 4) * F
+        sn.stop(at_sample=stop_at)
+        out2 = self._render_chunk_packed(prog, k, k * F)
+        del self._st
+        energy = np.abs(out2).max(axis=(1, 2))
+        assert np.all(energy[:4] > 0.0)
+        # declick release may bleed into the stop block; by the next
+        # block everything is silent
+        assert np.all(energy[5:] == 0.0), energy
+
+    def test_chunked_matches_unchunked(self):
+        """A scheduled trigger renders identically at K=16 and K=1."""
+        clear_program_cache()
+        outs = []
+        for k in (16, 1):
+            prog, sn = self._program()
+            sn.play(at_sample=7 * F)
+            st = prog.pack_state(prog.init_state())
+            chunks = []
+            n_blocks = 16
+            b = 0
+            while b < n_blocks:
+                params = prog.collect_params(blocks=k, start_sample=b * F)
+                gi = jnp.zeros((k, 0, F), jnp.float32)
+                im = jnp.zeros((k, 0), bool)
+                o, _, st = prog.render_packed(params, st, gi, im, b * F, blocks=k)
+                chunks.append(np.asarray(o))
+                b += k
+            outs.append(np.concatenate(chunks, axis=0))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_unpacked_path_keeps_commands_queued(self):
+        prog, sn = self._program()
+        sn.play(at_sample=123456)
+        p = prog.collect_params()  # no start_sample: immediate snapshot
+        key = [k for k in p if "sampler" in k][0]
+        assert not bool(np.asarray(p[key]["playing"]))
+        assert sn._scheduled  # still queued
