@@ -114,8 +114,12 @@ class FirewheelCtx:
             )
             # Ship the first schedule and AOT-compile it before the stream
             # starts pulling, so the first buffer never stalls on XLA
-            # compilation.
-            self._cx.update()
+            # compilation.  A compile failure here (cycle, failed node
+            # activation) must FAIL activation — not return a silent
+            # stream (the reference's ActivateError contract, lib.rs:107).
+            res = self._cx.update()
+            if res.graph_error is not None:
+                raise res.graph_error
             processor.warmup(full=cfg.warmup_full)
             stream.play()
         except BaseException:
@@ -197,7 +201,8 @@ class FirewheelCtx:
         """Persist all recurrent audio state + stream position to ``path``."""
         from ..checkpoint import save_checkpoint
 
-        assert self._active is not None, "activate() first"
+        if self._active is None:  # hard error, must survive python -O
+            raise RuntimeError("save_checkpoint: activate() first")
         save_checkpoint(
             path,
             self._active.stream._processor,
@@ -209,10 +214,16 @@ class FirewheelCtx:
         engine (same graph topology required); resumes the stream clock."""
         from ..checkpoint import restore_into
 
-        assert self._active is not None, "activate() first"
+        if self._active is None:  # hard error, must survive python -O
+            raise RuntimeError("load_checkpoint: activate() first")
         meta = restore_into(path, self._active.stream._processor)
         if "frames_rendered" in meta:
             self._active.stream._frames_rendered = int(meta["frames_rendered"])
+        # the stream clock just jumped (possibly by hours, either way):
+        # block-accurate automation cursors must rewind or they would
+        # flood the timeline catching up — or park until the clock
+        # reaches them
+        self.automation.reset_block_cursors()
         return meta
 
     # -- conveniences ---------------------------------------------------------
@@ -231,7 +242,8 @@ class FirewheelCtx:
         """Render ``duration_secs`` of audio to the sink as fast as the
         device allows (bounce-to-disk), pumping ``update()`` throughout so
         live graph edits during the render still apply."""
-        assert self._active is not None, "activate() first"
+        if self._active is None:  # hard error, must survive python -O
+            raise RuntimeError("activate() first")
         cfg = self._active.config
         target = self._active.stream.frames_rendered + int(
             duration_secs * cfg.sample_rate

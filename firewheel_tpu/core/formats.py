@@ -71,9 +71,12 @@ def _load_wav(path):
 
 
 def _pcm_bytes_to_f32(raw: bytes, sampwidth: int, big_endian: bool) -> np.ndarray:
-    if sampwidth == 1:  # unsigned 8-bit
-        x = np.frombuffer(raw, np.uint8).astype(np.float32)
-        return (x - 128.0) / 127.0
+    if sampwidth == 1:
+        # Both callers are AIFF and AU, whose 8-bit sample points are
+        # SIGNED two's complement (unlike WAV's unsigned u8, decoded in
+        # utils/wav.py) — decoding as unsigned would offset the waveform
+        # by half-scale and wrap it.
+        return np.frombuffer(raw, np.int8).astype(np.float32) / 127.0
     if sampwidth == 2:
         dt = ">i2" if big_endian else "<i2"
         return np.frombuffer(raw, dt).astype(np.float32) / 32767.0

@@ -209,7 +209,13 @@ class AudioGraph:
         self, num_inputs: int, num_outputs: int, node: AudioNode
     ) -> NodeID:
         """Insert a node (graph.rs:201-231)."""
-        assert num_inputs <= MAX_PORTS and num_outputs <= MAX_PORTS
+        # a real exception, not an assert: the 64-bit SilenceMask machinery
+        # silently mishandles wider nodes, and asserts vanish under -O
+        if not (0 <= num_inputs <= MAX_PORTS and 0 <= num_outputs <= MAX_PORTS):
+            raise ValueError(
+                f"port counts ({num_inputs}, {num_outputs}) outside "
+                f"[0, {MAX_PORTS}] (the SilenceMask width, node.rs:62)"
+            )
         info = node.info()
         entry = NodeEntry(
             NodeID.DANGLING,
@@ -262,6 +268,11 @@ class AudioGraph:
         """Resize a node's input ports (graph.rs:315-343)."""
         if node_id == self._graph_in_id:
             raise ValueError("cannot set inputs of the graph in node")
+        if not 0 <= num_inputs <= MAX_PORTS:
+            raise ValueError(
+                f"num_inputs {num_inputs} outside [0, {MAX_PORTS}] "
+                "(the SilenceMask width, node.rs:62)"
+            )
         entry = self._nodes.get(node_id.idx)
         if entry is None:
             raise ValueError(f"node {node_id} not found")
@@ -278,6 +289,11 @@ class AudioGraph:
         """Resize a node's output ports (graph.rs:349-375)."""
         if node_id == self._graph_out_id:
             raise ValueError("cannot set outputs of the graph out node")
+        if not 0 <= num_outputs <= MAX_PORTS:
+            raise ValueError(
+                f"num_outputs {num_outputs} outside [0, {MAX_PORTS}] "
+                "(the SilenceMask width, node.rs:62)"
+            )
         entry = self._nodes.get(node_id.idx)
         if entry is None:
             raise ValueError(f"node {node_id} not found")
@@ -305,9 +321,12 @@ class AudioGraph:
         dst_entry = self._nodes.get(dst_node.idx)
         if dst_entry is None:
             raise DstNodeNotFound(dst_node)
-        if src_port >= src_entry.num_outputs:
+        # both bounds: a negative index (Python's "last port" idiom) would
+        # pass the upper check, then crash buffer allocation at compile —
+        # or silently route nowhere
+        if not 0 <= src_port < src_entry.num_outputs:
             raise OutPortOutOfRange(src_node, src_port, src_entry.num_outputs)
-        if dst_port >= dst_entry.num_inputs:
+        if not 0 <= dst_port < dst_entry.num_inputs:
             raise InPortOutOfRange(dst_node, dst_port, dst_entry.num_inputs)
         if src_node.idx == dst_node.idx:
             raise CycleDetected()
@@ -469,7 +488,12 @@ class AudioGraph:
                     entry.num_inputs,
                     entry.num_outputs,
                 )
-            except NodeActivationError as e:
+            except Exception as e:
+                # ANY failure in a user activate() hook (not just the
+                # declared NodeActivationError) must roll back the already-
+                # activated processors — otherwise a plain bug in one node
+                # leaves earlier nodes activated with orphaned processors
+                # and every later update() re-raises
                 for n_id, proc in new_processors:
                     rolled = self._nodes.get(n_id.idx)
                     rolled.weight.node.deactivate(proc)

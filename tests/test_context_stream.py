@@ -248,3 +248,28 @@ class TestFirewheelCtx:
         audio = sink.audio(2)
         # paced: ~0.5 s of audio consumed in ~0.5 s wall (generous bounds)
         assert SR * 0.2 <= audio.shape[1] <= SR * 1.5
+
+
+def test_activate_raises_on_compile_failure():
+    """Review finding: a graph that cannot compile (cycle built with
+    check_for_cycles=False) must FAIL activation, not start a silent
+    stream (the reference's ActivateError contract, lib.rs:107)."""
+    from firewheel_tpu import ArraySink, FirewheelCtx, StreamConfig
+    from firewheel_tpu.graph.errors import CompileGraphError
+    from firewheel_tpu.nodes import VolumeNode
+
+    cx = FirewheelCtx()
+    g = cx.graph
+    a = g.add_node(2, 2, VolumeNode(100.0))
+    b = g.add_node(2, 2, VolumeNode(100.0))
+    g.connect(a, 0, b, 0)
+    g.connect(b, 0, a, 0)  # cycle, unchecked at edit time
+    g.connect(b, 1, g.graph_out_node(), 0)
+    with pytest.raises(CompileGraphError):
+        cx.activate(StreamConfig(48000, 2, buffer_frames=128), sink=ArraySink())
+    assert not cx.is_activated()
+    # and the engine is re-activatable once the cycle is fixed
+    g.disconnect(b, 0, a, 0)
+    cx.activate(StreamConfig(48000, 2, buffer_frames=128), sink=ArraySink())
+    assert cx.is_activated()
+    cx.deactivate()

@@ -64,3 +64,20 @@ def test_register_custom_decoder(tmp_path):
     res, sr = load_audio(p, device=False)
     assert sr == 8000
     assert (res.host_data == 0.25).all()
+
+
+def test_aiff_8bit_is_signed(tmp_path):
+    """Review finding: AIFF/AU 8-bit sample points are SIGNED two's
+    complement; decoding them as unsigned offsets the waveform by
+    half-scale and wraps it."""
+    p = str(tmp_path / "x8.aiff")
+    samples = np.array([0, 64, 127, -64, -127], np.int8)
+    with aifc.open(p, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)
+        f.setframerate(48000)
+        f.writeframes(samples.tobytes())
+    res, sr = load_audio(p, device=False)
+    np.testing.assert_allclose(
+        res.host_data[0], samples.astype(np.float32) / 127.0, atol=1e-7
+    )

@@ -159,9 +159,9 @@ def test_max_ports_enforced():
 
     nid = g.add_node(64, 2, SumNode())  # at the cap: fine
     assert g.node_info(nid).num_inputs == 64
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="SilenceMask"):
         g.add_node(65, 2, SumNode())
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="SilenceMask"):
         g.add_node(2, 65, SumNode())
 
 
@@ -193,3 +193,72 @@ def test_wide_sum_compiles_and_runs():
     assert out.shape == (2, 128)
     assert np.abs(out).max() > 0.1  # 32 voices summed
     assert np.isfinite(out).all()
+
+
+class TestPortValidation:
+    """Review findings: negative ports and out-of-range port resizes must
+    be rejected with real exceptions, not crash compile later."""
+
+    def _graph(self):
+        from firewheel_tpu.nodes import VolumeNode
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        v = g.add_node(2, 2, VolumeNode(100.0))
+        return g, v
+
+    def test_negative_src_port_rejected(self):
+        g, v = self._graph()
+        with pytest.raises(OutPortOutOfRange):
+            g.connect(v, -1, g.graph_out_node(), 0)
+
+    def test_negative_dst_port_rejected(self):
+        g, v = self._graph()
+        with pytest.raises(InPortOutOfRange):
+            g.connect(v, 0, g.graph_out_node(), -1)
+
+    def test_set_num_inputs_validates_max_ports(self):
+        g, v = self._graph()
+        with pytest.raises(ValueError, match="SilenceMask"):
+            g.set_num_inputs(v, 100)
+        with pytest.raises(ValueError, match="SilenceMask"):
+            g.set_num_outputs(v, -1)
+
+    def test_add_node_validates_max_ports(self):
+        from firewheel_tpu.nodes import SumNode
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        with pytest.raises(ValueError, match="SilenceMask"):
+            g.add_node(100, 2, SumNode())
+
+
+class TestActivationRollback:
+    def test_arbitrary_activate_exception_rolls_back(self):
+        """A plain bug (KeyError) in one node's activate() must roll back
+        the already-activated processors and surface as
+        NodeActivationFailed (a CompileGraphError)."""
+        from firewheel_tpu.core.node import AudioNode, AudioNodeInfo
+        from firewheel_tpu.graph.errors import NodeActivationFailed
+        from firewheel_tpu.nodes import VolumeNode
+
+        class Broken(AudioNode):
+            debug_name = "broken"
+
+            def info(self):
+                return AudioNodeInfo(
+                    num_max_supported_inputs=2, num_max_supported_outputs=2
+                )
+
+            def activate(self, *a):
+                raise KeyError("oops, a plain bug")
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        vn = VolumeNode(100.0)
+        v = g.add_node(2, 2, vn)
+        b = g.add_node(2, 2, Broken())
+        g.connect(v, 0, b, 0)
+        g.connect(b, 0, g.graph_out_node(), 0)
+        with pytest.raises(NodeActivationFailed):
+            g.compile(48000, 128)
+        # the volume node was rolled back, not left activated
+        entry = g.node_info(v)
+        assert entry.weight.activated is False
