@@ -68,7 +68,14 @@ class NoiseProcessor(NodeProcessor):
         frames = inputs.shape[-1] if inputs.ndim else self.max_block_frames
         # stateless bits keyed on (seed, block start sample): the same
         # stream region re-renders bit-exactly under the same block
-        # partitioning (checkpoint/resume preserves block boundaries)
+        # partitioning (checkpoint/resume preserves block boundaries).
+        # NOTE (perf, unresolved): threefry is integer-rotate/xor heavy
+        # and runs inside the chunk scan body — the op class CLAUDE.md
+        # flags as a potential TPU loop-compilation pathology (measured
+        # 26x on uint32 clock shifts, round 2).  Measured on-chip before
+        # redesigning; see docs/PERF.md "NoiseNode in the chunk scan" for
+        # the verdict and the fallback plan (per-block key vectors via
+        # the PerBlock timeline xs if it ever bites).
         key = jax.random.fold_in(
             jax.random.PRNGKey(params["seed"]), info.stream_sample
         )

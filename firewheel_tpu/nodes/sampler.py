@@ -172,8 +172,12 @@ class SamplerNode(AudioNode):
             self._scheduled.sort(key=lambda e: e[0])
 
     def stop(self, at_sample: int | None = None):
-        """Stop playback and rewind to the loop start (sampler.rs:379-391)."""
+        """Stop playback and rewind to the loop start.  A no-op while not
+        playing (the reference's node-side guard, sampler.rs:118-119 —
+        pause() then stop() keeps the paused playhead)."""
         if at_sample is None:
+            if not self._playing:
+                return
             self._playing = False
             self._seek_seq += 1
             self._seek = ("loop_start",)
@@ -376,10 +380,13 @@ class SamplerProcessor(NodeProcessor):
                 elif kind == "pause":
                     cur_playing = False
                 elif kind == "stop":
-                    cur_playing = False
-                    cur_seq += 1
-                    cur_seek = ("loop_start",)
-                    pos_tl[b:] = np.uint32(loop_start)
+                    # same node-side guard as the immediate path: a stop
+                    # landing while not playing is a no-op (no rewind)
+                    if cur_playing:
+                        cur_playing = False
+                        cur_seq += 1
+                        cur_seek = ("loop_start",)
+                        pos_tl[b:] = np.uint32(loop_start)
                 elif kind == "seek":
                     cur_seq += 1
                     cur_seek = ("secs", float(payload))
@@ -558,9 +565,13 @@ class SamplerProcessor(NodeProcessor):
         new_frac = jnp.where(finished, jnp.float32(0.0), new_frac)
 
         silent = ~active | muted
-        new_ended = jnp.where(active & finished, True, ended)
-        new_playhead = jnp.where(active, new_playhead, playhead)
-        new_frac = jnp.where(active, new_frac, frac)
+        # muted freezes playback exactly like the reference's early return
+        # (sampler.rs:436-443 bails before any playhead advance): a muted
+        # voice must NOT consume its clip inaudibly or latch `ended`
+        advancing = active & ~muted
+        new_ended = jnp.where(advancing & finished, True, ended)
+        new_playhead = jnp.where(advancing, new_playhead, playhead)
+        new_frac = jnp.where(advancing, new_frac, frac)
 
         # ---- gain apply to the sample's channels (sampler.rs:521-543),
         # shaped by the envelope

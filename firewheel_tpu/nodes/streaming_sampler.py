@@ -327,6 +327,14 @@ class StreamingSamplerProcessor(NodeProcessor):
         new_ended = jnp.where(playing & finished, True, ended)
 
         silent = ~playing | muted
+        # DELIBERATE divergence from SamplerNode (which freezes playback
+        # while muted, sampler.rs:436-443): a muted STREAMING voice keeps
+        # consuming, because the host-side prefetch shadow clock
+        # (collect_params(blocks=...)) advances in lockstep with this
+        # playhead and cannot observe the device-side smoother's muted
+        # state — freezing here would desync the window.  Callers who
+        # want pause-on-mute semantics should pause() (which the host
+        # does see).
         new_playhead = jnp.where(playing, new_playhead, playhead)
         new_frac = jnp.where(playing, new_frac, frac)
 

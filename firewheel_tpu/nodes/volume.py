@@ -68,16 +68,18 @@ class VolumeProcessor(NodeProcessor):
         timeline = np.full(max(1, int(blocks)), node.raw_gain(), np.float32)
         if consume and node._scheduled:
             base = node._raw_gain
+            base_pct = node._percent_volume
             remaining = []
-            for at, g in node._scheduled:
+            for at, g, pct in node._scheduled:
                 b = (at - int(start_sample)) // f
                 if b >= blocks:
-                    remaining.append((at, g))
+                    remaining.append((at, g, pct))
                     continue
                 b = max(0, int(b))
                 timeline[b:] = g
-                base = g
+                base, base_pct = g, pct
             node._raw_gain = base
+            node._percent_volume = base_pct
             node._scheduled = remaining
         return {"raw_gain": PerBlock(timeline)}
 
@@ -135,12 +137,16 @@ class VolumeNode(AudioNode):
         next chunk boundary.  ``None`` applies at the next dispatch and
         clears any scheduled changes."""
         g = float(percent_volume_to_raw_gain(np.float32(percent_volume)))
-        self._percent_volume = max(float(percent_volume), 0.0)
+        pct = max(float(percent_volume), 0.0)
         if at_sample is None:
+            self._percent_volume = pct
             self._raw_gain = g
             self._scheduled.clear()
         else:
-            self._scheduled.append((int(at_sample), g))
+            # percent_volume() must keep reporting the AUDIBLE value until
+            # the scheduled change lands (the timeline consumption updates
+            # both fields together)
+            self._scheduled.append((int(at_sample), g, pct))
             self._scheduled.sort(key=lambda p: p[0])
 
     def raw_gain(self) -> float:

@@ -268,7 +268,17 @@ def biquad_scan(x, z_prev, coeffs: BiquadCoeffs):
     Returns:
         ``(y f32[..., n], (z1_last, z2_last))``
     """
-    b0, b1, b2, a1, a2 = (jnp.float32(c) for c in coeffs)
+
+    def norm(c):
+        # the documented contract says "broadcastable to x[..., 0]" —
+        # a (ch,)-shaped per-channel coefficient must align against the
+        # leading axes, not the trailing sample axis, so pad a time axis
+        c = jnp.asarray(c, jnp.float32)
+        if c.ndim and c.ndim == x.ndim - 1:
+            c = c[..., None]
+        return c
+
+    b0, b1, b2, a1, a2 = (norm(c) for c in coeffs)
     z1p, z2p = z_prev
 
     # Per-step affine map: constant M = [[-a1, 1], [-a2, 0]], v = B*x.

@@ -116,8 +116,19 @@ def _biquad_pallas_flat(x_t, z, coef, interpret=False):
 
 def biquad_pallas(x, z_prev, coeffs: BiquadCoeffs, interpret: bool = False):
     """Drop-in replacement for :func:`ops.iir.biquad_scan` backed by the
-    Pallas kernel.  Same contract: ``x f32[..., F]``, ``z_prev=(z1, z2)``
-    with shape ``x.shape[:-1]`` → ``(y, (z1', z2'))``."""
+    Pallas kernel, for SCALAR coefficients only: the kernel carries them
+    as an f32[5] scalar-prefetch operand (one filter per call).
+    Per-channel coefficient arrays — which :func:`biquad_scan` accepts —
+    are rejected here with a clear error instead of mis-shaping the
+    prefetch.  Same data contract otherwise: ``x f32[..., F]``,
+    ``z_prev=(z1, z2)`` with shape ``x.shape[:-1]`` → ``(y, (z1', z2'))``."""
+    for name, c in zip(("b0", "b1", "b2", "a1", "a2"), coeffs):
+        if jnp.ndim(c) != 0:
+            raise ValueError(
+                f"biquad_pallas takes scalar coefficients ({name} has "
+                f"shape {jnp.shape(c)}); use ops.iir.biquad_scan for "
+                "per-channel coefficient arrays"
+            )
     x = jnp.asarray(x, jnp.float32)
     lead = x.shape[:-1]
     frames = x.shape[-1]

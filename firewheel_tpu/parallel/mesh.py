@@ -46,7 +46,22 @@ def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
 
 
 def _stack(trees: Sequence[Any]):
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    """Stack per-instance pytrees along a new batch axis.
+
+    Host leaves (scalars, numpy) stack on the HOST: on a multi-host fleet
+    the stacked global tree is only staging for the per-process slice
+    taken in ``_constrain`` — materializing it on a local device first
+    would waste device memory for B× the local need plus a full
+    device→host round trip per leaf.  Already-device leaves (sample
+    buffers, IR spectra) stay on device to avoid the opposite round trip.
+    """
+
+    def stack(*xs):
+        if isinstance(xs[0], jax.Array):
+            return jnp.stack(xs)
+        return np.stack([np.asarray(x) for x in xs])
+
+    return jax.tree.map(stack, *trees)
 
 
 class BatchRenderer:
@@ -98,7 +113,10 @@ class BatchRenderer:
 
     def _constrain(self, tree):
         if self._batched_sharding is None:
-            return tree
+            # _stack now stages host leaves on the host; restore device
+            # residency here (update_instance's eager .at[].set and the
+            # first dispatch both want jax arrays)
+            return jax.tree.map(jnp.asarray, tree)
         if jax.process_count() > 1:
             # Multi-host (DCN): this process can only place its
             # addressable shard — lift host data through
@@ -356,7 +374,7 @@ class VoiceParallelMixer:
 
     def _constrain(self, tree):
         if self.mesh is None:
-            return tree
+            return jax.tree.map(jnp.asarray, tree)
         vshard = NamedSharding(self.mesh, P(self.axis))
         rshard = NamedSharding(self.mesh, P())
         return {

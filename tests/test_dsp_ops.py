@@ -300,3 +300,33 @@ class TestPallasIIR:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(out_s), atol=2e-5
         )
+
+
+class TestPerChannelCoeffs:
+    """Review finding: biquad_scan's documented contract accepts coeffs
+    broadcastable to x[..., 0] — a (ch,)-shaped per-channel array must
+    align against the channel axis, not the trailing sample axis."""
+
+    def test_channel_coeff_array_matches_per_channel_scalar(self):
+        from firewheel_tpu.ops import BiquadCoeffs, biquad_lowpass
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, 256)).astype(np.float32)
+        ca = biquad_lowpass(2000.0, 0.707, SR)
+        cb = biquad_lowpass(6000.0, 0.707, SR)
+        stacked = BiquadCoeffs(*(jnp.stack([a, b]) for a, b in zip(ca, cb)))
+        z = (jnp.zeros((2,)), jnp.zeros((2,)))
+        y, _ = biquad_scan(jnp.asarray(x), z, stacked)  # (ch,) coeffs
+        ya, _ = biquad_scan(jnp.asarray(x[0]), (jnp.zeros(()), jnp.zeros(())), ca)
+        yb, _ = biquad_scan(jnp.asarray(x[1]), (jnp.zeros(()), jnp.zeros(())), cb)
+        np.testing.assert_allclose(np.asarray(y[0]), np.asarray(ya), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y[1]), np.asarray(yb), atol=1e-6)
+
+    def test_pallas_rejects_array_coeffs(self):
+        from firewheel_tpu.ops import BiquadCoeffs, biquad_lowpass
+        from firewheel_tpu.ops.pallas_iir import biquad_pallas
+
+        c = biquad_lowpass(2000.0, 0.707, SR)
+        bad = BiquadCoeffs(*(jnp.stack([v, v]) for v in c))
+        with pytest.raises(ValueError, match="scalar coefficients"):
+            biquad_pallas(jnp.zeros((2, 128)), (jnp.zeros((2,)), jnp.zeros((2,))), bad)

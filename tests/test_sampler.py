@@ -341,3 +341,64 @@ def test_loop_end_beyond_clip_is_clamped():
     audio, _ = run_blocks(node, proc, state, 2)
     pos = 400 + (np.arange(2 * F) % 100)  # clamped loop [400, 500)
     np.testing.assert_array_equal(audio[0], data[0, pos])
+
+
+def test_muted_freezes_playhead():
+    """Review finding (parity, sampler.rs:436-443): a muted voice must not
+    consume its clip inaudibly or latch `ended` — the reference's muted
+    early-return freezes playback before any playhead advance."""
+    # the exponential gain smoother reaches the 1e-5 mute threshold only
+    # after ~43 blocks (11.5 time constants of the 10 ms ramp) — size the
+    # clip so the voice is still mid-clip at settle, and the muted sit
+    # long enough that an un-frozen playhead would cross the clip end
+    res, data = make_clip(frames=96 * F)
+    node = SamplerNode(percent_volume=100.0)
+    node.set_sample(res)
+    proc, state = fresh(node)
+    node.play()
+    audio, state = run_blocks(node, proc, state, 1)
+    assert np.abs(audio).max() > 0
+    node.set_percent_volume(0.0)
+    # fade covers ~44 blocks; the remaining muted blocks must not advance
+    muted, state = run_blocks(node, proc, state, 60)
+    assert np.abs(muted[:, -F:]).max() == 0.0
+    frozen = int(np.asarray(state["playhead"]))
+    assert not bool(np.asarray(state["ended"])), "muted voice latched ended"
+    _, state2 = run_blocks(node, proc, state, 4)
+    assert int(np.asarray(state2["playhead"])) == frozen  # fully frozen
+    # restore the volume: playback resumes from the frozen playhead
+    node.set_percent_volume(100.0)
+    resumed, state3 = run_blocks(node, proc, state2, 2)
+    assert np.abs(resumed).max() > 0
+    expected = data[:, frozen: frozen + F]
+    # the first resumed block ramps up from the frozen position: compare
+    # against the clip content there (allowing the gain ramp)
+    got = np.asarray(resumed[:, :F])
+    nz = np.abs(got) > 1e-6
+    ratio = got[nz] / expected[nz]
+    assert np.all(ratio > 0) and np.all(ratio <= 1.0 + 1e-6)
+
+
+def test_stop_when_not_playing_keeps_playhead():
+    """Review finding (parity, sampler.rs:118-119): node-side stop() is a
+    no-op unless playing — pause() then stop() then play() resumes from
+    the paused playhead, not the loop start."""
+    res, data = make_clip(frames=8 * F)
+    node = SamplerNode(percent_volume=100.0)
+    node.set_sample(res)
+    proc, state = fresh(node)
+    node.play()
+    _, state = run_blocks(node, proc, state, 2)
+    node.pause()
+    _, state = run_blocks(node, proc, state, 6)  # let declick settle
+    paused = int(np.asarray(state["playhead"]))
+    assert paused > 0
+    node.stop()  # must be a no-op (not playing)
+    node.play()
+    resumed, state = run_blocks(node, proc, state, 1)
+    # the resumed audio continues from the paused playhead
+    expected = data[:, paused: paused + F]
+    got = np.asarray(resumed[:, :F])
+    nz = np.abs(got) > 1e-6
+    ratio = got[nz] / expected[nz]
+    assert np.all(ratio > 0) and np.all(ratio <= 1.0 + 1e-6)
