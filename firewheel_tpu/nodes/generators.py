@@ -69,13 +69,13 @@ class NoiseProcessor(NodeProcessor):
         # stateless bits keyed on (seed, block start sample): the same
         # stream region re-renders bit-exactly under the same block
         # partitioning (checkpoint/resume preserves block boundaries).
-        # NOTE (perf, unresolved): threefry is integer-rotate/xor heavy
-        # and runs inside the chunk scan body — the op class CLAUDE.md
-        # flags as a potential TPU loop-compilation pathology (measured
-        # 26x on uint32 clock shifts, round 2).  Measured on-chip before
-        # redesigning; see docs/PERF.md "NoiseNode in the chunk scan" for
-        # the verdict and the fallback plan (per-block key vectors via
-        # the PerBlock timeline xs if it ever bites).
+        # NOTE (perf, resolved round 3): threefry is integer-rotate/xor
+        # heavy inside the chunk scan body — the op class CLAUDE.md
+        # flags as a potential TPU loop-compilation pathology.  Measured
+        # on-chip: +0.8% steady-state, no compile blow-up (the round-2
+        # 26x case was LOOP-CARRIED integer shifts; threefry's integer
+        # work is data-parallel within the body).  See docs/PERF.md
+        # "NoiseNode in the chunk scan".
         key = jax.random.fold_in(
             jax.random.PRNGKey(params["seed"]), info.stream_sample
         )
