@@ -84,6 +84,17 @@ _SCALAR_ATTRS: dict[str, list[str]] = {
     "StreamingSamplerNode": [
         "_percent_volume", "_raw_gain", "_window_secs", "_rate",
     ],
+    "WaveshaperNode": [
+        "curve", "_drive_db", "_output_db", "_mix", "_dc_block",
+        "silence_transparent",
+    ],
+    # bands ride in `extra` (a list of dataclasses, not flat scalars)
+    "ParametricEQNode": [],
+    "ModDelayNode": [
+        "_rate_hz", "_base_delay_secs", "_depth_secs", "_mix",
+        "_phase_spread", "_fb_mode", "_feedback", "_max_delay_secs",
+    ],
+    "TremoloNode": ["_rate_hz", "_depth", "_phase_spread", "_bipolar"],
 }
 
 _ARRAY_ATTRS: dict[str, list[str]] = {
@@ -195,6 +206,11 @@ def save_graph(graph: AudioGraph, path: str) -> None:
             reader_path = getattr(reader, "path", None)
             if reader_path:
                 extra["reader_path"] = str(reader_path)
+        if cls_name == "ParametricEQNode":
+            extra["bands"] = [
+                [b.band_type, b.frequency_hz, b.q, b.gain_db, b.enabled]
+                for b in node._bands
+            ]
         node_rows.append({
             "key": key,
             "cls": cls_name,
@@ -277,6 +293,12 @@ def load_graph(path: str) -> "tuple[AudioGraph, dict]":
                 node.set_loop_range(
                     LoopRange.FULL if full else LoopRange.range_secs(s, e)
                 )
+        if row["cls"] == "ParametricEQNode":
+            from ..nodes.eq import EQBand
+
+            node._bands = [
+                EQBand(bt, f, q, g, en) for bt, f, q, g, en in extra["bands"]
+            ]
         if row["cls"] == "StreamingSamplerNode" and "reader_path" in extra:
             from ..utils.wav import WavStreamReader
 

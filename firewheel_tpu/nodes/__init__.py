@@ -24,6 +24,9 @@ from .streaming_sampler import CallbackStreamReader, StreamingSamplerNode
 from .dynamics import CompressorNode, DuckerNode, LimiterNode
 from .generators import LFONode, LFOShape, NoiseNode
 from .loudness import IntegratedLoudness, LoudnessMeterNode
+from .waveshaper import WaveshaperNode
+from .eq import EQBand, ParametricEQNode
+from .mod_effects import ModDelayNode, TremoloNode
 
 __all__ = [
     "LoopRange",
@@ -51,6 +54,11 @@ __all__ = [
     "NoiseNode",
     "LFONode",
     "LFOShape",
+    "WaveshaperNode",
+    "EQBand",
+    "ParametricEQNode",
+    "ModDelayNode",
+    "TremoloNode",
     "DummyAudioNode",
     "DummyProcessor",
     "BeepTestNode",

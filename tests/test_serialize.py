@@ -26,6 +26,7 @@ from firewheel_tpu.nodes import (
     DelayCompNode,
     DuckerNode,
     EchoNode,
+    EQBand,
     FilterNode,
     FilterType,
     FirFilterNode,
@@ -34,15 +35,19 @@ from firewheel_tpu.nodes import (
     LimiterNode,
     LoopRange,
     LoudnessMeterNode,
+    ModDelayNode,
     MonoToStereoNode,
     NoiseNode,
+    ParametricEQNode,
     SamplerNode,
     Spatializer3DNode,
     StereoPanNode,
     StereoToMonoNode,
     StereoWidthNode,
     SumNode,
+    TremoloNode,
     VolumeNode,
+    WaveshaperNode,
     design_windowed_sinc,
 )
 
@@ -83,6 +88,17 @@ def kitchen_sink():
     clipn = g.add_node(2, 2, HardClipNode(-0.5))
     meter = g.add_node(2, 2, DbMeterNode())
     loud = g.add_node(2, 2, LoudnessMeterNode())
+    chorus = g.add_node(2, 2, ModDelayNode.chorus(rate_hz=1.2, mix=0.4))
+    flanger = g.add_node(2, 2, ModDelayNode.flanger(feedback=0.5))
+    trem = g.add_node(2, 2, TremoloNode(rate_hz=4.0, depth=0.6, bipolar=False))
+    eq = g.add_node(2, 2, ParametricEQNode([
+        EQBand(FilterType.LOW_SHELF, 130.0, 0.9, 3.0),
+        EQBand(FilterType.PEAKING, 1800.0, 1.4, -5.0, enabled=False),
+        EQBand(FilterType.HIGH_SHELF, 7500.0, 0.7, 2.0),
+    ]))
+    shaper = g.add_node(
+        2, 2, WaveshaperNode("soft", drive_db=9.0, mix=0.6, dc_block=True)
+    )
 
     s2m = g.add_node(2, 1, StereoToMonoNode())
     spat = g.add_node(1, 2, Spatializer3DNode((1.0, 0.0, -2.0), rolloff=0.7))
@@ -98,12 +114,17 @@ def kitchen_sink():
         g.connect(smp, c, mix, 6 + c)
         g.connect(mix, c, vol, c)
         g.connect(vol, c, pan, c)
-        g.connect(pan, c, wid, c)
+        g.connect(pan, c, chorus, c)
+        g.connect(chorus, c, trem, c)
+        g.connect(trem, c, wid, c)
         g.connect(wid, c, filt, c)
-        g.connect(filt, c, fir, c)
+        g.connect(filt, c, eq, c)
+        g.connect(eq, c, shaper, c)
+        g.connect(shaper, c, fir, c)
         g.connect(fir, c, echo, c)
         g.connect(echo, c, dc, c)
-        g.connect(dc, c, rev, c)
+        g.connect(dc, c, flanger, c)
+        g.connect(flanger, c, rev, c)
         g.connect(rev, c, comp, c)
         g.connect(comp, c, lim, c)
         g.connect(lim, c, clipn, c)
