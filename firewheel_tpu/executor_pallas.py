@@ -83,6 +83,11 @@ _UNSUPPORTED_PROCS = (
     "BinauralSpatializerProcessor",
     "SamplerProcessor",
     "StreamingSamplerProcessor",
+    # verified-on-chip failures (round 3): the batched kernel makes each
+    # take_along_axis a 3-D gather ("Only 2D gather is supported") and the
+    # ring-buffer write a scatter ("Unimplemented primitive ... scatter")
+    "ModDelayProcessor",
+    "PitchShiftProcessor",
 )
 
 

@@ -70,49 +70,61 @@ class ParametricEQProcessor(NodeProcessor):
         return (self._types,)
 
     def init_state(self):
+        # per-band flat keys rather than stacked [n_bands, ch] arrays:
+        # scalar-indexing a stacked state operand crashes the Mosaic
+        # compiler inside the Pallas megakernel (SIGABRT), and flat [ch]
+        # vectors tile cleanly there
         ch = self.num_inputs
-        n = len(self._types)
-        return {
-            "z1": jnp.zeros((n, ch), jnp.float32),
-            "z2": jnp.zeros((n, ch), jnp.float32),
-        }
+        st = {}
+        for i in range(len(self._types)):
+            st[f"z1_{i}"] = jnp.zeros((ch,), jnp.float32)
+            st[f"z2_{i}"] = jnp.zeros((ch,), jnp.float32)
+        return st
 
     def collect_params(self):
-        bands = self._node._bands
-        return {
-            "freq": np.asarray([b.frequency_hz for b in bands], np.float32),
-            "q": np.asarray([b.q for b in bands], np.float32),
-            "gain_db": np.asarray([b.gain_db for b in bands], np.float32),
-            "enabled": np.asarray([b.enabled for b in bands], bool),
-        }
+        # Coefficients are staged HOST-side (numpy via the trig-free jnp
+        # builders on concrete floats) as per-band scalar tuples: the
+        # kernel is then pure chained scans — no in-kernel trig/power and
+        # no scalar indexing into param vectors, both of which Mosaic
+        # rejects or miscompiles inside the Pallas megakernel.  Live
+        # semantics are identical: set_band edits land at the next
+        # collect_params staging, never recompiling.
+        out = []
+        for b, band_type in zip(self._node._bands, self._types):
+            if b.enabled:
+                c = _BUILDERS[band_type](
+                    b.frequency_hz, b.q, b.gain_db, self.sample_rate
+                )
+                cs = tuple(np.float32(v) for v in c)
+            else:
+                # bypass: identity section (1, 0, 0, 0, 0) — state keeps
+                # flowing so re-enabling never replays a stale tail
+                cs = (
+                    np.float32(1.0), np.float32(0.0), np.float32(0.0),
+                    np.float32(0.0), np.float32(0.0),
+                )
+            out.append(dict(zip(("b0", "b1", "b2", "a1", "a2"), cs)))
+        return {"bands": tuple(out)}
 
     def kernel(self, params, state, inputs, in_mask, info):
         y = inputs
-        z1s, z2s = [], []
-        for i, band_type in enumerate(self._types):
-            c = _BUILDERS[band_type](
-                params["freq"][i], params["q"][i], params["gain_db"][i],
-                self.sample_rate,
-            )
-            en = params["enabled"][i]
-            # bypass in-trace: identity section (1, 0, 0, 0, 0)
+        new_state = {}
+        quiet = jnp.bool_(True)
+        for i, band in enumerate(params["bands"]):
             c = BiquadCoeffs(
-                jnp.where(en, c.b0, jnp.float32(1.0)),
-                jnp.where(en, c.b1, jnp.float32(0.0)),
-                jnp.where(en, c.b2, jnp.float32(0.0)),
-                jnp.where(en, c.a1, jnp.float32(0.0)),
-                jnp.where(en, c.a2, jnp.float32(0.0)),
+                band["b0"], band["b1"], band["b2"], band["a1"], band["a2"]
             )
-            y, (z1, z2) = biquad_scan(y, (state["z1"][i], state["z2"][i]), c)
-            z1s.append(z1)
-            z2s.append(z2)
+            quiet = quiet & jnp.all(
+                jnp.abs(state[f"z1_{i}"]) < 1e-10
+            ) & jnp.all(jnp.abs(state[f"z2_{i}"]) < 1e-10)
+            y, (z1, z2) = biquad_scan(
+                y, (state[f"z1_{i}"], state[f"z2_{i}"]), c
+            )
+            new_state[f"z1_{i}"] = z1
+            new_state[f"z2_{i}"] = z2
 
-        state_quiet = jnp.all(jnp.abs(state["z1"]) < 1e-10) & jnp.all(
-            jnp.abs(state["z2"]) < 1e-10
-        )
-        out_mask = in_mask & state_quiet
+        out_mask = in_mask & quiet
         y = gate(y, out_mask)
-        new_state = {"z1": jnp.stack(z1s), "z2": jnp.stack(z2s)}
         return y, new_state, out_mask
 
 

@@ -61,7 +61,10 @@ __all__ = [
 # (see module docstring); also the minimum enforced base delay - 1
 _SUB = 32
 
-_TWO_PI = jnp.float32(2.0 * math.pi)
+# NumPy literal, not a jnp array: a module-level device constant would be
+# *captured* by the Pallas megakernel closure, which Mosaic rejects
+# ("captures constants ... pass them as inputs")
+_TWO_PI = np.float32(2.0 * math.pi)
 
 
 def _lfo_delay(phases, base, depth):
@@ -114,13 +117,21 @@ class ModDelayProcessor(NodeProcessor):
         ch = self.num_inputs
         t = jnp.arange(1, frames + 1, dtype=jnp.int32).astype(jnp.float32)
         ph = state["phase"] + t * params["rate"]  # [F]
+        # int iota + cast: a float-dtype arange emits a float tpu.iota,
+        # which Mosaic rejects inside the Pallas megakernel
         offs = (
             params["spread"]
-            * jnp.arange(ch, dtype=jnp.float32)
+            * jnp.arange(ch, dtype=jnp.int32).astype(jnp.float32)
             / jnp.float32(max(ch, 1))
         )
         phases = jnp.mod(ph[None, :] + offs[:, None], 1.0)  # [ch, F]
-        return phases, jnp.mod(ph[frames - 1], 1.0)
+        # recompute the carry instead of extracting ph[frames-1]: scalar
+        # indexing a vector lowers to a gather Mosaic rejects (and
+        # ph[F-1] == phase + F*rate exactly, same float ops)
+        phase_last = jnp.mod(
+            state["phase"] + jnp.float32(frames) * params["rate"], 1.0
+        )
+        return phases, phase_last
 
     def kernel(self, params, state, inputs, in_mask, info):
         ch, frames = inputs.shape
@@ -130,7 +141,7 @@ class ModDelayProcessor(NodeProcessor):
 
         if not self._fb_mode:
             seq = jnp.concatenate([state["line"], inputs], axis=-1)
-            n = jnp.arange(frames, dtype=jnp.float32)[None, :]
+            n = jnp.arange(frames, dtype=jnp.int32).astype(jnp.float32)[None, :]
             pos = jnp.float32(w) + n - d  # in [1, w+F-2]
             i0 = jnp.floor(pos)
             frac = pos - i0
@@ -163,7 +174,7 @@ class ModDelayProcessor(NodeProcessor):
                 ),  # [n_sub, ch, s]
                 "d": jnp.moveaxis(d_p.reshape(ch, n_sub, s), 1, 0),
             }
-            nloc = jnp.arange(s, dtype=jnp.float32)[None, :]
+            nloc = jnp.arange(s, dtype=jnp.int32).astype(jnp.float32)[None, :]
             fb = params["feedback"]
 
             def sub_step(line, x):
@@ -316,7 +327,7 @@ class TremoloProcessor(NodeProcessor):
         ph = state["phase"] + t * params["rate"]
         offs = (
             params["spread"]
-            * jnp.arange(ch, dtype=jnp.float32)
+            * jnp.arange(ch, dtype=jnp.int32).astype(jnp.float32)
             / jnp.float32(max(ch, 1))
         )
         phases = jnp.mod(ph[None, :] + offs[:, None], 1.0)
@@ -331,7 +342,11 @@ class TremoloProcessor(NodeProcessor):
             )
         y = inputs * g
         y = gate(y, in_mask)
-        return y, {"phase": jnp.mod(ph[frames - 1], 1.0)}, in_mask
+        # carry recomputed, not extracted — see ModDelayProcessor._phases
+        phase_last = jnp.mod(
+            state["phase"] + jnp.float32(frames) * params["rate"], 1.0
+        )
+        return y, {"phase": phase_last}, in_mask
 
 
 class TremoloNode(AudioNode):

@@ -97,15 +97,18 @@ class WaveshaperProcessor(NodeProcessor):
 
     def kernel(self, params, state, inputs, in_mask, info):
         shaped = _shape(self._node.curve, inputs * params["drive"])
+        frames = inputs.shape[-1]
 
         if self._node._dc_block:
             # y[n] = (x[n] - x[n-1]) + R*y[n-1]: affine scan with v = Δx
+            # (positive static indices only: [..., -1] lowers to a gather
+            # Mosaic rejects — see ops/iir.py:biquad_scan)
             x_prev = jnp.concatenate(
-                [state["x1"][..., None], shaped[..., :-1]], axis=-1
+                [state["x1"][..., None], shaped[..., : frames - 1]], axis=-1
             )
             v = shaped - x_prev
             y, y_last = one_pole_scan(v, state["y1"], 1.0, self._dc_r)
-            new_state = {"x1": shaped[..., -1], "y1": y_last}
+            new_state = {"x1": shaped[..., frames - 1], "y1": y_last}
             shaped = y
             # a silent input still drains the blocker's tail
             state_quiet = (jnp.abs(state["x1"]) < 1e-10) & (

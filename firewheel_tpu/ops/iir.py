@@ -152,14 +152,22 @@ def one_pole_scan(x, y_prev, a, b):
 # RBJ coefficient builders (all angles in radians; arrays or scalars)
 # ---------------------------------------------------------------------------
 
+def _xp(*vals):
+    """numpy for concrete host values, jnp for arrays/tracers — so the
+    builders run in-trace for live in-kernel coefficients (FilterNode) AND
+    host-side at param staging (ParametricEQNode) without dispatching tiny
+    eager device ops per block (≈30 ms each over the axon tunnel)."""
+    return jnp if any(isinstance(v, jnp.ndarray) for v in vals) else np
+
+
 def _wq(freq_hz, q, sample_rate):
-    xp = jnp
-    w0 = xp.float32(2.0 * math.pi) * xp.asarray(freq_hz, jnp.float32) / jnp.float32(
+    xp = _xp(freq_hz, q)
+    w0 = xp.float32(2.0 * math.pi) * xp.asarray(freq_hz, xp.float32) / xp.float32(
         sample_rate
     )
     sin_w0 = xp.sin(w0)
     cos_w0 = xp.cos(w0)
-    alpha = sin_w0 / (xp.float32(2.0) * xp.asarray(q, jnp.float32))
+    alpha = sin_w0 / (xp.float32(2.0) * xp.asarray(q, xp.float32))
     return w0, sin_w0, cos_w0, alpha
 
 
@@ -190,7 +198,7 @@ def biquad_bandpass(freq_hz, q, sample_rate) -> BiquadCoeffs:
 
 def biquad_notch(freq_hz, q, sample_rate) -> BiquadCoeffs:
     w0, s, c, alpha = _wq(freq_hz, q, sample_rate)
-    one = jnp.ones_like(alpha)
+    one = _xp(alpha).ones_like(alpha)
     return _norm(one, -2.0 * c, one, 1.0 + alpha, -2.0 * c, 1.0 - alpha)
 
 
@@ -203,7 +211,8 @@ def biquad_allpass(freq_hz, q, sample_rate) -> BiquadCoeffs:
 
 def biquad_peaking(freq_hz, q, gain_db, sample_rate) -> BiquadCoeffs:
     w0, s, c, alpha = _wq(freq_hz, q, sample_rate)
-    A = jnp.power(10.0, jnp.asarray(gain_db, jnp.float32) / 40.0)
+    xp = _xp(alpha, gain_db)
+    A = xp.power(xp.float32(10.0), xp.asarray(gain_db, xp.float32) / 40.0)
     return _norm(
         1.0 + alpha * A,
         -2.0 * c,
@@ -216,8 +225,9 @@ def biquad_peaking(freq_hz, q, gain_db, sample_rate) -> BiquadCoeffs:
 
 def biquad_low_shelf(freq_hz, q, gain_db, sample_rate) -> BiquadCoeffs:
     w0, s, c, alpha = _wq(freq_hz, q, sample_rate)
-    A = jnp.power(10.0, jnp.asarray(gain_db, jnp.float32) / 40.0)
-    sq = 2.0 * jnp.sqrt(A) * alpha
+    xp = _xp(alpha, gain_db)
+    A = xp.power(xp.float32(10.0), xp.asarray(gain_db, xp.float32) / 40.0)
+    sq = 2.0 * xp.sqrt(A) * alpha
     return _norm(
         A * ((A + 1.0) - (A - 1.0) * c + sq),
         2.0 * A * ((A - 1.0) - (A + 1.0) * c),
@@ -230,8 +240,9 @@ def biquad_low_shelf(freq_hz, q, gain_db, sample_rate) -> BiquadCoeffs:
 
 def biquad_high_shelf(freq_hz, q, gain_db, sample_rate) -> BiquadCoeffs:
     w0, s, c, alpha = _wq(freq_hz, q, sample_rate)
-    A = jnp.power(10.0, jnp.asarray(gain_db, jnp.float32) / 40.0)
-    sq = 2.0 * jnp.sqrt(A) * alpha
+    xp = _xp(alpha, gain_db)
+    A = xp.power(xp.float32(10.0), xp.asarray(gain_db, xp.float32) / 40.0)
+    sq = 2.0 * xp.sqrt(A) * alpha
     return _norm(
         A * ((A + 1.0) + (A - 1.0) * c + sq),
         -2.0 * A * ((A - 1.0) + (A + 1.0) * c),

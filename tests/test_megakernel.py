@@ -75,6 +75,38 @@ def test_eligibility():
     )
 
 
+def test_eligibility_round3_nodes():
+    """On-chip verified (round 3): EQ / waveshaper / tremolo lower through
+    Mosaic; mod-delay (3-D batched gathers) and pitch shift (ring-buffer
+    scatter) must stay on the XLA executor or in XLA islands."""
+    from firewheel_tpu.nodes import (
+        EQBand,
+        FilterType,
+        ModDelayNode,
+        ParametricEQNode,
+        PitchShiftNode,
+        TremoloNode,
+        WaveshaperNode,
+    )
+
+    def prog_with(n_io, node):
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        b = g.add_node(0, n_io, BeepTestNode(440, -18, True))
+        n = g.add_node(n_io, n_io, node)
+        for c in range(n_io):
+            g.connect(b, c, n, c)
+            g.connect(n, c, g.graph_out_node(), c)
+        pkg = g.compile(SR, F)
+        return ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+    assert supports_megakernel(prog_with(2, ParametricEQNode([
+        EQBand(FilterType.PEAKING, 440.0, 1.0, 6.0)])))
+    assert supports_megakernel(prog_with(2, WaveshaperNode("tanh", 6.0)))
+    assert supports_megakernel(prog_with(2, TremoloNode(4.0, 0.5)))
+    assert not supports_megakernel(prog_with(2, ModDelayNode.chorus()))
+    assert not supports_megakernel(prog_with(2, PitchShiftNode(3.0)))
+
+
 def test_bit_exact_vs_xla_executor():
     prog = mixer_program()
     B, K = 16, 4
