@@ -45,14 +45,35 @@ from firewheel_tpu.graph import CycleDetected
 from firewheel_tpu.nodes import (
     BeepTestNode,
     DbMeterNode,
+    EQBand,
+    FilterType,
     HardClipNode,
+    ModDelayNode,
+    ParametricEQNode,
     StereoPanNode,
     SumNode,
+    TremoloNode,
     VolumeNode,
+    WaveshaperNode,
 )
 
 SR = 48000
 MAX_VOICES = 8
+
+# master-bus FX palette: inserted live between the clip and the meter —
+# each switch is a topology edit (remove + insert + rewire) that the
+# engine hot-swaps with state migration, the reference's egui-editor UX
+FX_PALETTE = {
+    "eq": lambda: ParametricEQNode([
+        EQBand(FilterType.LOW_SHELF, 150.0, 0.8, 4.0),
+        EQBand(FilterType.PEAKING, 1500.0, 1.2, -6.0),
+        EQBand(FilterType.HIGH_SHELF, 6000.0, 0.7, 3.0),
+    ]),
+    "chorus": lambda: ModDelayNode.chorus(rate_hz=0.9, mix=0.5),
+    "flanger": lambda: ModDelayNode.flanger(feedback=0.6),
+    "tremolo": lambda: TremoloNode(rate_hz=5.0, depth=0.8),
+    "waveshaper": lambda: WaveshaperNode("soft", drive_db=12.0, mix=0.7),
+}
 
 
 class EngineApp:
@@ -68,6 +89,7 @@ class EngineApp:
         self.sink = ArraySink()
         self.voices: list[dict] = []
         self.log: list[str] = []
+        self.fx = None  # (kind, node_id) of the master-bus insert
 
         g = self.cx.graph_mut()
         self.mixer = g.add_node(2 * MAX_VOICES, 2, SumNode())
@@ -100,6 +122,26 @@ class EngineApp:
         g.connect(pan, 1, self.mixer, 2 * slot + 1, check_for_cycles=True)
         self.voices.append({"beep": beep, "vol": vol, "pan": pan, "freq": freq})
         self._log(f"added voice {slot} ({freq:.0f} Hz) — schedule recompiles")
+
+    def _set_fx(self, kind: str):
+        g = self.cx.graph_mut()
+        if self.fx is not None:
+            g.remove_node(self.fx[1])  # severs its edges
+            self.fx = None
+        else:
+            for c in range(2):
+                g.disconnect(self.clip, c, self.meter, c)
+        if kind in FX_PALETTE:
+            node = g.add_node(2, 2, FX_PALETTE[kind]())
+            for c in range(2):
+                g.connect(self.clip, c, node, c, check_for_cycles=True)
+                g.connect(node, c, self.meter, c, check_for_cycles=True)
+            self.fx = (kind, node)
+            self._log(f"master FX -> {kind} — schedule recompiles")
+        else:
+            for c in range(2):
+                g.connect(self.clip, c, self.meter, c, check_for_cycles=True)
+            self._log("master FX removed — schedule recompiles")
 
     def _remove_voice(self):
         if not self.voices:
@@ -134,6 +176,8 @@ class EngineApp:
                 g.node(self.voices[i]["beep"]).set_enabled(bool(on))
             elif kind == "add_voice":
                 self._add_voice(float(cmd[1]))
+            elif kind == "set_fx":
+                self._set_fx(cmd[1])
             elif kind == "remove_voice":
                 self._remove_voice()
             elif kind == "try_cycle":
@@ -203,6 +247,7 @@ class EngineApp:
         snap = {
             "nodes": nodes, "edges": edges, "voices": voices,
             "meter_db": meter_db, "stream": stats, "log": list(self.log),
+            "fx": self.fx[0] if self.fx else "none",
         }
         with self._lock:
             self.snapshot = snap
@@ -282,6 +327,14 @@ PAGE = """<!DOCTYPE html>
     <button class="warn" onclick="post('/cmd?op=remove_voice')">remove last voice</button>
     <button onclick="post('/cmd?op=try_cycle')">try to create a cycle</button>
   </div>
+  <div>
+    <span class="lbl">FX</span>
+    <select id="fx" onchange="post('/cmd?op=set_fx&v='+this.value)">
+      <option value="none">none</option><option value="eq">eq</option>
+      <option value="chorus">chorus</option><option value="flanger">flanger</option>
+      <option value="tremolo">tremolo</option><option value="waveshaper">waveshaper</option>
+    </select>
+  </div>
   <div id="voices"></div>
   <div class="meter" id="meter"></div>
   <div id="stream"></div>
@@ -308,6 +361,8 @@ async function refresh(){
  document.getElementById('stream').textContent=
    'rendered '+ (s.stream.seconds||0) +' s ('+(s.stream.frames_rendered||0)+' frames)';
  document.getElementById('log').textContent=(s.log||[]).join('\\n');
+ const fxSel=document.getElementById('fx');
+ if(document.activeElement!==fxSel)fxSel.value=s.fx||'none';
  drawGraph(s);
 }
 function drawGraph(s){
@@ -371,6 +426,8 @@ def make_handler(app: EngineApp):
                     app.cmds.put((op, i, v not in ("0", "false")))
                 elif op == "add_voice":
                     app.cmds.put(("add_voice", float(q.get("freq", ["440"])[0])))
+                elif op == "set_fx":
+                    app.cmds.put(("set_fx", v))
                 elif op in ("remove_voice", "try_cycle"):
                     app.cmds.put((op,))
                 self._send("ok", "text/plain")

@@ -97,6 +97,37 @@ def mixer_program():
     return _program(g)
 
 
+def round3_effects_program():
+    """New-node chain with interleaved eligibility (round 3):
+    beep → chorus (xla) → eq → waveshaper → tremolo (island) →
+    pitch shift (xla) → out."""
+    from firewheel_tpu.nodes import (
+        EQBand,
+        FilterType,
+        ModDelayNode,
+        ParametricEQNode,
+        PitchShiftNode,
+        TremoloNode,
+        WaveshaperNode,
+    )
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    beep = g.add_node(0, 2, BeepTestNode(440, -18, True))
+    chorus = g.add_node(2, 2, ModDelayNode.chorus(rate_hz=1.2, mix=0.4))
+    eq = g.add_node(2, 2, ParametricEQNode([
+        EQBand(FilterType.LOW_SHELF, 150.0, 0.8, 2.0),
+        EQBand(FilterType.PEAKING, 2000.0, 1.2, -3.0),
+    ]))
+    shaper = g.add_node(2, 2, WaveshaperNode("soft", drive_db=6.0, mix=0.7))
+    trem = g.add_node(2, 2, TremoloNode(rate_hz=3.0, depth=0.5))
+    ps = g.add_node(2, 2, PitchShiftNode(semitones=2.0))
+    chain = [beep, chorus, eq, shaper, trem, ps, g.graph_out_node()]
+    for a, b in zip(chain[:-1], chain[1:]):
+        for ch in range(2):
+            g.connect(a, ch, b, ch)
+    return _program(g)
+
+
 def _xla_reference(prog, params, state, graph_in=None, in_mask=None,
                    start_sample=0):
     """Reference: the XLA BatchRenderer chunk path."""
@@ -129,6 +160,18 @@ class TestPartition:
         prog = mixer_program()
         segs = partition_schedule(prog)
         assert [k for k, _ in segs] == ["mega"]
+
+    def test_round3_chain_partitions(self):
+        prog = round3_effects_program()
+        segs = partition_schedule(prog)
+        kinds = [k for k, _ in segs]
+        # beep+? | chorus (xla) | eq+shaper+trem island | pitch shift (xla)
+        assert "mega" in kinds
+        by_kind = {}
+        for k, nodes in segs:
+            by_kind.setdefault(k, []).append(len(nodes))
+        # the eq→waveshaper→tremolo run must island together
+        assert max(by_kind["mega"]) >= 3
 
     def test_min_island_folds_tiny_runs(self):
         prog = effects_chain_program()
@@ -175,6 +218,18 @@ class TestHybridParity:
         np.testing.assert_allclose(
             np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
         )
+
+    def test_round3_chain_matches_xla(self):
+        prog = round3_effects_program()
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=4,
+                                interpret=True)
+        params, state = hy.stack_params(), hy.init_state()
+        out_h, om_h, _ = hy.render_chunk(params, state)
+        out_x, om_x, _ = _xla_reference(prog, params, state)
+        np.testing.assert_allclose(
+            np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(om_h), np.asarray(om_x))
 
     def test_state_carries_across_chunks(self):
         prog = effects_chain_program()

@@ -114,3 +114,30 @@ class TestEditorTelemetry:
         # the engine kept publishing a live meter through the edit
         state = _wait_for(lambda s: s.get("meter_db") is not None, port)
         assert state["meter_db"] is not None
+
+    def test_master_fx_insert_swap_remove(self, editor):
+        """The FX palette inserts/swaps/removes a master-bus effect on the
+        RUNNING engine — three live topology edits through the HTTP API."""
+        app, port = editor
+        before = _wait_for(lambda s: bool(s.get("nodes")), port)
+        n0 = len(before["nodes"])
+
+        _post(port, "/cmd?op=set_fx&v=chorus")
+        state = _wait_for(lambda s: s.get("fx") == "chorus", port)
+        assert state["fx"] == "chorus", state.get("log")
+        assert len(state["nodes"]) == n0 + 1
+        assert any(n["name"] == "mod_delay" for n in state["nodes"])
+
+        _post(port, "/cmd?op=set_fx&v=eq")  # swap chorus -> eq
+        state = _wait_for(lambda s: s.get("fx") == "eq", port)
+        assert state["fx"] == "eq", state.get("log")
+        assert len(state["nodes"]) == n0 + 1
+        assert any(n["name"] == "parametric_eq" for n in state["nodes"])
+
+        _post(port, "/cmd?op=set_fx&v=none")
+        state = _wait_for(lambda s: s.get("fx") == "none", port)
+        assert state["fx"] == "none", state.get("log")
+        assert len(state["nodes"]) == n0
+        # the engine streamed through all three edits: meter still live
+        state = _wait_for(lambda s: s.get("meter_db") is not None, port)
+        assert state["meter_db"] is not None
