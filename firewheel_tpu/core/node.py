@@ -177,6 +177,16 @@ class NodeProcessor:
     counts are static (baked into the compiled program).
     """
 
+    #: Whether this processor's kernel lowers through Mosaic (the Pallas
+    #: megakernel / hybrid islands, ``executor_pallas``).  Kernels using
+    #: ops with no Mosaic lowering — FFTs, ``conv_general_dilated``,
+    #: >2-D batched gathers (``take_along_axis`` under the batch tile),
+    #: scatters (ring-buffer ``dynamic_update_slice`` writes) — must set
+    #: this ``False``; the hybrid renderer then runs them as exact XLA
+    #: stages between Pallas islands.  See docs/EXTENDING.md for the
+    #: full Mosaic-safe kernel playbook.
+    supports_megakernel: bool = True
+
     def __init__(
         self,
         sample_rate: int,

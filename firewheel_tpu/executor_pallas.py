@@ -74,28 +74,20 @@ __all__ = [
     "partition_schedule",
 ]
 
-# node kernels known to lower through Mosaic (no FFT, no dynamic gather)
-_UNSUPPORTED_PROCS = (
-    # conv_general_dilated / FFT / data-dependent gathers have no Mosaic
-    # lowering inside this kernel; these nodes stay on the XLA executor
-    "ConvolutionReverbProcessor",
-    "FirFilterProcessor",
-    "BinauralSpatializerProcessor",
-    "SamplerProcessor",
-    "StreamingSamplerProcessor",
-    # verified-on-chip failures (round 3): the batched kernel makes each
-    # take_along_axis a 3-D gather ("Only 2D gather is supported") and the
-    # ring-buffer write a scatter ("Unimplemented primitive ... scatter")
-    "ModDelayProcessor",
-    "PitchShiftProcessor",
-)
+# Eligibility is declared per processor class via the
+# ``NodeProcessor.supports_megakernel`` attribute (True by default) so
+# third-party nodes can opt out — in-tree opt-outs: FFT/conv kernels
+# (reverb, FIR, binaural), gather samplers, and the round-3
+# verified-on-chip failures (mod-delay: batched take_along_axis becomes
+# a 3-D gather, "Only 2D gather is supported"; pitch shift: ring-buffer
+# write is a scatter, "Unimplemented primitive ... scatter").
 
 
 def supports_megakernel(program: ScheduleProgram) -> bool:
     if program.num_graph_inputs != 0:
         return False
-    return not any(
-        type(p).__name__ in _UNSUPPORTED_PROCS
+    return all(
+        getattr(type(p), "supports_megakernel", True)
         for p in program._procs.values()
     )
 
@@ -357,7 +349,7 @@ from .executor import node_key  # noqa: E402
 
 
 def _mosaic_eligible(proc) -> bool:
-    return type(proc).__name__ not in _UNSUPPORTED_PROCS
+    return bool(getattr(type(proc), "supports_megakernel", True))
 
 
 def partition_schedule(program: ScheduleProgram, min_island: int = 2):

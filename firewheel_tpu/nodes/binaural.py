@@ -92,6 +92,7 @@ def _shadow_coeffs(cos_theta: float, head_radius: float, sample_rate: float):
 
 
 class BinauralSpatializerProcessor(NodeProcessor):
+    supports_megakernel = False  # HRTF fractional-delay gathers + conv
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node

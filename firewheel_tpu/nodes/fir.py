@@ -99,6 +99,7 @@ def design_windowed_sinc(
 
 
 class FirFilterProcessor(NodeProcessor):
+    supports_megakernel = False  # conv_general_dilated has no Mosaic lowering
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node

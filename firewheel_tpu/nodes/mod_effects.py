@@ -76,6 +76,9 @@ def _lfo_delay(phases, base, depth):
 
 
 class ModDelayProcessor(NodeProcessor):
+    # verified on-chip (round 3): the batched kernel turns each
+    # take_along_axis into a 3-D gather ("Only 2D gather is supported")
+    supports_megakernel = False
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node

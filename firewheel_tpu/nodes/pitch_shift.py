@@ -45,6 +45,9 @@ __all__ = ["PitchShiftNode", "PitchShiftProcessor"]
 
 
 class PitchShiftProcessor(NodeProcessor):
+    # verified on-chip (round 3): the ring-buffer write is a scatter
+    # ("Unimplemented primitive in Pallas TPU lowering ... scatter")
+    supports_megakernel = False
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node

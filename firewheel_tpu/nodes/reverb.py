@@ -52,6 +52,7 @@ __all__ = ["ConvolutionReverbNode", "ConvolutionReverbProcessor"]
 
 
 class ConvolutionReverbProcessor(NodeProcessor):
+    supports_megakernel = False  # FFT / conv engines have no Mosaic lowering
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node

@@ -266,6 +266,7 @@ class SamplerNode(AudioNode):
 
 
 class SamplerProcessor(NodeProcessor):
+    supports_megakernel = False  # data-dependent playback gathers
     def __init__(self, node: SamplerNode, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node

@@ -155,6 +155,7 @@ class StreamingSamplerNode(AudioNode):
 
 
 class StreamingSamplerProcessor(NodeProcessor):
+    supports_megakernel = False  # data-dependent playback gathers
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
