@@ -86,8 +86,10 @@ __all__ = [
 def supports_megakernel(program: ScheduleProgram) -> bool:
     if program.num_graph_inputs != 0:
         return False
+    # read off the instance so both class- and instance-level opt-outs
+    # (config-dependent kernels) are honored
     return all(
-        getattr(type(p), "supports_megakernel", True)
+        getattr(p, "supports_megakernel", True)
         for p in program._procs.values()
     )
 
@@ -349,7 +351,7 @@ from .executor import node_key  # noqa: E402
 
 
 def _mosaic_eligible(proc) -> bool:
-    return bool(getattr(type(proc), "supports_megakernel", True))
+    return bool(getattr(proc, "supports_megakernel", True))
 
 
 def partition_schedule(program: ScheduleProgram, min_island: int = 2):

@@ -84,9 +84,10 @@ _SCALAR_ATTRS: dict[str, list[str]] = {
     "StreamingSamplerNode": [
         "_percent_volume", "_raw_gain", "_window_secs", "_rate",
     ],
+    # silence_transparent is derived (= not dc_block) — re-derived on
+    # load, never stored, so a future derivation change wins over scenes
     "WaveshaperNode": [
         "curve", "_drive_db", "_output_db", "_mix", "_dc_block",
-        "silence_transparent",
     ],
     # bands ride in `extra` (a list of dataclasses, not flat scalars)
     "ParametricEQNode": [],
@@ -299,6 +300,9 @@ def load_graph(path: str) -> "tuple[AudioGraph, dict]":
             node._bands = [
                 EQBand(bt, f, q, g, en) for bt, f, q, g, en in extra["bands"]
             ]
+        if row["cls"] == "WaveshaperNode":
+            # derived, not stored (see _SCALAR_ATTRS note)
+            node.silence_transparent = not node._dc_block
         if row["cls"] == "StreamingSamplerNode" and "reader_path" in extra:
             from ..utils.wav import WavStreamReader
 

@@ -109,14 +109,16 @@ class ParametricEQProcessor(NodeProcessor):
     def kernel(self, params, state, inputs, in_mask, info):
         y = inputs
         new_state = {}
-        quiet = jnp.bool_(True)
+        # per-channel quietness (like FilterProcessor) so one ringing
+        # channel doesn't mark its silent sibling audible
+        quiet = jnp.ones((inputs.shape[0],), bool)
         for i, band in enumerate(params["bands"]):
             c = BiquadCoeffs(
                 band["b0"], band["b1"], band["b2"], band["a1"], band["a2"]
             )
-            quiet = quiet & jnp.all(
+            quiet = quiet & (
                 jnp.abs(state[f"z1_{i}"]) < 1e-10
-            ) & jnp.all(jnp.abs(state[f"z2_{i}"]) < 1e-10)
+            ) & (jnp.abs(state[f"z2_{i}"]) < 1e-10)
             y, (z1, z2) = biquad_scan(
                 y, (state[f"z1_{i}"], state[f"z2_{i}"]), c
             )

@@ -67,6 +67,26 @@ _SUB = 32
 _TWO_PI = np.float32(2.0 * math.pi)
 
 
+def _lfo_phases(phase, rate, spread, ch, frames):
+    """Per-channel per-sample LFO phases ``[ch, F]`` + the carried phase.
+
+    Mosaic-safe by construction (docs/EXTENDING.md playbook): int iota +
+    cast (a float-dtype arange emits a float ``tpu.iota`` Mosaic
+    rejects), and the carry is recomputed — ``phase + F*rate`` is the
+    exact same float ops as ``ph[F-1]``, whose extraction would lower to
+    a gather."""
+    t = jnp.arange(1, frames + 1, dtype=jnp.int32).astype(jnp.float32)
+    ph = phase + t * rate  # [F]
+    offs = (
+        spread
+        * jnp.arange(ch, dtype=jnp.int32).astype(jnp.float32)
+        / jnp.float32(max(ch, 1))
+    )
+    phases = jnp.mod(ph[None, :] + offs[:, None], 1.0)  # [ch, F]
+    phase_last = jnp.mod(phase + jnp.float32(frames) * rate, 1.0)
+    return phases, phase_last
+
+
 def _lfo_delay(phases, base, depth):
     """Sine-swept delay in samples: ``base + depth*(0.5 - 0.5*cos)``
     (starts at the *shortest* delay when phase = 0)."""
@@ -85,6 +105,12 @@ class ModDelayProcessor(NodeProcessor):
         self._fb_mode = node._fb_mode
         # line length: the largest reachable delay + interp headroom
         self._window = int(math.ceil(node._max_delay_secs * sample_rate)) + 2
+        if self._fb_mode:
+            # feedback mode needs base >= SUB+1 (sub-block exactness) AND
+            # base <= w-2 (taps in-bounds): a line shorter than SUB+3
+            # would invert the collect_params clamp (np.clip with lo > hi
+            # returns hi) and tap out of bounds — grow the line instead
+            self._window = max(self._window, _SUB + 3)
 
     def group_key(self):
         return (self._window, self._fb_mode)
@@ -115,31 +141,12 @@ class ModDelayProcessor(NodeProcessor):
             "feedback": np.float32(n._feedback if self._fb_mode else 0.0),
         }
 
-    def _phases(self, params, state, frames):
-        """Per-channel per-sample LFO phases ``[ch, F]`` + the carry."""
-        ch = self.num_inputs
-        t = jnp.arange(1, frames + 1, dtype=jnp.int32).astype(jnp.float32)
-        ph = state["phase"] + t * params["rate"]  # [F]
-        # int iota + cast: a float-dtype arange emits a float tpu.iota,
-        # which Mosaic rejects inside the Pallas megakernel
-        offs = (
-            params["spread"]
-            * jnp.arange(ch, dtype=jnp.int32).astype(jnp.float32)
-            / jnp.float32(max(ch, 1))
-        )
-        phases = jnp.mod(ph[None, :] + offs[:, None], 1.0)  # [ch, F]
-        # recompute the carry instead of extracting ph[frames-1]: scalar
-        # indexing a vector lowers to a gather Mosaic rejects (and
-        # ph[F-1] == phase + F*rate exactly, same float ops)
-        phase_last = jnp.mod(
-            state["phase"] + jnp.float32(frames) * params["rate"], 1.0
-        )
-        return phases, phase_last
-
     def kernel(self, params, state, inputs, in_mask, info):
         ch, frames = inputs.shape
         w = self._window
-        phases, phase_last = self._phases(params, state, frames)
+        phases, phase_last = _lfo_phases(
+            state["phase"], params["rate"], params["spread"], ch, frames
+        )
         d = _lfo_delay(phases, params["base"], params["depth"])  # [ch, F]
 
         if not self._fb_mode:
@@ -326,14 +333,9 @@ class TremoloProcessor(NodeProcessor):
 
     def kernel(self, params, state, inputs, in_mask, info):
         ch, frames = inputs.shape
-        t = jnp.arange(1, frames + 1, dtype=jnp.int32).astype(jnp.float32)
-        ph = state["phase"] + t * params["rate"]
-        offs = (
-            params["spread"]
-            * jnp.arange(ch, dtype=jnp.int32).astype(jnp.float32)
-            / jnp.float32(max(ch, 1))
+        phases, phase_last = _lfo_phases(
+            state["phase"], params["rate"], params["spread"], ch, frames
         )
-        phases = jnp.mod(ph[None, :] + offs[:, None], 1.0)
         carrier = jnp.cos(_TWO_PI * phases)
         if self._node._bipolar:
             # ring mod at depth 1: y = x * cos
@@ -345,10 +347,6 @@ class TremoloProcessor(NodeProcessor):
             )
         y = inputs * g
         y = gate(y, in_mask)
-        # carry recomputed, not extracted — see ModDelayProcessor._phases
-        phase_last = jnp.mod(
-            state["phase"] + jnp.float32(frames) * params["rate"], 1.0
-        )
         return y, {"phase": phase_last}, in_mask
 
 

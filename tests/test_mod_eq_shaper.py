@@ -288,6 +288,26 @@ class TestModDelay:
         b, _ = run_blocks(mk(), x, F // 2)
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_tiny_line_feedback_stays_exact(self):
+        """Regression (round-3 review): a feedback node whose requested
+        max delay is shorter than the SUB+1 exactness floor must grow its
+        line rather than silently inverting the base clamp (np.clip with
+        lo > hi returns hi) and tapping out of bounds."""
+        mk = lambda: ModDelayNode(
+            rate_hz=0.5, base_delay_secs=0.0004, depth_secs=0.0,
+            mix=0.7, phase_spread=0.0, feedback=0.5,
+            max_delay_secs=0.0005,
+        )
+        # the clamp must be well-ordered: base in [SUB+1, w-2]
+        proc = mk().activate(SR, F, 1, 1)
+        p = proc.collect_params()
+        assert 33.0 <= float(p["base"]) <= proc._window - 2
+        x = rand(1, 8 * F)
+        a, _ = run_blocks(mk(), x, F)
+        b, _ = run_blocks(mk(), x, F // 2)
+        assert np.all(np.isfinite(a))
+        np.testing.assert_allclose(a, b, atol=1e-5)  # still chunk-exact
+
     def test_feedback_matches_scalar_reference(self):
         # depth 0: fixed integer delay D with recirculation
         # w[n] = x[n] + fb*w[n-D]; y = x + mix*(w[n-D] - x)
