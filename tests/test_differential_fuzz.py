@@ -120,47 +120,11 @@ def build_random_graph(rng):
     return g, created, edges
 
 
-def interpret_block(created, edges, procs, params, state, graph_in, in_mask,
-                    info, kin):
-    """One block through the naive interpreter: dedicated buffer per
-    (node, port), creation-order walk, eager kernel calls."""
-    row = {(kin, p): graph_in[p] for p in range(graph_in.shape[0])}
-    flag = {(kin, p): bool(in_mask[p]) for p in range(graph_in.shape[0])}
-    zeros = jnp.zeros((F,), jnp.float32)
-    new_state = dict(state)
-
-    for k, _nid, n_in, n_out in created:
-        if k not in params:
-            continue  # not scheduled (defensive; compiler keeps all nodes)
-        rows, fl = [], []
-        for port in range(n_in):
-            src = edges.get((k, port))
-            if src is None:
-                rows.append(zeros)
-                fl.append(True)
-            else:
-                rows.append(row[src])
-                fl.append(flag[src])
-        inputs = jnp.stack(rows) if rows else jnp.zeros((0, F), jnp.float32)
-        mask = jnp.asarray(np.array(fl, dtype=bool))
-        outs, st, om = procs[k].kernel(params[k], state[k], inputs, mask, info)
-        new_state[k] = st
-        om = np.asarray(om)
-        for p in range(n_out):
-            row[(k, p)] = outs[p]
-            flag[(k, p)] = bool(om[p])
-
-    out_rows, out_flags = [], []
-    for port in range(2):
-        src = edges.get(("out", port))
-        if src is None:
-            out_rows.append(zeros)
-            out_flags.append(True)
-        else:
-            r, f = row[src], flag[src]
-            out_rows.append(jnp.zeros_like(r) if f else r)
-            out_flags.append(f)
-    return jnp.stack(out_rows), np.array(out_flags), new_state
+# The naive-interpreter oracle is a public testing utility now
+# (firewheel_tpu/testing.py); these fuzzers keep feeding it their OWN
+# wiring records so the oracle side still shares nothing with the
+# compiler/executor under test.
+from firewheel_tpu.testing import interpret_block  # noqa: E402
 
 
 def run_differential(seed):
