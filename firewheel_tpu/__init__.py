@@ -101,6 +101,7 @@ from .backend import (
     WavSink,
     available_output_devices,
 )
+from .voice_pool import VoiceHandle, VoicePool
 from . import nodes, utils
 
 __version__ = "0.1.0"
@@ -143,6 +144,8 @@ __all__ = [
     "UpdateStatus",
     "GraphProcessor",
     "ProcessorStatus",
+    "VoiceHandle",
+    "VoicePool",
     "ArraySink",
     "DeviceInfo",
     "FirewheelCtx",

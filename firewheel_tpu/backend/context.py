@@ -137,7 +137,14 @@ class FirewheelCtx:
         return self._cx.is_activated()
 
     # -- per-frame pump (lib.rs:280-325) --------------------------------------
-    def update(self) -> UpdateResult:
+    def update(self, max_pump_buffers: int | None = None) -> UpdateResult:
+        """One main-thread frame: drain errors, recompile a dirty graph,
+        tick automation, render ahead.  ``max_pump_buffers`` caps this
+        call's render-ahead (used by :meth:`render_offline` to land
+        exactly on its target instead of overshooting by a pump batch —
+        scheduled triggers are block-quantized against the RENDER head,
+        ``stream.frames_rendered``, so an uncontrolled overshoot would
+        push 'now' past freshly scheduled events)."""
         if self._active is not None:
             err = self._active.from_err.pop()
             if err is not None:
@@ -173,7 +180,12 @@ class FirewheelCtx:
             )
             # Render ahead on this thread (see backend/stream.py: all device
             # work rides the caller's thread).
-            self._active.stream.pump()
+            if max_pump_buffers is None:
+                self._active.stream.pump()
+            elif max_pump_buffers > 0:
+                self._active.stream.pump(
+                    min(max_pump_buffers, PUMP_MAX_BUFFERS)
+                )
             if self._active.stream.error is not None:
                 # surfaced on the next update() via the error channel
                 pass
@@ -259,7 +271,10 @@ class FirewheelCtx:
         stalled_since = None
         while self._active and self._active.stream.frames_rendered < target:
             before = self._active.stream.frames_rendered
-            res = self.update()
+            remaining = target - before
+            res = self.update(
+                max_pump_buffers=-(-remaining // cfg.buffer_frames)
+            )
             if res.status != UpdateStatus.ACTIVE:
                 break
             if self._active and self._active.stream.frames_rendered == before:

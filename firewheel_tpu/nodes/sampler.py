@@ -455,14 +455,24 @@ class SamplerProcessor(NodeProcessor):
         # ---- gain ramp + mute short-circuit (sampler.rs:432-443).
         # The reference only runs the smoother when a sample is playing
         # (early returns at sampler.rs:416-430 skip it) — gate the state
-        # update identically.
+        # update identically.  A SEEK (incl. the implicit rewind from
+        # set_sample) is an explicit playback discontinuity, so the gain
+        # smoother SNAPS to its target there instead of gliding from the
+        # pre-seek gain — a re-targeted pool voice starts its shot at the
+        # requested level (VoicePool), while continuous volume moves
+        # still ramp.
+        gain_prev = jax.tree.map(
+            lambda snap, cur: jnp.where(seek_new, snap, cur),
+            smoother_init(params["raw_gain"]),
+            state["gain"],
+        )
         ramp, gain_processed, smoothing = smoother_set_and_process(
-            state["gain"], params["raw_gain"], frames, self._coeffs, self._eps
+            gain_prev, params["raw_gain"], frames, self._coeffs, self._eps
         )
         gain_state = jax.tree.map(
             lambda new, old: jnp.where(active, new, old),
             gain_processed,
-            state["gain"],
+            gain_prev,
         )
         muted = ~smoothing & (ramp[0] < jnp.float32(0.00001))
 
