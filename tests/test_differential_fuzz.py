@@ -84,14 +84,20 @@ PALETTE = [
 ]
 
 
-def build_random_graph(rng):
+def build_random_graph(rng, graph_factory=None):
     """Random DAG: nodes wire only to earlier nodes, so creation order is
     itself a valid (independent) topological order for the interpreter.
     Input ports connect with p=0.85 (some stay dangling -> cleared+silent);
     outputs fan out freely; ManyToOne never occurs (each input port takes
-    at most one edge, like the reference's graph contract)."""
+    at most one edge, like the reference's graph contract).
+
+    ``graph_factory(n_in_ch)``: build into a caller-owned graph (e.g. a
+    GraphContext's) instead of a fresh AudioGraph."""
     n_in_ch = int(rng.choice([0, 2]))
-    g = AudioGraph(AudioGraphConfig(n_in_ch, 2))
+    if graph_factory is None:
+        g = AudioGraph(AudioGraphConfig(n_in_ch, 2))
+    else:
+        g = graph_factory(n_in_ch)
     g.fuzz_num_inputs = n_in_ch
     kin = node_key(g.graph_in_node())
 
