@@ -63,6 +63,7 @@ _SCALAR_ATTRS: dict[str, list[str]] = {
     "FirFilterNode": ["_gain"],
     "Spatializer3DNode": [
         "_position", "volume_gain", "ref_distance", "rolloff",
+        "doppler", "speed_of_sound", "max_distance_m", "motion_smooth_secs",
     ],
     "BinauralSpatializerNode": [
         "_position", "volume_gain", "ref_distance", "rolloff", "head_radius",
