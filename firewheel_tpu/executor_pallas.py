@@ -456,6 +456,17 @@ class HybridMegaRenderer:
         assert (batch // self._shards) % tile == 0, (
             f"per-shard batch {batch // self._shards} % tile {tile} != 0"
         )
+        # Mosaic constraint: 1-D param/state leaves lift to [B, 1], putting
+        # the batch tile in the block's second-to-last dim — which must be
+        # divisible by 8 or equal the (per-shard) array dim.  Interpret mode
+        # does not enforce this, so check here rather than at first dispatch
+        # on-chip.
+        if not interpret and tile % 8 != 0 and tile != batch // self._shards:
+            raise ValueError(
+                f"tile={tile} is not lowerable on TPU: it must be a multiple "
+                f"of 8 or equal to the per-shard batch "
+                f"({batch // self._shards})"
+            )
         self.segments = partition_schedule(program, min_island)
         self._live_in, self._live_out, self._out_bufs = _live_sets(
             program, self.segments

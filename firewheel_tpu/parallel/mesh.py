@@ -80,11 +80,28 @@ class BatchRenderer:
         batch: int,
         mesh: Optional[Mesh] = None,
         axis: str = "dp",
+        lowering: str = "xla",
+        tile: int = 8,
+        hybrid_interpret: bool = False,
     ):
+        """``lowering``: ``"xla"`` (default — the fused XLA chunk path) or
+        ``"hybrid"`` — the Pallas-megakernel-islands-between-XLA-stages
+        lowering (``executor_pallas.HybridMegaRenderer``), which measured
+        1.48× over XLA on the BASELINE effects-chain on v5e
+        (docs/PERF.md).  Same stacked params/state trees, same
+        ``render_chunk`` contract; per-instance control
+        (``update_instance``/checkpoints) works unchanged.  ``tile`` is
+        the hybrid's batch tile (per-shard batch must divide by it);
+        ``hybrid_interpret`` runs the islands in Pallas interpret mode
+        (CPU tests)."""
+        assert lowering in ("xla", "hybrid"), lowering
         self.program = program
         self.batch = int(batch)
         self.mesh = mesh
         self.axis = axis
+        self.lowering = lowering
+        self._tile = int(tile)
+        self._hybrid_interpret = bool(hybrid_interpret)
         self._chunk_cache: dict[int, Any] = {}
         self._silent_in_cache: dict[int, Any] = {}
         #: multi-host update_instance scatter jits, keyed by tree structure
@@ -304,6 +321,23 @@ class BatchRenderer:
                 in_mask = default_mask  # a caller-provided mask is honored
         elif in_mask is None:
             in_mask = jnp.zeros((b, k, ni), bool)  # provided inputs: not silent
+        if self.lowering == "hybrid":
+            assert not np.any(np.asarray(status)), (
+                "the hybrid lowering does not thread stream status; "
+                "use lowering='xla' for status-bearing streams"
+            )
+            hy = self._chunk_cache.get(("hybrid", k))
+            if hy is None:
+                from ..executor_pallas import HybridMegaRenderer
+
+                hy = HybridMegaRenderer(
+                    self.program, batch=self.batch, num_blocks=k,
+                    tile=self._tile, interpret=self._hybrid_interpret,
+                    mesh=self.mesh, axis=self.axis,
+                )
+                self._chunk_cache[("hybrid", k)] = hy
+            return hy.render_chunk(params, state, graph_in, in_mask,
+                                   start_sample)
         fn = self._chunk_cache.get(k)
         if fn is None:
             fn = self._build(k)

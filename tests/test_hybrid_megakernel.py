@@ -289,3 +289,88 @@ class TestHybridMesh:
         np.testing.assert_allclose(
             np.asarray(out2), np.asarray(rout2), atol=1e-6, rtol=0
         )
+
+
+class TestBatchRendererHybrid:
+    """``BatchRenderer(lowering="hybrid")``: the serving front door takes
+    the winning lowering — same public contract (stack_params/init_state/
+    render_chunk/update_instance/checkpoints), islands underneath."""
+
+    def test_matches_xla_lowering(self):
+        prog = effects_chain_program()
+        br_h = BatchRenderer(prog, batch=B, lowering="hybrid", tile=4,
+                             hybrid_interpret=True)
+        br_x = BatchRenderer(effects_chain_program(), batch=B)
+        params, state = br_h.stack_params(), br_h.init_state()
+        out_h, om_h, st_h = br_h.render_chunk(params, state, num_blocks=K)
+        out_x, om_x, st_x = br_x.render_chunk(
+            br_x.stack_params(), br_x.init_state(), num_blocks=K
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(om_h), np.asarray(om_x))
+
+    def test_state_carries_and_stream_inputs(self):
+        prog = stream_in_program()
+        br_h = BatchRenderer(prog, batch=B, lowering="hybrid", tile=4,
+                             hybrid_interpret=True)
+        br_x = BatchRenderer(stream_in_program(), batch=B)
+        rng = np.random.default_rng(23)
+        gi = jnp.asarray(rng.standard_normal((B, K, 2, F)), jnp.float32) * 0.3
+        im = jnp.zeros((B, K, 2), bool)
+        ph, sh = br_h.stack_params(), br_h.init_state()
+        px, sx = br_x.stack_params(), br_x.init_state()
+        _, _, sh1 = br_h.render_chunk(ph, sh, gi, im, num_blocks=K)
+        _, _, sx1 = br_x.render_chunk(px, sx, gi, im, num_blocks=K)
+        out_h, _, _ = br_h.render_chunk(
+            ph, sh1, gi, im, start_sample=K * F, num_blocks=K
+        )
+        out_x, _, _ = br_x.render_chunk(
+            px, sx1, gi, im, start_sample=K * F, num_blocks=K
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
+        )
+
+    def test_dp_mesh_matches_unsharded(self):
+        from firewheel_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"dp": 4})
+        br_s = BatchRenderer(effects_chain_program(), batch=B, mesh=mesh,
+                             lowering="hybrid", tile=2,
+                             hybrid_interpret=True)
+        br_u = BatchRenderer(effects_chain_program(), batch=B,
+                             lowering="hybrid", tile=2,
+                             hybrid_interpret=True)
+        out_s, om_s, _ = br_s.render_chunk(
+            br_s.stack_params(), br_s.init_state(), num_blocks=K
+        )
+        out_u, om_u, _ = br_u.render_chunk(
+            br_u.stack_params(), br_u.init_state(), num_blocks=K
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_u), atol=1e-6, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(om_s), np.asarray(om_u))
+
+    def test_nonzero_status_rejected(self):
+        br = BatchRenderer(effects_chain_program(), batch=B,
+                           lowering="hybrid", tile=4,
+                           hybrid_interpret=True)
+        with pytest.raises(AssertionError, match="status"):
+            br.render_chunk(
+                br.stack_params(), br.init_state(), num_blocks=K, status=1
+            )
+
+    def test_unlowerable_tile_rejected_up_front(self):
+        # Mosaic requires the batch tile (second-to-last block dim of
+        # lifted 1-D leaves) be a multiple of 8 or the full per-shard
+        # batch; interpret mode wouldn't catch it, so __init__ must.
+        with pytest.raises(ValueError, match="tile=4"):
+            HybridMegaRenderer(effects_chain_program(), batch=B,
+                               num_blocks=K, tile=4, interpret=False)
+        br = BatchRenderer(effects_chain_program(), batch=16,
+                           lowering="hybrid", tile=4)
+        with pytest.raises(ValueError, match="tile="):
+            br.render_chunk(br.stack_params(), br.init_state(), num_blocks=K)
