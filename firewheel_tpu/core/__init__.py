@@ -34,7 +34,8 @@ from .node import (
     StreamStatus,
     MAX_PORTS,
 )
-from .sample_resource import SampleResource, pcm_i16_to_f32, pcm_u16_to_f32
+from .sample_resource import (SampleResource, pcm_f32_to_i16,
+                              pcm_i16_to_f32, pcm_u16_to_f32)
 from .automation import AutomationCurve, Keyframe, ParamAutomator
 from .formats import load_audio, register_format, supported_formats
 from . import interleave
@@ -69,6 +70,7 @@ __all__ = [
     "StreamStatus",
     "MAX_PORTS",
     "SampleResource",
+    "pcm_f32_to_i16",
     "pcm_i16_to_f32",
     "pcm_u16_to_f32",
     "interleave",

@@ -22,6 +22,7 @@ __all__ = [
     "SampleResource",
     "pcm_i16_to_f32",
     "pcm_u16_to_f32",
+    "pcm_f32_to_i16",
 ]
 
 
@@ -30,6 +31,23 @@ def pcm_i16_to_f32(data: np.ndarray) -> np.ndarray:
     return (
         np.asarray(data, np.int16).astype(np.float32) * np.float32(1.0 / 32767.0)
     ).astype(np.float32)
+
+
+def pcm_f32_to_i16(x):
+    """f32 → int16 PCM, traceable: ``round(clip(x, ±1) * 32767)``.
+
+    The inverse of :func:`pcm_i16_to_f32` (sample_resource.rs:338-340):
+    every value that converter can produce round-trips exactly (golden-
+    tested over the full int16 range).  −32768 is unreachable by design —
+    the reference's ÷32767 scale never emits it either, and symmetric
+    clipping keeps 0.0 ↔ 0 exact.  Works on numpy arrays and under jit
+    (this is the device-side serving output path,
+    ``BatchRenderer(output_format="pcm16")``).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.clip(jnp.asarray(x, jnp.float32), -1.0, 1.0)
+    return jnp.round(x * np.float32(32767.0)).astype(jnp.int16)
 
 
 def pcm_u16_to_f32(data: np.ndarray) -> np.ndarray:

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.node import BlockInfo, stream_time_from_sample
+from ..core.sample_resource import pcm_f32_to_i16
 from ..executor import ScheduleProgram, _ResilientJit
 
 __all__ = ["make_mesh", "BatchRenderer", "VoiceParallelMixer"]
@@ -83,6 +84,7 @@ class BatchRenderer:
         lowering: str = "xla",
         tile: int = 8,
         hybrid_interpret: bool = False,
+        output_format: str = "f32",
     ):
         """``lowering``: ``"xla"`` (default — the fused XLA chunk path) or
         ``"hybrid"`` — the Pallas-megakernel-islands-between-XLA-stages
@@ -93,13 +95,26 @@ class BatchRenderer:
         (``update_instance``/checkpoints) works unchanged.  ``tile`` is
         the hybrid's batch tile (per-shard batch must divide by it);
         ``hybrid_interpret`` runs the islands in Pallas interpret mode
-        (CPU tests)."""
+        (CPU tests).
+
+        ``output_format``: ``"f32"`` (default) returns
+        ``f32[B, K, No, F]``; ``"pcm16"`` quantizes ON DEVICE to
+        game-ready interleaved PCM ``int16[B, K, F, No]``
+        (frame-major — ``out[b].reshape(K*F, No)`` is the wire layout),
+        via :func:`~firewheel_tpu.core.sample_resource.pcm_f32_to_i16`
+        (the exact inverse of the reference's i16→f32 load formula,
+        sample_resource.rs:338-340).  A serving fleet that fetches
+        rendered audio to the host halves its device→host bytes; the
+        conversion fuses into the chunk program on the XLA lowering and
+        runs as one extra cached dispatch on the hybrid lowering."""
         assert lowering in ("xla", "hybrid"), lowering
+        assert output_format in ("f32", "pcm16"), output_format
         self.program = program
         self.batch = int(batch)
         self.mesh = mesh
         self.axis = axis
         self.lowering = lowering
+        self.output_format = output_format
         self._tile = int(tile)
         self._hybrid_interpret = bool(hybrid_interpret)
         self._chunk_cache: dict[int, Any] = {}
@@ -278,6 +293,14 @@ class BatchRenderer:
         chunk = self.program.chunk_fn(num_blocks)
         # vmap over instances; stream clock is shared across instances.
         vchunk = jax.vmap(chunk, in_axes=(0, 0, 0, 0, None, None))
+        if self.output_format == "pcm16":
+            inner = vchunk
+
+            def vchunk(*args):
+                out, om, st = inner(*args)
+                # [B,K,No,F] → interleaved int16 [B,K,F,No], fused into
+                # the same compiled program (zero extra dispatches)
+                return pcm_f32_to_i16(jnp.swapaxes(out, -1, -2)), om, st
 
         # _ResilientJit (not plain jax.jit): the mesh path gets the same
         # deferred-error sync + retry escalation as every single-chip
@@ -298,7 +321,9 @@ class BatchRenderer:
         """Render ``num_blocks`` blocks for every instance.
 
         ``graph_in``: ``f32[B, K, Ni, F]`` (zeros if None).
-        Returns ``(out [B, K, No, F], out_mask [B, K, No], state')``.
+        Returns ``(out [B, K, No, F], out_mask [B, K, No], state')`` —
+        with ``output_format="pcm16"``, ``out`` is ``int16[B, K, F, No]``
+        (interleaved PCM frames).
         """
         f = self.program.max_block_frames
         ni = self.program.num_graph_inputs
@@ -336,8 +361,23 @@ class BatchRenderer:
                     mesh=self.mesh, axis=self.axis,
                 )
                 self._chunk_cache[("hybrid", k)] = hy
-            return hy.render_chunk(params, state, graph_in, in_mask,
-                                   start_sample)
+            out, om, st = hy.render_chunk(params, state, graph_in, in_mask,
+                                          start_sample)
+            if self.output_format == "pcm16":
+                conv = self._chunk_cache.get("pcm16")
+                if conv is None:
+                    conv = _ResilientJit(
+                        lambda o: pcm_f32_to_i16(jnp.swapaxes(o, -1, -2)),
+                        "pcm16_convert",
+                        **(
+                            {"out_shardings": self._batched_sharding}
+                            if self._batched_sharding is not None
+                            else {}
+                        ),
+                    )
+                    self._chunk_cache["pcm16"] = conv
+                out = conv(out)
+            return out, om, st
         fn = self._chunk_cache.get(k)
         if fn is None:
             fn = self._build(k)
