@@ -62,7 +62,10 @@ def _post(port, path):
         return r.read()
 
 
-def _wait_for(predicate, port, timeout=30.0):
+def _wait_for(predicate, port, timeout=90.0):
+    # 90 s, not 30: under a full-suite run on the 1-core CI host the
+    # editor's recompile-after-edit contends with other workers and a
+    # 30 s deadline flaked (fx swap landed just past it)
     deadline = time.monotonic() + timeout
     state = None
     while time.monotonic() < deadline:
