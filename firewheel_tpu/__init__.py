@@ -64,6 +64,7 @@ from .core import (
     supported_formats,
     AudioNodeInfo,
     BlockInfo,
+    NodeEvent,
     NodeActivationError,
     NodeProcessor,
     ParamSmoother,
@@ -108,6 +109,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "AudioNode",
+    "NodeEvent",
     "AudioNodeInfo",
     "BlockInfo",
     "NodeActivationError",

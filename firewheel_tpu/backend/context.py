@@ -250,6 +250,17 @@ class FirewheelCtx:
             return None
         return self._active.stream._processor.node_state(node_id)
 
+    def poll_events(self):
+        """Drain pending node events (``list[NodeEvent]`` — sampler
+        ``finished``/``loop`` etc.; ``core/events.py``).  Call at the
+        game's frame rate, typically right after :meth:`update`; events
+        that occurred since the previous poll are aggregated per node
+        (the return direction of the reference's TODO'd finish-notify,
+        sampler.rs:496,513)."""
+        if self._active is None:
+            return []
+        return self._active.stream._processor.poll_events()
+
     def render_offline(self, duration_secs: float) -> None:
         """Render ``duration_secs`` of audio to the sink as fast as the
         device allows (bounce-to-disk), pumping ``update()`` throughout so

@@ -37,6 +37,7 @@ from .node import (
 from .sample_resource import (SampleResource, pcm_f32_to_i16,
                               pcm_i16_to_f32, pcm_u16_to_f32)
 from .automation import AutomationCurve, Keyframe, ParamAutomator
+from .events import NodeEvent, diff_counters
 from .formats import load_audio, register_format, supported_formats
 from . import interleave
 
@@ -69,6 +70,8 @@ __all__ = [
     "NodeActivationError",
     "StreamStatus",
     "MAX_PORTS",
+    "NodeEvent",
+    "diff_counters",
     "SampleResource",
     "pcm_f32_to_i16",
     "pcm_i16_to_f32",

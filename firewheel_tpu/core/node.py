@@ -220,6 +220,24 @@ class NodeProcessor:
         """
         raise NotImplementedError
 
+    def resync_from_state(self, state) -> None:
+        """Adopt a restored state pytree's control metadata (sequence
+        numbers etc.) into the host-side node after a checkpoint restore,
+        so host and device sequence counters agree and the first
+        post-restore block sees no spurious command edges.  Default:
+        nothing to sync."""
+
+    def event_counters(self) -> dict:
+        """Declare device-side event counters: ``{event_name: state_key}``.
+
+        Each named state leaf must be a monotonic ``uint32`` counter the
+        kernel increments when the event occurs (scalar, or a vector for
+        pooled lanes).  The host diffs totals at poll time and emits
+        :class:`~firewheel_tpu.core.events.NodeEvent` records — the
+        TPU-native answer to the reference's TODO'd finish-notify
+        (sampler.rs:496,513); see ``core/events.py``.  Default: none."""
+        return {}
+
     def group_key(self):
         """Grouping signature for trace-time node pooling, or ``None``.
 

@@ -138,6 +138,11 @@ class SamplerNode(AudioNode):
         self._seek_seq = 0
         self._seek: tuple = ("secs", 0.0)
         self._loop_seq = 0
+        # play() is a MESSAGE, not a level (sampler.rs Play): each call
+        # bumps this; the kernel clears the one-shot `ended` latch on the
+        # seq edge, so play() after a finish replays from the rewound
+        # playhead exactly like the reference
+        self._play_seq = 0
         self._sample_rate = 48000  # set at activate
         #: (at_sample, kind, payload) commands awaiting their exact block
         #: (play/pause/stop/seek with ``at_sample=`` — per-block timelines)
@@ -160,6 +165,7 @@ class SamplerNode(AudioNode):
         as ``VolumeNode.set_percent_volume(at_sample=...)``."""
         if at_sample is None:
             self._playing = True
+            self._play_seq += 1
         else:
             self._scheduled.append((int(at_sample), "play", None))
             self._scheduled.sort(key=lambda e: e[0])
@@ -284,8 +290,19 @@ class SamplerProcessor(NodeProcessor):
             "prev_playing": jnp.zeros((), bool),
             "seek_seq": jnp.zeros((), jnp.uint32),
             "loop_seq": jnp.zeros((), jnp.uint32),
+            "play_seq": jnp.zeros((), jnp.uint32),
             "env": jnp.zeros((), jnp.float32),
+            # monotonic event counters (core/events.py): one-shot
+            # completions and loop-join crossings
+            "finish_count": jnp.zeros((), jnp.uint32),
+            "loop_count": jnp.zeros((), jnp.uint32),
         }
+
+    def event_counters(self):
+        """``finished``: a one-shot reached its end (the reference's
+        TODO'd notify, sampler.rs:496,513); ``loop``: playback crossed
+        the loop join (once per complete traversal)."""
+        return {"finished": "finish_count", "loop": "loop_count"}
 
     def group_key(self):
         node = self._node
@@ -345,6 +362,7 @@ class SamplerProcessor(NodeProcessor):
             "rate": np.float32(node._rate * clip_sr / sr),
             "seek_seq": np.uint32(node._seek_seq),
             "seek_pos": np.uint32(node._seek_frame(clip_sr)),
+            "play_seq": np.uint32(node._play_seq & 0xFFFFFFFF),
             "loop_on": np.asarray(loop_on, bool),
             "loop_seq": np.uint32(node._loop_seq & 0xFFFFFFFF),
             "loop_start": np.uint32(_u32(loop_start)),
@@ -365,10 +383,14 @@ class SamplerProcessor(NodeProcessor):
         playing_tl = np.full(k, bool(node._playing and has_sample))
         seq_tl = np.full(k, np.uint32(node._seek_seq), np.uint32)
         pos_tl = np.full(k, np.uint32(node._seek_frame(clip_sr)), np.uint32)
+        play_seq_tl = np.full(
+            k, np.uint32(node._play_seq & 0xFFFFFFFF), np.uint32
+        )
         if consume and node._scheduled:
             end = start + k * f
             cur_playing = node._playing
             cur_seq = node._seek_seq
+            cur_play_seq = node._play_seq
             cur_seek = node._seek
             remaining = []
             for at, kind, payload in node._scheduled:
@@ -378,6 +400,8 @@ class SamplerProcessor(NodeProcessor):
                 b = max(0, (at - start) // f)
                 if kind == "play":
                     cur_playing = True
+                    cur_play_seq += 1
+                    play_seq_tl[b:] = np.uint32(cur_play_seq & 0xFFFFFFFF)
                 elif kind == "pause":
                     cur_playing = False
                 elif kind == "stop":
@@ -396,12 +420,24 @@ class SamplerProcessor(NodeProcessor):
                 seq_tl[b:] = np.uint32(cur_seq & 0xFFFFFFFF)
             node._playing = cur_playing
             node._seek_seq = cur_seq
+            node._play_seq = cur_play_seq
             node._seek = cur_seek
             node._scheduled = remaining
         out["playing"] = PerBlock(playing_tl)
         out["seek_seq"] = PerBlock(seq_tl)
         out["seek_pos"] = PerBlock(pos_tl)
+        out["play_seq"] = PerBlock(play_seq_tl)
         return out
+
+    def resync_from_state(self, state) -> None:
+        """Adopt restored device sequence numbers (checkpoint restore):
+        host-side counters continue from the restored values, so the
+        first post-restore block sees no spurious seek/trigger edges and
+        later ``play()``/``set_playhead()`` calls fire exactly once."""
+        node = self._node
+        node._seek_seq = int(np.asarray(state["seek_seq"]).max())
+        node._loop_seq = int(np.asarray(state["loop_seq"]).max())
+        node._play_seq = int(np.asarray(state["play_seq"]).max())
 
     def kernel(self, params, state, inputs, in_mask, info):
         frames = self.max_block_frames if inputs.ndim < 2 else inputs.shape[-1]
@@ -431,9 +467,13 @@ class SamplerProcessor(NodeProcessor):
         )
 
         # rising play edge clears the auto-stop latch (reference replays
-        # from the rewound playhead after Stop/Play, sampler.rs:365-371)
+        # from the rewound playhead after Stop/Play, sampler.rs:365-371);
+        # play_seq makes play() a MESSAGE: a repeat play() on a finished
+        # voice (level already high, no edge) still re-triggers from the
+        # rewound playhead, like the reference's Play command
         rising = params["playing"] & ~state["prev_playing"]
-        ended = jnp.where(rising, False, ended)
+        trigger = params["play_seq"] != state["play_seq"]
+        ended = jnp.where(rising | trigger, False, ended)
 
         playing = params["playing"] & ~ended
 
@@ -511,7 +551,10 @@ class SamplerProcessor(NodeProcessor):
             jnp.where(idx1_raw >= lend, lstart, jnp.minimum(idx1_raw, sample_len - 1)),
             jnp.minimum(idx1_raw, sample_len - 1),
         )
-        valid = loop_on | (pos < sample_len)
+        # ~ended: a finished one-shot is silent until re-triggered — without
+        # it a voice with a release envelope would audibly replay the clip
+        # head (playhead rewound to 0) during its post-finish fade
+        valid = (loop_on | (pos < sample_len)) & ~ended
 
         quality = self._node.quality
         if quality == "linear":
@@ -564,8 +607,12 @@ class SamplerProcessor(NodeProcessor):
         new_frac = adv - adv_int
         # loop: fold the playhead back into range to keep it bounded
         np_rel = new_playhead - lstart
+        wrap = loop_on & (new_playhead >= lend)
+        # complete loop traversals this block (>=1 when wrapping; a loop
+        # shorter than one block's advance counts each full pass)
+        wraps = jnp.where(wrap, jax.lax.div(np_rel, llen), jnp.uint32(0))
         new_playhead = jnp.where(
-            loop_on & (new_playhead >= lend),
+            wrap,
             lstart + jax.lax.rem(np_rel, llen),
             new_playhead,
         )
@@ -578,9 +625,19 @@ class SamplerProcessor(NodeProcessor):
         silent = ~active | muted
         # muted freezes playback exactly like the reference's early return
         # (sampler.rs:436-443 bails before any playhead advance): a muted
-        # voice must NOT consume its clip inaudibly or latch `ended`
-        advancing = active & ~muted
+        # voice must NOT consume its clip inaudibly or latch `ended`.
+        # ~ended: a finished voice stays frozen at its rewound playhead
+        # through any release fade, so re-triggering replays from 0
+        advancing = active & ~muted & ~ended
         new_ended = jnp.where(advancing & finished, True, ended)
+        # event counters (event_counters()): fire once per actual finish /
+        # per loop traversal; frozen (muted/ended) blocks count nothing
+        new_finish_count = state["finish_count"] + jnp.where(
+            advancing & finished, jnp.uint32(1), jnp.uint32(0)
+        )
+        new_loop_count = state["loop_count"] + jnp.where(
+            advancing, wraps, jnp.uint32(0)
+        )
         new_playhead = jnp.where(advancing, new_playhead, playhead)
         new_frac = jnp.where(advancing, new_frac, frac)
 
@@ -614,5 +671,8 @@ class SamplerProcessor(NodeProcessor):
             "prev_playing": params["playing"],
             "seek_seq": jnp.asarray(params["seek_seq"], jnp.uint32),
             "loop_seq": jnp.asarray(params["loop_seq"], jnp.uint32),
+            "play_seq": jnp.asarray(params["play_seq"], jnp.uint32),
+            "finish_count": new_finish_count,
+            "loop_count": new_loop_count,
         }
         return out, new_state, out_mask

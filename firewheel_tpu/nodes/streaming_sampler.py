@@ -101,6 +101,9 @@ class StreamingSamplerNode(AudioNode):
         # streams — see SamplerNode)
         self._seek_seq = 0
         self._seek_secs = 0.0
+        # play() is a MESSAGE (see SamplerNode): the seq edge clears the
+        # EOF `ended` latch so a repeat play() replays
+        self._play_seq = 0
         self._sample_rate = 48000
 
     # -- control --------------------------------------------------------------
@@ -111,6 +114,7 @@ class StreamingSamplerNode(AudioNode):
 
     def play(self):
         self._playing = True
+        self._play_seq += 1
 
     def pause(self):
         self._playing = False
@@ -254,6 +258,7 @@ class StreamingSamplerProcessor(NodeProcessor):
             "rate": np.float32(eff_rate),
             "seek_seq": np.uint32(node._seek_seq),
             "seek_pos": np.uint32(seek_frame),
+            "play_seq": np.uint32(node._play_seq & 0xFFFFFFFF),
             "window": self._window_dev,
             "window_start": np.uint32(self._window_start),
             "len_frames": np.uint32(
@@ -269,7 +274,18 @@ class StreamingSamplerProcessor(NodeProcessor):
             "ended": jnp.zeros((), bool),
             "prev_playing": jnp.zeros((), bool),
             "seek_seq": jnp.zeros((), jnp.uint32),
+            "play_seq": jnp.zeros((), jnp.uint32),
+            "finish_count": jnp.zeros((), jnp.uint32),
         }
+
+    def resync_from_state(self, state) -> None:
+        node = self._node
+        node._seek_seq = int(np.asarray(state["seek_seq"]).max())
+        node._play_seq = int(np.asarray(state["play_seq"]).max())
+
+    def event_counters(self):
+        """``finished``: the stream reached EOF (core/events.py)."""
+        return {"finished": "finish_count"}
 
     def kernel(self, params, state, inputs, in_mask, info):
         frames = self.max_block_frames if inputs.ndim < 2 else inputs.shape[-1]
@@ -287,7 +303,8 @@ class StreamingSamplerProcessor(NodeProcessor):
         ended = jnp.where(seek_new, False, ended)
 
         rising = params["playing"] & ~state["prev_playing"]
-        ended = jnp.where(rising, False, ended)
+        trigger = params["play_seq"] != state["play_seq"]
+        ended = jnp.where(rising | trigger, False, ended)
         playing = params["playing"] & ~ended
 
         ramp, gain_processed, smoothing = smoother_set_and_process(
@@ -326,6 +343,10 @@ class StreamingSamplerProcessor(NodeProcessor):
         new_frac = adv - adv_int
         finished = new_playhead >= params["len_frames"]
         new_ended = jnp.where(playing & finished, True, ended)
+        # event counter (event_counters()): fires at the EOF latch block
+        new_finish_count = state["finish_count"] + jnp.where(
+            playing & finished, jnp.uint32(1), jnp.uint32(0)
+        )
 
         silent = ~playing | muted
         # DELIBERATE divergence from SamplerNode (which freezes playback
@@ -362,5 +383,7 @@ class StreamingSamplerProcessor(NodeProcessor):
             "ended": new_ended,
             "prev_playing": params["playing"],
             "seek_seq": jnp.asarray(params["seek_seq"], jnp.uint32),
+            "play_seq": jnp.asarray(params["play_seq"], jnp.uint32),
+            "finish_count": new_finish_count,
         }
         return out, new_state, out_mask

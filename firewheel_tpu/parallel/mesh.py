@@ -118,6 +118,8 @@ class BatchRenderer:
         self._tile = int(tile)
         self._hybrid_interpret = bool(hybrid_interpret)
         self._chunk_cache: dict[int, Any] = {}
+        # poll_events() baselines: (node_key, event) -> uint32[B_local, lanes]
+        self._event_totals: dict[tuple, np.ndarray] = {}
         self._silent_in_cache: dict[int, Any] = {}
         #: multi-host update_instance scatter jits, keyed by tree structure
         self._scatter_cache: dict[Any, Any] = {}
@@ -219,6 +221,58 @@ class BatchRenderer:
         )
         return self._constrain(updated)
 
+    def poll_events(self, state):
+        """Per-instance node events for a serving fleet
+        (``list[NodeEvent]`` with ``instance`` = GLOBAL batch index).
+
+        The TPU-native notification path (``core/events.py``) vectorized
+        over the batch: ONE host fetch of each declared counter leaf
+        (``uint32[B]``) covers all B instances — a 8192-instance fleet
+        polls sampler finishes for the cost of a few tiny transfers.
+        Multi-host dp fleets fetch only the process's addressable batch
+        slice (no global gather); each process observes its own
+        instances' events.  Diff baselines live on this renderer, so
+        poll from one place per renderer."""
+        from ..checkpoint import _local_slice
+        from ..core.events import NodeEvent, diff_counters
+        from ..executor import node_key as _nk
+
+        ids = {_nk(sn.id): sn.id for sn in self.program.schedule.schedule}
+        per = self.batch // max(jax.process_count(), 1)
+        base = jax.process_index() * per if jax.process_count() > 1 else 0
+        out: list = []
+        for key, proc in self.program._procs.items():
+            counters = proc.event_counters()
+            if not counters:
+                continue
+            st = state.get(key)
+            if st is None:
+                continue
+            for name, leaf in counters.items():
+                if leaf not in st:
+                    continue
+                raw = np.asarray(_local_slice(st[leaf])).astype(np.uint32)
+                scalar = raw.ndim == 1  # [B_local] → scalar counter
+                cur = raw.reshape(raw.shape[0], -1)  # [B_local, lanes]
+                bkey = (key, name)
+                prev = self._event_totals.get(bkey)
+                if prev is None or prev.shape != cur.shape:
+                    prev = np.zeros_like(cur)
+                delta = diff_counters(prev, cur)
+                self._event_totals[bkey] = cur
+                for b, lane in zip(*np.nonzero(delta)):
+                    out.append(
+                        NodeEvent(
+                            node_id=ids.get(key, key),
+                            name=name,
+                            count=int(delta[b, lane]),
+                            total=int(cur[b, lane]),
+                            lane=None if scalar else int(lane),
+                            instance=base + int(b),
+                        )
+                    )
+        return out
+
     def reset_instance(self, state, index: int):
         """Reset one instance to the program's initial state (a client
         disconnect/reconnect in a game-server fleet) — all other
@@ -267,7 +321,25 @@ class BatchRenderer:
                 f"sample-rate mismatch: checkpoint {meta.get('sample_rate')} "
                 f"vs program {self.program.sample_rate}"
             )
-        return self._lift_local(local), meta
+        state = self._lift_local(local)
+        # re-baseline event counters at the restored totals so the next
+        # poll_events() reports only post-restore events (mirrors
+        # GraphProcessor.set_state_dict)
+        from ..core.events import diff_counters  # noqa: F401  (doc link)
+        from ..checkpoint import _local_slice as _ls
+
+        for key, proc in self.program._procs.items():
+            counters = proc.event_counters()
+            st = state.get(key) if counters else None
+            if not st:
+                continue
+            for name, leaf in counters.items():
+                if leaf in st:
+                    raw = np.asarray(_ls(st[leaf])).astype(np.uint32)
+                    self._event_totals[(key, name)] = raw.reshape(
+                        raw.shape[0], -1
+                    )
+        return state, meta
 
     def _lift_local(self, local_tree):
         """Place per-process-local ``[B/processes, ...]`` host leaves as the

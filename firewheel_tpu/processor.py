@@ -144,6 +144,9 @@ class GraphProcessor:
         #: frozen state of activated-but-unscheduled nodes (dormancy
         #: pruning) — revived when a recompile reschedules them
         self._parked_state: dict[str, Any] = {}
+        #: last-seen device event-counter totals, keyed
+        #: ``(node_key, event_name)`` — the poll_events() baseline
+        self._event_totals: dict[tuple, np.ndarray] = {}
         # recurrent state lives PACKED between dispatches (see packing.py);
         # unpacked views are materialized on demand (migration, readback)
         self._packed_state = None
@@ -228,6 +231,12 @@ class GraphProcessor:
                 self._parked_state[k] = state.pop(k)
         for k in sched & set(self._parked_state):
             state.setdefault(k, self._parked_state.pop(k))
+        # drop event baselines of removed nodes — a later node reusing the
+        # arena id starts its counters at 0, and a stale baseline would
+        # wrap into a bogus huge delta on the first poll
+        self._event_totals = {
+            kn: v for kn, v in self._event_totals.items() if kn[0] in live
+        }
         self._packed_state = self._program.pack_state(state)
 
     # -- deferred install (live-edit path) -------------------------------------
@@ -413,6 +422,85 @@ class GraphProcessor:
             if k not in scheduled and k in self._parked_state:
                 self._parked_state[k] = v
         self._packed_state = self._program.pack_state(state)
+        # restored state carries device-side sequence numbers a freshly
+        # built node graph doesn't know about — let each processor adopt
+        # them so no spurious command edge fires on the first block
+        for nid, proc in self._processors.items():
+            st = state.get(node_key(nid))
+            if st is not None:
+                proc.resync_from_state(st)
+        # restored counters carry their pre-checkpoint totals; re-baseline
+        # so the next poll_events() reports only NEW events, not a stale
+        # burst of everything that happened before the checkpoint
+        self._sync_event_baselines()
+
+    def _sync_event_baselines(self) -> None:
+        """Set every event-counter baseline to the current device totals
+        (without emitting events)."""
+        state = None
+        for nid, proc in self._processors.items():
+            counters = proc.event_counters()
+            if not counters:
+                continue
+            if state is None:
+                state = self.state_dict()
+            st = state.get(node_key(nid))
+            if st is None:
+                continue
+            for name, leaf in counters.items():
+                if leaf in st:
+                    self._event_totals[(node_key(nid), name)] = (
+                        np.atleast_1d(np.asarray(st[leaf])).astype(np.uint32)
+                    )
+
+    def poll_events(self):
+        """Drain pending node events (``list[NodeEvent]``).
+
+        Diffs each declared device event counter
+        (:meth:`NodeProcessor.event_counters`) against its last-polled
+        total and emits one :class:`~firewheel_tpu.core.events.NodeEvent`
+        per active (node, event[, lane]) stream — the host half of the
+        TPU-native notification design (``core/events.py``; the
+        reference's TODO'd finish-notify, sampler.rs:496,513).  Poll at
+        the game's frame rate; cost is a handful of scalar device
+        fetches, zero render-path impact.  Counters migrate across live
+        schedule swaps, so no event is lost over a topology edit."""
+        from .core.events import NodeEvent, diff_counters
+
+        out: list = []
+        state = None
+        for nid, proc in self._processors.items():
+            counters = proc.event_counters()
+            if not counters:
+                continue
+            if state is None:
+                state = self.state_dict()
+            st = state.get(node_key(nid))
+            if st is None:
+                continue
+            for name, leaf in counters.items():
+                if leaf not in st:
+                    continue
+                raw = np.asarray(st[leaf])
+                scalar = raw.ndim == 0
+                cur = np.atleast_1d(raw).astype(np.uint32)
+                bkey = (node_key(nid), name)
+                prev = self._event_totals.get(bkey)
+                if prev is None or prev.shape != cur.shape:
+                    prev = np.zeros_like(cur)
+                delta = diff_counters(prev, cur)
+                self._event_totals[bkey] = cur
+                for lane in np.nonzero(delta)[0]:
+                    out.append(
+                        NodeEvent(
+                            node_id=nid,
+                            name=name,
+                            count=int(delta[lane]),
+                            total=int(cur[lane]),
+                            lane=None if scalar else int(lane),
+                        )
+                    )
+        return out
 
     def node_state(self, node_id: NodeID):
         """Host copy of a node's current recurrent state (e.g. for meter

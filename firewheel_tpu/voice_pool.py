@@ -106,12 +106,13 @@ class VoiceHandle:
 class _Voice:
     __slots__ = (
         "sampler", "pan", "busy_until", "priority", "started_at", "gen",
-        "clip",
+        "clip", "node_id",
     )
 
     def __init__(self, sampler, pan):
         self.sampler = sampler
         self.pan = pan
+        self.node_id = None  # the sampler's graph NodeID (event routing)
         self.busy_until = 0.0  # absolute stream sample; _INF while looping
         self.priority = -(10 ** 9)
         self.started_at = -1.0
@@ -195,7 +196,9 @@ class VoicePool:
             else:
                 p = None
                 graph.connect(sid, 0, self.sum_id, i)
-            self._voices.append(_Voice(s, p))
+            v = _Voice(s, p)
+            v.node_id = sid
+            self._voices.append(v)
         for j, port in enumerate(dest_ports):
             graph.connect(self.sum_id, j, dest_node, port)
 
@@ -388,6 +391,31 @@ class VoicePool:
             )
             v.busy_until = trigger + dur
         return VoiceHandle(self, self._voices.index(v), v.gen)
+
+    # -- event routing ----------------------------------------------------------
+
+    def finished_handles(self, events) -> list:
+        """Translate a ``poll_events()`` batch into the
+        :class:`VoiceHandle`\\ s of pool voices whose one-shot playback
+        finished on-device (``core/events.py``)::
+
+            for h in pool.finished_handles(cx.poll_events()):
+                game.on_sfx_done(h)
+
+        Device truth, not the host estimate ``busy_until`` uses — a voice
+        whose rate was doppler-shifted mid-flight reports its REAL finish.
+        Events aggregate between polls: a voice re-targeted since its
+        finish still reports once (the handle carries the voice's CURRENT
+        generation — check ``h.alive()`` if the distinction matters)."""
+        by_id = {v.node_id: i for i, v in enumerate(self._voices)}
+        out = []
+        for e in events:
+            if e.name != "finished":
+                continue
+            i = by_id.get(e.node_id)
+            if i is not None:
+                out.append(VoiceHandle(self, i, self._voices[i].gen))
+        return out
 
     # -- pool-wide control ------------------------------------------------------
 
