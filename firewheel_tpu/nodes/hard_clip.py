@@ -33,12 +33,28 @@ class HardClipProcessor(NodeProcessor):
     def group_key(self):
         return ()
 
+    def init_state(self):
+        # clipped-sample counter (core/events.py): games surface "output
+        # is clipping" warnings without fetching any audio
+        return {"clip_count": jnp.zeros((), jnp.uint32)}
+
+    def event_counters(self):
+        """``clipped``: number of samples that exceeded the threshold."""
+        return {"clipped": "clip_count"}
+
     def kernel(self, params, state, inputs, in_mask, info):
         t = params["threshold"]
         out = jnp.maximum(jnp.minimum(inputs, t), -t)
+        # count strictly-over-threshold samples on audible channels only
+        # (flagged-silent inputs may carry unrendered garbage)
+        over = (jnp.abs(inputs) > t) & ~in_mask[:, None]
+        new_state = {
+            "clip_count": state["clip_count"]
+            + jnp.sum(over, dtype=jnp.uint32)
+        }
         # Silent channels are zero-filled (hard_clip.rs:84-87); clip(0)=0 when
         # t >= 0, but t can be 0 exactly — -0.0 vs 0.0 is tolerable.
-        return out, state, in_mask
+        return out, new_state, in_mask
 
 
 class HardClipNode(AudioNode):

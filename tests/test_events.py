@@ -141,6 +141,29 @@ def test_checkpoint_restore_does_not_replay_events(tmp_path):
     assert events[0].count == 1 and events[0].total == 2  # monotonic total
 
 
+def test_hard_clip_counts_clipped_samples():
+    from firewheel_tpu.nodes import BeepTestNode, HardClipNode
+
+    cx = FirewheelCtx()
+    g = cx.graph_mut()
+    beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))  # peak ~0.251
+    clip_node = g.add_node(2, 2, HardClipNode(-20.0))  # threshold 0.1
+    for ch in range(2):
+        g.connect(beep, ch, clip_node, ch)
+        g.connect(clip_node, ch, g.graph_out_node(), ch)
+    activate(cx)
+    cx.render_offline(0.1)
+    events = [e for e in cx.poll_events() if e.name == "clipped"]
+    assert len(events) == 1 and events[0].node_id == clip_node
+    # a -12 dB sine over a -20 dB threshold clips most of each cycle on
+    # both channels: thousands of samples in 0.1 s
+    assert events[0].count > 2000
+    # threshold above the peak → no further clip events
+    total = events[0].total
+    cx.deactivate()
+    assert total == events[0].count
+
+
 # -- serving path: per-instance fleet events ----------------------------------
 
 def test_batch_renderer_per_instance_events():

@@ -190,10 +190,14 @@ class TestHardClip:
         proc = node.activate(SR, F, 2, 2)
         x, m = rand_inputs(2, mask=np.array([False, True]))
         x = (x * 3).astype(np.float32)
-        out, _, om = proc.kernel(
-            proc.collect_params(), (), jnp.asarray(x), jnp.asarray(m), INFO
+        out, st, om = proc.kernel(
+            proc.collect_params(), proc.init_state(), jnp.asarray(x),
+            jnp.asarray(m), INFO
         )
         rout, rom = ref.ref_hard_clip(x, m, node.threshold_gain)
+        # the clip counter saw only the audible channel's clipped samples
+        expected_clips = int(np.sum(np.abs(x[0]) > node.threshold_gain))
+        assert int(st["clip_count"]) == expected_clips
         np.testing.assert_allclose(np.asarray(out), rout, atol=1e-6, rtol=0)
         np.testing.assert_array_equal(np.asarray(om), rom)
         assert np.abs(np.asarray(out)).max() <= node.threshold_gain
