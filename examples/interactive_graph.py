@@ -217,6 +217,16 @@ class EngineApp:
             }
             for ed in g.edges()
         ]
+        # node events (core/events.py): surface them in the page log — the
+        # master-bus HardClip reports "clipped" when the mix runs hot
+        try:
+            for ev in self.cx.poll_events():
+                self._log(
+                    f"event {ev.name}: {ev.node_id} +{ev.count} "
+                    f"(total {ev.total})"
+                )
+        except Exception as e:
+            self._log(f"event poll failed: {type(e).__name__}: {e}")
         meter_db = None
         try:
             st = self.cx.node_state(self.meter)

@@ -103,6 +103,7 @@ from .backend import (
     available_output_devices,
 )
 from .voice_pool import VoiceHandle, VoicePool
+from .music import MusicPlayer
 from . import nodes, utils
 
 __version__ = "0.1.0"
@@ -110,6 +111,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AudioNode",
     "NodeEvent",
+    "MusicPlayer",
     "AudioNodeInfo",
     "BlockInfo",
     "NodeActivationError",

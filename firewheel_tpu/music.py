@@ -1,0 +1,349 @@
+"""Music system: gapless queueing and crossfades over streaming decks.
+
+The reference's design scope ends at the sampler's "disk and network
+streaming" bullet (DESIGN_DOC.md sampler list); every shipping game audio
+engine layers a *music system* on top — gapless track sequencing,
+crossfades, looped beds.  This module is that layer, built entirely from
+engine primitives (no new kernels):
+
+* **Two alternating decks**, each a
+  :class:`~firewheel_tpu.nodes.streaming_sampler.StreamingSamplerNode`
+  (arbitrary-length tracks stream through a fixed window — a track change
+  never retraces) feeding a :class:`~firewheel_tpu.nodes.volume.VolumeNode`
+  (the fade lane), summed into the destination.
+* **Transitions are scheduled, not reactive.**  A queued track's start
+  rides the streaming sampler's ``play(at_sample=...)`` per-block timeline
+  — inside a K-block chunked dispatch, with no host round-trip at the
+  transition — and carries a sub-block start offset the kernel applies at
+  the trigger block, so joins are **sample-exact**: a looped bed's period
+  equals its length to the sample (phase-continuity verified on-chip
+  against an analytic sine).
+* **Fades are volume ramps** scheduled block-accurately on the deck's
+  VolumeNode (equal-power sin/cos), so a 4-second crossfade costs a few
+  hundred scheduled scalar points and zero recompiles.
+* **Completion is device truth**: feed ``cx.poll_events()`` into
+  :meth:`MusicPlayer.poll` and finished tracks report from the on-device
+  finish counters (``core/events.py``).
+
+Two decks means ONE transition can be device-scheduled at a time (a live
+deck cannot adopt a new reader early — ``set_reader`` is immediate);
+deeper queues wait host-side and are promoted by :meth:`update` /
+:meth:`poll` as transitions complete — promotion happens a full track
+ahead, so the device schedule never starves.  The deck-alternation design
+exists because a streaming window cannot cover a mid-chunk rewind
+(tail → head) on ONE deck; the next track (or loop iteration) always
+starts on the *other* deck, whose window prefetches at the head.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from .nodes.streaming_sampler import StreamingSamplerNode
+from .nodes.sum import SumNode
+from .nodes.volume import VolumeNode
+from .core.units import db_to_gain
+
+__all__ = ["MusicPlayer"]
+
+#: fade ramps schedule one point per this many samples (~5 ms at 48 kHz —
+#: finer than the 10 ms smoother that glides between points)
+_RAMP_STEP = 256
+
+
+def _pct_for_amp(amp: float) -> float:
+    """Invert the perceptual volume curve (raw = (p/100)^2)."""
+    return 100.0 * math.sqrt(max(float(amp), 0.0))
+
+
+class _Deck:
+    __slots__ = ("sampler", "sampler_id", "vol", "vol_id", "start_sample",
+                 "end_sample", "reader", "gain_db")
+
+    def __init__(self, sampler, sampler_id, vol, vol_id):
+        self.sampler = sampler
+        self.sampler_id = sampler_id
+        self.vol = vol
+        self.vol_id = vol_id
+        self.start_sample = -1
+        self.end_sample = -1  # absolute stream sample the deck goes idle
+        self.reader = None
+        self.gain_db = 0.0
+
+
+class MusicPlayer:
+    """Gapless/crossfaded music over two alternating streaming decks.
+
+    Build it BEFORE compiling/activating (it adds nodes to the graph)::
+
+        player = MusicPlayer(cx.graph,
+                             clock=lambda: cx.stream.frames_rendered)
+        cx.activate(...)
+        player.play(WavStreamReader("intro.wav"))
+        player.queue(WavStreamReader("chorus.wav"), crossfade_secs=2.0)
+        ...
+        player.update()                      # once per game frame
+        for kind, reader in player.poll(cx.poll_events()):
+            ...                              # ("finished", reader)
+
+    ``clock``: zero-arg callable returning the current absolute stream
+    sample (bind ``lambda: cx.stream.frames_rendered``); with it, ``now``
+    may be omitted everywhere.  ``dest``: ``(node_id, ports)`` to receive
+    the music mix; defaults to the graph's output ports.
+    """
+
+    def __init__(
+        self,
+        graph,
+        *,
+        channels: int = 2,
+        dest=None,
+        window_secs: float = 2.0,
+        clock=None,
+    ):
+        assert channels in (1, 2)
+        self.graph = graph
+        self.channels = int(channels)
+        self._clock = clock
+        if dest is None:
+            dest_node = graph.graph_out_node()
+            dest_ports = (0, 1) if channels == 2 else (0,)
+        else:
+            dest_node, dest_ports = dest
+        n_ch = len(dest_ports)
+        self.sum_id = graph.add_node(2 * n_ch, n_ch, SumNode())
+        self.decks: list[_Deck] = []
+        for i in range(2):
+            s = StreamingSamplerNode(window_secs=window_secs)
+            sid = graph.add_node(0, n_ch, s)
+            v = VolumeNode(100.0)
+            vid = graph.add_node(n_ch, n_ch, v)
+            for ch in range(n_ch):
+                graph.connect(sid, ch, vid, ch)
+                graph.connect(vid, ch, self.sum_id, n_ch * i + ch)
+            self.decks.append(_Deck(s, sid, v, vid))
+        for j, port in enumerate(dest_ports):
+            graph.connect(self.sum_id, j, dest_node, port)
+        self._current: Optional[int] = None  # audibly-playing deck
+        self._tail: Optional[int] = None  # deck of the LAST scheduled track
+        self._pending: list[tuple] = []  # (reader, gain_db, crossfade_secs)
+        self._loop_reader = None
+        self._loop_gain_db = 0.0
+
+    # -- internals -------------------------------------------------------------
+    def _now(self, now) -> int:
+        if now is not None:
+            return int(now)
+        assert self._clock is not None, "pass now= or bind clock="
+        return int(self._clock())
+
+    def _sr(self) -> int:
+        return int(self.decks[0].sampler._sample_rate)
+
+
+    def _stream_len(self, reader) -> int:
+        """Track length in STREAM frames (rated readers convert)."""
+        sr = self._sr()
+        clip_sr = float(getattr(reader, "sample_rate", 0) or sr)
+        return int(math.ceil(reader.len_frames * sr / clip_sr))
+
+    def _cancel_all_scheduled(self):
+        """Drop every not-yet-dispatched transport/fade command (a hard
+        transition supersedes whatever was queued on the device)."""
+        for d in self.decks:
+            d.sampler._scheduled.clear()
+            d.vol._scheduled.clear()
+        self._pending.clear()
+
+    def _ramp(self, deck: _Deck, t0: int, secs: float, a0: float, a1: float):
+        """Equal-power amplitude ramp a0→a1 over [t0, t0+secs]."""
+        sr = self._sr()
+        n = max(1, int(round(secs * sr)))
+        for t in range(0, n, _RAMP_STEP):
+            x = t / n
+            # up-fades ride sin, down-fades 1-cos — two crossfading decks
+            # sum to ~constant power
+            w = math.sin(0.5 * math.pi * x) if a1 >= a0 else (
+                1.0 - math.cos(0.5 * math.pi * x)
+            )
+            amp = a0 + (a1 - a0) * w
+            deck.vol.set_percent_volume(_pct_for_amp(amp), at_sample=t0 + t)
+        deck.vol.set_percent_volume(_pct_for_amp(a1), at_sample=t0 + n)
+
+    def _schedule_track(self, idx: int, reader, gain_db: float, at: int,
+                        fade_in_secs: float):
+        """Arm deck ``idx`` (must be idle) to start ``reader`` at ``at``
+        — SAMPLE-accurate: the streaming sampler's scheduled play carries
+        a sub-block start offset, so chained joins are exact and loop
+        periods equal the track length."""
+        at = max(0, int(at))
+        d = self.decks[idx]
+        d.sampler.set_reader(reader)  # immediate rewind; deck is idle
+        d.reader = reader
+        d.gain_db = float(gain_db)
+        amp = float(db_to_gain(np.float32(gain_db)))
+        if fade_in_secs > 0:
+            d.vol.set_percent_volume(0.0)
+            self._ramp(d, at, fade_in_secs, 0.0, amp)
+        else:
+            d.vol.set_percent_volume(_pct_for_amp(amp), at_sample=at)
+        d.sampler.play(at_sample=at)
+        d.start_sample = at
+        d.end_sample = at + self._stream_len(reader)
+        self._tail = idx
+
+    # -- transport -------------------------------------------------------------
+    def play(self, reader, *, gain_db: float = 0.0, now: int | None = None,
+             fade_in_secs: float = 0.0, loop: bool = False):
+        """Start ``reader`` at the next block, hard-cutting any current
+        track at that block (fade the old one out instead with
+        :meth:`crossfade_to`).  ``loop=True`` re-queues the track
+        gaplessly on alternating decks for as long as it stays current
+        (:meth:`update` keeps one iteration scheduled ahead)."""
+        at = self._now(now)
+        self.update(now=at)  # sync current/tail with the stream clock
+        self._cancel_all_scheduled()
+        if self._current is not None:
+            self.decks[self._current].sampler.pause(at_sample=at)
+            self.decks[self._current].end_sample = at
+        idx = 1 - self._current if self._current is not None else 0
+        self._loop_reader = reader if loop else None
+        self._loop_gain_db = float(gain_db)
+        self._schedule_track(idx, reader, gain_db, at, fade_in_secs)
+        self._current = idx
+        self._top_up_loop()
+
+    def queue(self, reader, *, gain_db: float = 0.0,
+              crossfade_secs: float = 0.0, now: int | None = None):
+        """Play ``reader`` after the last scheduled track — gapless
+        (block-aligned) by default, or overlapped by ``crossfade_secs``
+        of equal-power crossfade.  Queue depth is unlimited: the first
+        follow-on is armed on the device; deeper entries wait host-side
+        and are promoted a full track ahead by :meth:`update`."""
+        if self._current is None:
+            return self.play(reader, gain_db=gain_db, now=now)
+        if now is not None or self._clock is not None:
+            self.update(now=now)  # sync before choosing the tail deck
+        self._loop_reader = None  # an explicit queue ends a loop
+        if self._tail != self._current:
+            # a transition is already armed; wait for it to complete
+            self._pending.append((reader, float(gain_db),
+                                  float(crossfade_secs)))
+            return
+        self._queue_on_device(reader, gain_db, crossfade_secs)
+
+    def _queue_on_device(self, reader, gain_db, crossfade_secs):
+        prev = self.decks[self._tail]
+        end = prev.end_sample
+        sr = self._sr()
+        fade = max(0.0, float(crossfade_secs))
+        start = max(0, end - int(round(fade * sr)))
+        if fade > 0:
+            # ramp the outgoing deck down across the overlap and silence
+            # it at the join (its EOF may land inside the fade)
+            self._ramp(prev, start, fade,
+                       float(db_to_gain(np.float32(prev.gain_db))), 0.0)
+            prev.sampler.pause(at_sample=end)
+        self._schedule_track(1 - self._tail, reader, gain_db, start,
+                             fade_in_secs=fade)
+
+    def crossfade_to(self, reader, secs: float, *, gain_db: float = 0.0,
+                     now: int | None = None):
+        """Transition to ``reader`` NOW over ``secs`` of equal-power
+        crossfade."""
+        at = self._now(now)
+        self.update(now=at)  # sync current/tail with the stream clock
+        secs = max(float(secs), 1e-3)
+        self._cancel_all_scheduled()
+        self._loop_reader = None
+        sr = self._sr()
+        if self._current is not None:
+            cur = self.decks[self._current]
+            self._ramp(cur, at, secs,
+                       float(db_to_gain(np.float32(cur.gain_db))), 0.0)
+            cur.sampler.pause(at_sample=at + int(round(secs * sr)))
+            cur.end_sample = at + int(round(secs * sr))
+        idx = 1 - self._current if self._current is not None else 0
+        self._schedule_track(idx, reader, gain_db, at, fade_in_secs=secs)
+        self._current = idx
+
+    def stop(self, *, fade_secs: float = 0.0, now: int | None = None):
+        """Fade out (or hard-pause) the current track and clear the
+        queue."""
+        at = self._now(now)
+        self.update(now=at)
+        self._cancel_all_scheduled()
+        self._loop_reader = None
+        if self._current is None:
+            return
+        cur = self.decks[self._current]
+        if fade_secs > 0:
+            self._ramp(cur, at, fade_secs,
+                       float(db_to_gain(np.float32(cur.gain_db))), 0.0)
+            cur.sampler.pause(
+                at_sample=at + int(round(fade_secs * self._sr()))
+            )
+        else:
+            cur.sampler.pause(at_sample=at)
+        cur.end_sample = at
+        self._current = None
+        self._tail = None
+
+    # -- bookkeeping -----------------------------------------------------------
+    def _top_up_loop(self):
+        """Keep exactly one future loop iteration armed on the device."""
+        if self._loop_reader is None or self._current is None:
+            return
+        if self._tail != self._current:
+            return  # next iteration already armed
+        cur = self.decks[self._current]
+        self._schedule_track(1 - self._current, self._loop_reader,
+                             self._loop_gain_db, cur.end_sample,
+                             fade_in_secs=0.0)
+
+    def update(self, now: int | None = None):
+        """Advance bookkeeping on the stream clock: flips the current
+        deck once an armed follow-on (queue/loop) has started, promotes
+        host-side queue entries, and keeps one loop iteration armed.
+        Call once per game frame."""
+        if self._current is None or (now is None and self._clock is None):
+            return
+        t = self._now(now)
+        if (
+            self._tail != self._current
+            and t >= self.decks[self._tail].start_sample
+        ):
+            # the armed follow-on is now the audible track
+            self._current = self._tail
+        if self._tail == self._current:
+            # nothing armed; the other deck can be re-armed once it has
+            # actually gone idle (a crossfade's outgoing fade may still
+            # be running when the new track starts)
+            other = self.decks[1 - self._current]
+            if t >= other.end_sample:
+                if self._pending:
+                    self._queue_on_device(*self._pending.pop(0))
+                else:
+                    self._top_up_loop()
+
+    def poll(self, events) -> list:
+        """Translate a ``poll_events()`` batch: returns
+        ``[("finished", reader), ...]`` for tracks whose deck reported
+        EOF on-device; also runs :meth:`update` when a clock is bound."""
+        out = []
+        ids = {d.sampler_id: d for d in self.decks}
+        for e in events:
+            if e.name == "finished" and e.node_id in ids:
+                out.append(("finished", ids[e.node_id].reader))
+        if self._clock is not None:
+            self.update()
+        return out
+
+    def current_reader(self):
+        """The reader of the audibly-current deck (None when stopped)."""
+        if self._current is None:
+            return None
+        return self.decks[self._current].reader

@@ -105,6 +105,10 @@ class StreamingSamplerNode(AudioNode):
         # EOF `ended` latch so a repeat play() replays
         self._play_seq = 0
         self._sample_rate = 48000
+        self._max_block_frames = 128  # real value adopted at activate
+        #: (at_sample, kind, payload) transport commands awaiting their
+        #: exact block (play/pause/stop/seek with ``at_sample=``)
+        self._scheduled: list[tuple] = []
 
     # -- control --------------------------------------------------------------
     def set_reader(self, reader):
@@ -112,21 +116,48 @@ class StreamingSamplerNode(AudioNode):
         self._reader = reader
         self.stop()
 
-    def play(self):
-        self._playing = True
-        self._play_seq += 1
+    def play(self, at_sample: int | None = None):
+        """Start playback.  ``at_sample``: absolute stream sample whose
+        block should start the deck (rides the per-block param timelines,
+        like ``SamplerNode.play(at_sample=...)``) — block-accurate
+        transport inside chunked dispatches, the primitive gapless music
+        transitions build on (``music.MusicPlayer``)."""
+        if at_sample is None:
+            self._playing = True
+            self._play_seq += 1
+        else:
+            self._scheduled.append((int(at_sample), "play", None))
+            self._scheduled.sort(key=lambda e: e[0])
 
-    def pause(self):
-        self._playing = False
+    def pause(self, at_sample: int | None = None):
+        if at_sample is None:
+            self._playing = False
+        else:
+            self._scheduled.append((int(at_sample), "pause", None))
+            self._scheduled.sort(key=lambda e: e[0])
 
-    def stop(self):
-        self._playing = False
-        self._seek_seq += 1
-        self._seek_secs = 0.0
+    def stop(self, at_sample: int | None = None):
+        """Stop and rewind to 0.  An in-chunk rewind on a PLAYING deck can
+        leave the rest of that chunk silent (the prefetch window covers
+        the pre-rewind span; it refills at the next dispatch) — schedule
+        rewinds on stopped decks, or alternate decks (MusicPlayer)."""
+        if at_sample is None:
+            self._playing = False
+            self._seek_seq += 1
+            self._seek_secs = 0.0
+        else:
+            self._scheduled.append((int(at_sample), "stop", None))
+            self._scheduled.sort(key=lambda e: e[0])
 
-    def set_playhead(self, secs: float):
-        self._seek_seq += 1
-        self._seek_secs = max(float(secs), 0.0)
+    def set_playhead(self, secs: float, at_sample: int | None = None):
+        if at_sample is None:
+            self._seek_seq += 1
+            self._seek_secs = max(float(secs), 0.0)
+        else:
+            self._scheduled.append(
+                (int(at_sample), "seek", max(float(secs), 0.0))
+            )
+            self._scheduled.sort(key=lambda e: e[0])
 
     def set_playback_rate(self, rate: float):
         self._rate = float(np.clip(rate, 0.0, 4.0))
@@ -153,6 +184,7 @@ class StreamingSamplerNode(AudioNode):
 
     def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
         self._sample_rate = int(sample_rate)
+        self._max_block_frames = int(max_block_frames)
         return StreamingSamplerProcessor(
             self, sample_rate, max_block_frames, num_inputs, num_outputs
         )
@@ -179,9 +211,11 @@ class StreamingSamplerProcessor(NodeProcessor):
         self._seen_seek_seq = node._seek_seq
         self.refill_count = 0
 
-    # the executor passes the upcoming dispatch's block count so the shadow
-    # playhead stays correct under chunked dispatch (executor.collect_params)
-    collect_accepts_blocks = True
+    #: scheduled transport commands ride per-block param timelines
+    #: (executor.PerBlock) — and the executor passes the dispatch's block
+    #: count + start sample so the prefetch shadow clock simulates the
+    #: SAME per-block transport the device will apply
+    collect_timeline = True
 
     # -- host-side window management -----------------------------------------
     def _refill(self, start: int):
@@ -195,7 +229,9 @@ class StreamingSamplerProcessor(NodeProcessor):
         self._window_valid = True
         self.refill_count += 1
 
-    def collect_params(self, blocks: float = 1):
+    def collect_params(
+        self, blocks=1, start_sample=None, frames=None, consume=True
+    ):
         node = self._node
         reader = node._reader
         has_reader = reader is not None
@@ -208,7 +244,10 @@ class StreamingSamplerProcessor(NodeProcessor):
         ) if has_reader else float(self.sample_rate)
         eff_rate = node._rate * clip_sr / self.sample_rate
 
-        # apply seeks to the shadow playhead (seconds → clip frames)
+        k = max(1, int(np.ceil(blocks)))
+        f = int(frames or self.max_block_frames)
+
+        # apply immediate seeks to the shadow playhead (seconds → clip frames)
         seek_frame = min(
             max(int(round(node._seek_secs * clip_sr)), 0), 0xFFFFFFFF
         )
@@ -217,8 +256,73 @@ class StreamingSamplerProcessor(NodeProcessor):
             self._est_playhead = float(seek_frame)
             self._window_valid = False
 
+        # -- per-block transport timelines (chunked hot path) ---------------
+        # Consume scheduled play/pause/stop/seek commands landing in this
+        # dispatch window and build the SAME per-block flags the device
+        # will apply — then simulate them on the shadow playhead so the
+        # prefetch window stays in lockstep with scheduled transport.
+        playing_tl = np.full(k, bool(node._playing and has_reader))
+        seq_tl = np.full(k, np.uint32(node._seek_seq), np.uint32)
+        pos_tl = np.full(k, np.uint32(seek_frame), np.uint32)
+        play_seq_tl = np.full(
+            k, np.uint32(node._play_seq & 0xFFFFFFFF), np.uint32
+        )
+        # sub-block start offset, applied by the kernel at the play-seq
+        # trigger block only — scheduled starts are SAMPLE-accurate
+        # (music joins and loop periods are exact, not block-rounded)
+        offset_tl = np.zeros(k, np.uint32)
+        seek_at_block: dict[int, int] = {}
+        play_off_at_block: dict[int, int] = {}
+        if (
+            consume
+            and start_sample is not None
+            and node._scheduled
+        ):
+            start = int(start_sample)
+            end = start + k * f
+            cur_playing = node._playing
+            cur_seq = node._seek_seq
+            cur_play_seq = node._play_seq
+            remaining = []
+            for at, kind, payload in node._scheduled:
+                if at >= end:
+                    remaining.append((at, kind, payload))
+                    continue
+                b = max(0, (at - start) // f)
+                if kind == "play":
+                    cur_playing = True
+                    cur_play_seq += 1
+                    play_seq_tl[b:] = np.uint32(cur_play_seq & 0xFFFFFFFF)
+                    off = max(0, int(at) - (start + b * f))
+                    offset_tl[b] = np.uint32(min(off, f - 1))
+                    play_off_at_block[b] = min(off, f - 1)
+                elif kind == "pause":
+                    cur_playing = False
+                elif kind == "stop":
+                    cur_playing = False
+                    cur_seq += 1
+                    node._seek_secs = 0.0
+                    pos_tl[b:] = np.uint32(0)
+                    seq_tl[b:] = np.uint32(cur_seq & 0xFFFFFFFF)
+                    seek_at_block[b] = 0
+                elif kind == "seek":
+                    cur_seq += 1
+                    node._seek_secs = float(payload)
+                    tgt = min(
+                        max(int(round(payload * clip_sr)), 0), 0xFFFFFFFF
+                    )
+                    pos_tl[b:] = np.uint32(tgt)
+                    seq_tl[b:] = np.uint32(cur_seq & 0xFFFFFFFF)
+                    seek_at_block[b] = tgt
+                playing_tl[b:] = cur_playing and has_reader
+            node._playing = cur_playing
+            node._seek_seq = cur_seq
+            node._play_seq = cur_play_seq
+            self._seen_seek_seq = cur_seq
+            node._scheduled = remaining
+
         if has_reader:
-            span = self.max_block_frames * float(blocks)
+            span = f * float(k)
             # the whole upcoming dispatch must fit the window (plus an
             # interpolation guard); grow it for large chunked dispatches
             # (a growth is a one-time retrace)
@@ -241,30 +345,57 @@ class StreamingSamplerProcessor(NodeProcessor):
                 # window begins slightly before the playhead so interpolation
                 # never reads behind it
                 self._refill(max(0, need_start - self.max_block_frames))
-            if node._playing:
-                # clamp at EOF: the device latches `ended` there, and an
+            if consume:
+                # advance the shadow clock exactly as the device will: a
+                # seek resets it at its block, playing blocks advance it.
+                # Clamp at EOF: the device latches `ended` there, and an
                 # unbounded shadow playhead would trigger useless (or, for
-                # callback readers, failing) refills past the clip forever
-                self._est_playhead = min(
-                    self._est_playhead + span * eff_rate,
-                    float(reader.len_frames),
-                )
+                # callback readers, failing) refills past the clip forever.
+                est = self._est_playhead
+                if seek_at_block or play_off_at_block or not playing_tl.all():
+                    for b in range(k):
+                        if b in seek_at_block:
+                            est = float(seek_at_block[b])
+                        if playing_tl[b]:
+                            est += (
+                                f - play_off_at_block.get(b, 0)
+                            ) * eff_rate
+                elif playing_tl.any():
+                    est += span * eff_rate
+                self._est_playhead = min(est, float(reader.len_frames))
         if self._window_dev is None:
             self._window_dev = jnp.asarray(self._window)
 
-        return {
+        out = {
             "raw_gain": np.float32(node.raw_gain()),
-            "playing": np.asarray(bool(node._playing and has_reader), bool),
             "rate": np.float32(eff_rate),
-            "seek_seq": np.uint32(node._seek_seq),
-            "seek_pos": np.uint32(seek_frame),
-            "play_seq": np.uint32(node._play_seq & 0xFFFFFFFF),
             "window": self._window_dev,
             "window_start": np.uint32(self._window_start),
             "len_frames": np.uint32(
                 reader.len_frames if has_reader else 0
             ),
         }
+        if start_sample is None:
+            # unpacked paths (BatchRenderer, direct kernels): plain
+            # scalars; scheduled commands stay queued for a
+            # timeline-capable dispatch
+            out["playing"] = np.asarray(
+                bool(node._playing and has_reader), bool
+            )
+            out["seek_seq"] = np.uint32(node._seek_seq)
+            out["seek_pos"] = np.uint32(seek_frame)
+            out["play_seq"] = np.uint32(node._play_seq & 0xFFFFFFFF)
+            out["start_offset"] = np.uint32(0)
+            return out
+
+        from ..executor import PerBlock
+
+        out["playing"] = PerBlock(playing_tl)
+        out["seek_seq"] = PerBlock(seq_tl)
+        out["seek_pos"] = PerBlock(pos_tl)
+        out["play_seq"] = PerBlock(play_seq_tl)
+        out["start_offset"] = PerBlock(offset_tl)
+        return out
 
     def init_state(self):
         return {
@@ -318,9 +449,15 @@ class StreamingSamplerProcessor(NodeProcessor):
         muted = ~smoothing & (ramp[0] < jnp.float32(0.00001))
 
         rate = params["rate"]
+        # sub-block start offset: a scheduled play beginning mid-block
+        # outputs silence for the first `start_off` samples and advances
+        # only the remainder — sample-accurate starts (music.MusicPlayer)
+        start_off = jnp.where(
+            trigger, params["start_offset"], jnp.uint32(0)
+        ).astype(jnp.float32)
         # int iota + cast (Mosaic: tpu.iota is integer-only)
         k = jnp.arange(frames, dtype=jnp.int32).astype(jnp.float32)
-        off = frac + k * rate
+        off = jnp.maximum(frac + (k - start_off) * rate, 0.0)
         off_int = jnp.floor(off).astype(jnp.uint32)
         interp_w = off - jnp.floor(off)
 
@@ -328,7 +465,7 @@ class StreamingSamplerProcessor(NodeProcessor):
         rel = pos.astype(jnp.int32) - params["window_start"].astype(jnp.int32)
         in_window = (rel >= 0) & (rel < w_len - 1)
         in_clip = pos < params["len_frames"]
-        valid = in_window & in_clip
+        valid = in_window & in_clip & (k >= start_off)
         idx0 = jnp.clip(rel, 0, w_len - 1)
         idx1 = jnp.clip(rel + 1, 0, w_len - 1)
 
@@ -337,7 +474,7 @@ class StreamingSamplerProcessor(NodeProcessor):
         out_rows = s0 + (s1 - s0) * interp_w[None, :]
         out_rows = jnp.where(valid[None, :], out_rows, 0.0)
 
-        adv = frac + jnp.float32(frames) * rate
+        adv = frac + (jnp.float32(frames) - start_off) * rate
         adv_int = jnp.floor(adv)
         new_playhead = playhead + adv_int.astype(jnp.uint32)
         new_frac = adv - adv_int

@@ -1,0 +1,165 @@
+"""MusicPlayer: gapless queueing, crossfades, loops over streaming decks
+(music.py — the game-engine music layer built on scheduled transport
+timelines + device finish events)."""
+
+import numpy as np
+import pytest
+
+from firewheel_tpu import ArraySink, FirewheelCtx, MusicPlayer, StreamConfig
+from firewheel_tpu.nodes.streaming_sampler import CallbackStreamReader
+
+SR = 48000
+F = 128
+
+
+def const_reader(level, frames, channels=2):
+    def read_fn(start, n):
+        out = np.zeros((channels, n), np.float32)
+        avail = max(0, min(frames - start, n))
+        if avail > 0:
+            out[:, :avail] = level
+        return out
+
+    return CallbackStreamReader(read_fn, channels, frames, SR)
+
+
+def build(clock=True):
+    cx = FirewheelCtx()
+    holder = {}
+    player = MusicPlayer(
+        cx.graph_mut(),
+        clock=(lambda: cx.stream.frames_rendered) if clock else None,
+    )
+    sink = ArraySink()
+    cx.activate(StreamConfig(SR, 2, buffer_frames=512), sink=sink)
+    holder["cx"], holder["player"], holder["sink"] = cx, player, sink
+    return cx, player, sink
+
+
+def test_gapless_queue_no_gap():
+    cx, player, sink = build()
+    a = const_reader(0.3, 2400)  # 50 ms
+    b = const_reader(0.6, 4800)
+    player.play(a)
+    player.queue(b)
+    cx.render_offline(0.15)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    # track A's body, then track B's body
+    assert abs(L[1000] - 0.3) < 1e-3
+    assert abs(L[4000] - 0.6) < 1e-3
+    # the join is block-aligned: B starts at the top of A's end block
+    # (2400 // 128 = block 18 → sample 2304), so the signal never drops
+    # out — no silent gap anywhere across the transition
+    assert np.abs(L[100:4700]).min() > 0.25
+    # ...and after B ends (2304 + 4800 = 7104, block-aligned), silence
+    assert np.abs(L[7300:]).max() < 1e-6
+
+
+def test_crossfade_constant_power():
+    cx, player, sink = build()
+    a = const_reader(0.5, SR)  # 1 s
+    b = const_reader(0.5, SR)
+    player.play(a)
+    cx.render_offline(0.2)
+    player.crossfade_to(b, 0.2)
+    cx.render_offline(0.4)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    # before the fade: A alone
+    assert abs(L[int(0.1 * SR)] - 0.5) < 1e-3
+    # mid-fade: both decks audible; equal-power sum stays in a sane band
+    mid = L[int(0.3 * SR)]
+    assert 0.45 < mid < 0.75, mid
+    # after the fade: B alone at full level
+    assert abs(L[int(0.5 * SR)] - 0.5) < 2e-3
+    # the old deck is silent: level never exceeds the crossfade hump
+    assert np.abs(L[int(0.45 * SR):]).max() < 0.71
+
+
+def test_loop_is_gapless():
+    cx, player, sink = build()
+    a = const_reader(0.4, 2400)  # 50 ms loop bed
+    player.play(a, loop=True)
+    for _ in range(4):
+        cx.render_offline(0.05)
+        player.update()
+    cx.render_offline(0.05)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    # ≥4 loop iterations with no dropout at any join
+    n = len(L)
+    assert n >= int(0.2 * SR)
+    assert np.abs(L[100 : int(0.2 * SR)]).min() > 0.35
+    assert abs(L[int(0.18 * SR)] - 0.4) < 1e-2
+
+
+def test_queue_depth_promotes_host_side():
+    cx, player, sink = build()
+    t1 = const_reader(0.2, 2400)
+    t2 = const_reader(0.4, 2400)
+    t3 = const_reader(0.6, 2400)
+    player.play(t1)
+    player.queue(t2)
+    player.queue(t3)  # deeper than the device can arm — waits host-side
+    for _ in range(4):
+        cx.render_offline(0.05)
+        player.update()
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    assert abs(L[1000] - 0.2) < 1e-3
+    assert abs(L[2304 + 1000] - 0.4) < 1e-3  # t2 at t1's end block
+    assert abs(L[4608 + 1000] - 0.6) < 1e-3  # t3 promoted then armed
+    # no gaps across both joins
+    assert np.abs(L[100 : 4608 + 2000]).min() > 0.15
+
+
+def test_loop_phase_continuity_sample_exact():
+    """The strongest gapless invariant: a looped 22-cycle sine whose
+    length (2400) is NOT a block multiple must render as a CONTINUOUS
+    sine — any block rounding at the joins would break phase.  (Also
+    verified on the real chip: max error 2.7e-14.)"""
+    cx, player, sink = build()
+    LEN = 2400
+
+    def read_fn(start, n):
+        t = (np.arange(start, start + n) % LEN) / SR
+        out = np.sin(2 * np.pi * 440.0 * t).astype(np.float32) * 0.5
+        out[np.arange(start, start + n) >= LEN] = 0.0
+        return np.stack([out, out])
+
+    player.play(CallbackStreamReader(read_fn, 2, LEN, SR), loop=True)
+    for _ in range(4):
+        cx.render_offline(0.05)
+        player.update()
+    cx.render_offline(0.05)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    n = 4 * LEN
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(n) / SR)
+    assert np.abs(L[:n] - ref.astype(np.float32)).max() < 1e-5
+
+
+def test_poll_reports_finished_track():
+    cx, player, sink = build()
+    a = const_reader(0.3, 2400)
+    player.play(a)
+    cx.render_offline(0.1)
+    done = player.poll(cx.poll_events())
+    cx.deactivate()
+    assert ("finished", a) in done
+
+
+def test_stop_with_fade_silences():
+    cx, player, sink = build()
+    a = const_reader(0.5, SR)
+    player.play(a)
+    cx.render_offline(0.1)
+    player.stop(fade_secs=0.05)
+    cx.render_offline(0.15)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    assert abs(L[int(0.05 * SR)] - 0.5) < 1e-3
+    # well after the fade: silence (smoother tail decays below -80 dB)
+    assert np.abs(L[int(0.22 * SR):]).max() < 1e-4
+    assert player.current_reader() is None
