@@ -158,11 +158,10 @@ class SamplerNode(AudioNode):
 
     def play(self, at_sample: int | None = None):
         """Start playback.  ``at_sample``: absolute stream sample at which
-        to start — the trigger lands on that sample's block boundary even
-        inside a chunked (K-blocks-per-dispatch) stream (sample-accurate
-        game events: the gunshot fires on its exact block, not at the
-        next chunk boundary).  Rides the same per-block param timelines
-        as ``VolumeNode.set_percent_volume(at_sample=...)``."""
+        to start — SAMPLE-accurate even inside a chunked
+        (K-blocks-per-dispatch) stream: the trigger rides the per-block
+        param timelines and carries a sub-block offset the kernel applies
+        at the trigger block, so the gunshot fires on its exact sample."""
         if at_sample is None:
             self._playing = True
             self._play_seq += 1
@@ -363,6 +362,7 @@ class SamplerProcessor(NodeProcessor):
             "seek_seq": np.uint32(node._seek_seq),
             "seek_pos": np.uint32(node._seek_frame(clip_sr)),
             "play_seq": np.uint32(node._play_seq & 0xFFFFFFFF),
+            "start_offset": np.uint32(0),
             "loop_on": np.asarray(loop_on, bool),
             "loop_seq": np.uint32(node._loop_seq & 0xFFFFFFFF),
             "loop_start": np.uint32(_u32(loop_start)),
@@ -386,6 +386,10 @@ class SamplerProcessor(NodeProcessor):
         play_seq_tl = np.full(
             k, np.uint32(node._play_seq & 0xFFFFFFFF), np.uint32
         )
+        # sub-block start offset applied at the play trigger block —
+        # scheduled triggers are SAMPLE-accurate (the gunshot fires on
+        # its exact sample, not its block; see the streaming sampler)
+        offset_tl = np.zeros(k, np.uint32)
         if consume and node._scheduled:
             end = start + k * f
             cur_playing = node._playing
@@ -402,6 +406,8 @@ class SamplerProcessor(NodeProcessor):
                     cur_playing = True
                     cur_play_seq += 1
                     play_seq_tl[b:] = np.uint32(cur_play_seq & 0xFFFFFFFF)
+                    off = max(0, at - (start + b * f))
+                    offset_tl[b] = np.uint32(min(off, f - 1))
                 elif kind == "pause":
                     cur_playing = False
                 elif kind == "stop":
@@ -427,6 +433,7 @@ class SamplerProcessor(NodeProcessor):
         out["seek_seq"] = PerBlock(seq_tl)
         out["seek_pos"] = PerBlock(pos_tl)
         out["play_seq"] = PerBlock(play_seq_tl)
+        out["start_offset"] = PerBlock(offset_tl)
         return out
 
     def resync_from_state(self, state) -> None:
@@ -516,10 +523,17 @@ class SamplerProcessor(NodeProcessor):
         )
         muted = ~smoothing & (ramp[0] < jnp.float32(0.00001))
 
-        # ---- playback positions (fixed-point integer + f32 frac carry)
+        # ---- playback positions (fixed-point integer + f32 frac carry).
+        # start_off: sub-block sample offset of a scheduled play, applied
+        # at the trigger block only — the first start_off samples are
+        # masked and the playhead advances by the remainder
+        start_off = jnp.where(
+            trigger, params["start_offset"], jnp.uint32(0)
+        ).astype(jnp.float32)
         rate = params["rate"]
         k = jnp.arange(frames, dtype=jnp.int32).astype(jnp.float32)
-        off = frac + k * rate  # offset in frames from integer playhead
+        # offset in frames from integer playhead
+        off = jnp.maximum(frac + (k - start_off) * rate, 0.0)
         off_int = jnp.floor(off).astype(jnp.uint32)
         interp_w = off - jnp.floor(off)
 
@@ -553,8 +567,9 @@ class SamplerProcessor(NodeProcessor):
         )
         # ~ended: a finished one-shot is silent until re-triggered — without
         # it a voice with a release envelope would audibly replay the clip
-        # head (playhead rewound to 0) during its post-finish fade
-        valid = (loop_on | (pos < sample_len)) & ~ended
+        # head (playhead rewound to 0) during its post-finish fade;
+        # k >= start_off: pre-trigger samples of a mid-block start are silent
+        valid = (loop_on | (pos < sample_len)) & ~ended & (k >= start_off)
 
         quality = self._node.quality
         if quality == "linear":
@@ -600,8 +615,8 @@ class SamplerProcessor(NodeProcessor):
                 frames_out = frames_out + sample[:, tap_index(d)] * w[None, :]
         frames_out = jnp.where(valid[None, :], frames_out, 0.0)
 
-        # ---- advance the carry
-        adv = frac + jnp.float32(frames) * rate
+        # ---- advance the carry (minus a mid-block start's masked samples)
+        adv = frac + (jnp.float32(frames) - start_off) * rate
         adv_int = jnp.floor(adv)
         new_playhead = playhead_eff + adv_int.astype(jnp.uint32)
         new_frac = adv - adv_int

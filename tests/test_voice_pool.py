@@ -258,3 +258,22 @@ def test_bucket_growth_documented_retrace():
     cx.deactivate()
     L, _ = sink.audio(2)
     assert np.abs(L).max() > 0.3
+
+
+def test_trigger_lands_on_exact_sample():
+    """`when=` triggers are SAMPLE-accurate, not block-accurate: a trigger
+    37 samples into a block starts the shot on exactly that sample (the
+    play timeline carries a sub-block offset the kernel applies at the
+    trigger block)."""
+    cx, pool, sink = build_ctx()
+    clip = ones_clip(256)
+    when = 2 * F + 37
+    h = pool.play(clip, gain_db=0.0, pan=0.0, when=when, now=0)
+    assert h is not None
+    cx.render_offline(8 * F / SR)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    assert np.abs(L[:when]).max() == 0.0
+    assert L[when] > 0.5
+    body = L[when : when + 256]
+    assert body.min() > 0.5, body.min()
