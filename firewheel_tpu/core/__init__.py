@@ -11,6 +11,7 @@ from .units import (
     db_to_gain_clamped_neg_100_db,
     gain_to_db_clamped_neg_100_db,
     percent_volume_to_raw_gain,
+    raw_gain_to_percent_volume,
 )
 from .ranges import LinearRange, NormToFreqRange, NormToPowRange
 from .smoother import (
@@ -50,6 +51,7 @@ __all__ = [
     "db_to_gain_clamped_neg_100_db",
     "gain_to_db_clamped_neg_100_db",
     "percent_volume_to_raw_gain",
+    "raw_gain_to_percent_volume",
     "LinearRange",
     "NormToFreqRange",
     "NormToPowRange",

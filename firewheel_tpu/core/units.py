@@ -60,6 +60,15 @@ def gain_to_db_clamped_neg_100_db(amp):
     )
 
 
+def raw_gain_to_percent_volume(raw_gain):
+    """Inverse of :func:`percent_volume_to_raw_gain`:
+    ``100 * sqrt(max(g, 0))`` — the one place the perceptual curve's
+    inverse lives (fade ramps, dB→percent conversions build on it)."""
+    xp = _np_like(raw_gain)
+    g = xp.asarray(raw_gain, dtype=xp.float32)
+    return xp.float32(100.0) * xp.sqrt(xp.maximum(g, xp.float32(0.0)))
+
+
 def percent_volume_to_raw_gain(percent_volume):
     """``(max(p,0)/100)^2`` — perceptual volume curve (range.rs:32-35)."""
     xp = _np_like(percent_volume)

@@ -747,11 +747,14 @@ class ScheduleProgram:
         canon = self._to_canon(
             {k: v for k, v in state.items() if k in self._canon}
         )
-        # blocks=0: structure-only snapshot — prefetching processors (the
-        # streaming sampler) must not advance their shadow clocks here;
+        # structure-only snapshot — prefetching processors (the streaming
+        # sampler) must not advance their shadow clocks here and no
+        # scheduled command may be consumed; consume=False is the
+        # side-effect-free protocol for BOTH collect flavors (blocks=0
+        # alone is not enough: the timeline path floors blocks to 1);
         # timeline leaves reduce to their placeholder for the packer
         example = _split_timelines(
-            self._to_canon(self.collect_params(blocks=0))
+            self._to_canon(self.collect_params(blocks=0, consume=False))
         )[0]
         self._ensure_packers(example, canon)
         return self._state_packer.pack(canon)

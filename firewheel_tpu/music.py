@@ -45,7 +45,7 @@ import numpy as np
 from .nodes.streaming_sampler import StreamingSamplerNode
 from .nodes.sum import SumNode
 from .nodes.volume import VolumeNode
-from .core.units import db_to_gain
+from .core.units import db_to_gain, raw_gain_to_percent_volume
 
 __all__ = ["MusicPlayer"]
 
@@ -55,8 +55,8 @@ _RAMP_STEP = 256
 
 
 def _pct_for_amp(amp: float) -> float:
-    """Invert the perceptual volume curve (raw = (p/100)^2)."""
-    return 100.0 * math.sqrt(max(float(amp), 0.0))
+    """Percent value whose raw gain is ``amp`` (core/units inverse)."""
+    return float(raw_gain_to_percent_volume(np.float32(amp)))
 
 
 class _Deck:
@@ -154,8 +154,8 @@ class MusicPlayer:
         """Drop every not-yet-dispatched transport/fade command (a hard
         transition supersedes whatever was queued on the device)."""
         for d in self.decks:
-            d.sampler._scheduled.clear()
-            d.vol._scheduled.clear()
+            d.sampler.cancel_scheduled()
+            d.vol.cancel_scheduled()
         self._pending.clear()
 
     def _ramp(self, deck: _Deck, t0: int, secs: float, a0: float, a1: float):
@@ -205,11 +205,27 @@ class MusicPlayer:
         (:meth:`update` keeps one iteration scheduled ahead)."""
         at = self._now(now)
         self.update(now=at)  # sync current/tail with the stream clock
-        self._cancel_all_scheduled()
+        self._pending.clear()
         if self._current is not None:
-            self.decks[self._current].sampler.pause(at_sample=at)
-            self.decks[self._current].end_sample = at
-        idx = 1 - self._current if self._current is not None else 0
+            # hard-cut the audible track; the other deck gets cut by
+            # _schedule_track's set_reader
+            cur = self.decks[self._current]
+            cur.sampler.cancel_scheduled()
+            cur.vol.cancel_scheduled()
+            cur.sampler.pause(at_sample=at)
+            cur.end_sample = at
+            idx = 1 - self._current
+        else:
+            # prefer a deck already idle at `at`: a stop(fade) leaves one
+            # deck audibly fading — grabbing it would cut the fade
+            idle = [i for i, d in enumerate(self.decks)
+                    if d.end_sample <= at]
+            idx = idle[0] if idle else min(
+                range(2), key=lambda i: self.decks[i].end_sample
+            )
+        d = self.decks[idx]
+        d.sampler.cancel_scheduled()
+        d.vol.cancel_scheduled()
         self._loop_reader = reader if loop else None
         self._loop_gain_db = float(gain_db)
         self._schedule_track(idx, reader, gain_db, at, fade_in_secs)
@@ -233,6 +249,16 @@ class MusicPlayer:
             self._pending.append((reader, float(gain_db),
                                   float(crossfade_secs)))
             return
+        t = (self._now(now)
+             if (now is not None or self._clock is not None) else None)
+        other = self.decks[1 - self._current]
+        if t is not None and other.end_sample > t:
+            # the other deck is still audible (e.g. a crossfade's
+            # outgoing tail) — arming it now would hard-cut the fade;
+            # update() promotes this entry once the deck goes idle
+            self._pending.append((reader, float(gain_db),
+                                  float(crossfade_secs)))
+            return
         self._queue_on_device(reader, gain_db, crossfade_secs)
 
     def _queue_on_device(self, reader, gain_db, crossfade_secs):
@@ -242,11 +268,13 @@ class MusicPlayer:
         fade = max(0.0, float(crossfade_secs))
         start = max(0, end - int(round(fade * sr)))
         if fade > 0:
-            # ramp the outgoing deck down across the overlap and silence
-            # it at the join (its EOF may land inside the fade)
+            # ramp the outgoing deck down across the overlap; the safety
+            # pause lands one block AFTER the end so the device EOF latch
+            # (and its `finished` event) fires before playing drops
             self._ramp(prev, start, fade,
                        float(db_to_gain(np.float32(prev.gain_db))), 0.0)
-            prev.sampler.pause(at_sample=end)
+            blk = int(prev.sampler._max_block_frames)
+            prev.sampler.pause(at_sample=end + blk)
         self._schedule_track(1 - self._tail, reader, gain_db, start,
                              fade_in_secs=fade)
 
@@ -280,15 +308,18 @@ class MusicPlayer:
         if self._current is None:
             return
         cur = self.decks[self._current]
+        other = self.decks[1 - self._current]
+        other.sampler.pause(at_sample=at)  # cancel wiped its commands
+        other.end_sample = min(other.end_sample, at)             if other.end_sample >= 0 else at
         if fade_secs > 0:
             self._ramp(cur, at, fade_secs,
                        float(db_to_gain(np.float32(cur.gain_db))), 0.0)
-            cur.sampler.pause(
-                at_sample=at + int(round(fade_secs * self._sr()))
-            )
+            fade_end = at + int(round(fade_secs * self._sr()))
+            cur.sampler.pause(at_sample=fade_end)
+            cur.end_sample = fade_end  # audible until the fade completes
         else:
             cur.sampler.pause(at_sample=at)
-        cur.end_sample = at
+            cur.end_sample = at
         self._current = None
         self._tail = None
 

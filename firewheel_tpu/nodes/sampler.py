@@ -200,6 +200,12 @@ class SamplerNode(AudioNode):
             )
             self._scheduled.sort(key=lambda e: e[0])
 
+    def cancel_scheduled(self) -> None:
+        """Drop every pending ``at_sample=`` command that has not yet
+        been consumed by a dispatch (voice re-targeting, hard
+        transitions)."""
+        self._scheduled.clear()
+
     def set_loop_range(self, loop_range: Optional[LoopRange]):
         self._loop = loop_range
         self._loop_seq += 1

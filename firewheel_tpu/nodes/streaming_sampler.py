@@ -159,6 +159,11 @@ class StreamingSamplerNode(AudioNode):
             )
             self._scheduled.sort(key=lambda e: e[0])
 
+    def cancel_scheduled(self) -> None:
+        """Drop every pending ``at_sample=`` command not yet consumed
+        by a dispatch."""
+        self._scheduled.clear()
+
     def set_playback_rate(self, rate: float):
         self._rate = float(np.clip(rate, 0.0, 4.0))
 
@@ -413,6 +418,16 @@ class StreamingSamplerProcessor(NodeProcessor):
         node = self._node
         node._seek_seq = int(np.asarray(state["seek_seq"]).max())
         node._play_seq = int(np.asarray(state["play_seq"]).max())
+        # adopt the restored device playhead into the prefetch shadow
+        # clock (and swallow the seq edge) — otherwise the next collect
+        # would treat the restored seq as a fresh seek, rewind the window
+        # to the stale host seek target, and the deck would render
+        # silence from a window that no longer covers the playhead
+        self._seen_seek_seq = node._seek_seq
+        self._est_playhead = float(
+            np.asarray(state["playhead"]).max()
+        ) + float(np.asarray(state["frac"]).max())
+        self._window_valid = False
 
     def event_counters(self):
         """``finished``: the stream reached EOF (core/events.py)."""

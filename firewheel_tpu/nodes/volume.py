@@ -128,6 +128,11 @@ class VolumeNode(AudioNode):
     def percent_volume(self) -> float:
         return self._percent_volume
 
+    def cancel_scheduled(self) -> None:
+        """Drop every pending ``at_sample=`` volume point not yet
+        consumed by a dispatch (fade cancellation)."""
+        self._scheduled.clear()
+
     def set_percent_volume(self, percent_volume: float, at_sample: int | None = None):
         """Live control (volume.rs:28-34).
 

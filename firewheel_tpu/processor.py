@@ -434,6 +434,24 @@ class GraphProcessor:
         # burst of everything that happened before the checkpoint
         self._sync_event_baselines()
 
+    def _host_state_snapshot(self) -> dict:
+        """State dict for host-side reads (event polling): packed group
+        arrays are fetched to host ONCE each and unpacked with numpy —
+        no per-leaf device slice dispatches (the poll cost is a handful
+        of small transfers however many nodes the graph has).
+        Passthrough leaves (large device buffers) stay lazy."""
+        if self._packed_state is None or self._program is None:
+            return dict(self._parked_state)
+        groups, passthrough = self._packed_state
+        host_groups = {k: np.asarray(v) for k, v in groups.items()}
+        out = dict(self._parked_state)
+        out.update(
+            self._program._to_real(
+                self._program._state_packer.unpack(host_groups, passthrough)
+            )
+        )
+        return out
+
     def _sync_event_baselines(self) -> None:
         """Set every event-counter baseline to the current device totals
         (without emitting events)."""
@@ -443,7 +461,7 @@ class GraphProcessor:
             if not counters:
                 continue
             if state is None:
-                state = self.state_dict()
+                state = self._host_state_snapshot()
             st = state.get(node_key(nid))
             if st is None:
                 continue
@@ -474,7 +492,7 @@ class GraphProcessor:
             if not counters:
                 continue
             if state is None:
-                state = self.state_dict()
+                state = self._host_state_snapshot()
             st = state.get(node_key(nid))
             if st is None:
                 continue

@@ -36,6 +36,7 @@ from typing import Optional
 import numpy as np
 
 from .core.sample_resource import SampleResource
+from .core.units import db_to_gain, raw_gain_to_percent_volume
 from .nodes.pan import StereoPanNode
 from .nodes.sampler import LoopRange, SamplerNode
 from .nodes.sum import SumNode
@@ -44,10 +45,14 @@ __all__ = ["VoicePool", "VoiceHandle"]
 
 _INF = float("inf")
 
+#: max distinct (clip, bucket) padded copies kept device-resident; past
+#: this, entries not held by a live voice evict oldest-first
+_PADDED_CACHE_CAP = 256
+
 
 def _db_to_percent(db: float) -> float:
-    # percent_volume_to_raw_gain is (p/100)^2, so p = 100 * 10^(db/40)
-    return 100.0 * (10.0 ** (float(db) / 40.0))
+    """Percent whose raw gain equals the dB gain (core/units inverse)."""
+    return float(raw_gain_to_percent_volume(db_to_gain(np.float32(db))))
 
 
 def _next_pow2(n: int) -> int:
@@ -225,6 +230,18 @@ class VoicePool:
         (members of a pooled group must change shape together; a playing
         voice keeps playing — its audio is identical, just padded
         further)."""
+        # entries keyed by the old bucket are unreachable from now on —
+        # drop them (and their pinned source clips) so a session that
+        # grows the bucket does not leak every clip it ever played
+        self._padded = {
+            k: v for k, v in self._padded.items() if k[1] == new_bucket
+        }
+        live = {id(c) for c, _ in ((v.clip, 0) for v in self._voices)
+                if c is not None}
+        self._padded_refs = [
+            c for c in self._padded_refs
+            if (id(c), new_bucket) in self._padded or id(c) in live
+        ]
         self._bucket = new_bucket
         for v in self._voices:
             if v.clip is not None:
@@ -277,6 +294,20 @@ class VoicePool:
             np.ascontiguousarray(data, np.float32),
             sample_rate=clip.sample_rate,
         )
+        # bounded cache: a long session streaming many distinct clips
+        # must not pin them all forever — evict oldest entries not held
+        # by a live voice once past the cap
+        if len(self._padded) >= _PADDED_CACHE_CAP:
+            live = {id(v.clip) for v in self._voices if v.clip is not None}
+            for k in list(self._padded):
+                if len(self._padded) < _PADDED_CACHE_CAP:
+                    break
+                if k[0] not in live and k != key:
+                    del self._padded[k]
+            kept = {k[0] for k in self._padded}
+            self._padded_refs = [
+                c for c in self._padded_refs if id(c) in kept
+            ]
         self._padded[key] = padded
         self._padded_refs.append(clip)
         return padded
@@ -344,6 +375,16 @@ class VoicePool:
         v.started_at = trigger
 
         s = v.sampler
+        # A stolen/reused voice may still hold scheduled commands from
+        # its previous owner; any command at or after the NEW trigger
+        # (e.g. a handle's long-delayed stop) would fire into the new
+        # sound — drop those.  Commands strictly before the trigger stay:
+        # they belong to a legitimately sequenced earlier shot on this
+        # voice (scheduling two future shots on one voice is supported —
+        # with the caveat, inherent to one-sample-per-voice, that both
+        # shots play the voice's CURRENT clip).
+        cutoff = int(when) if when is not None else int(now)
+        s._scheduled = [c for c in s._scheduled if c[0] < cutoff]
         s.set_sample(padded)  # stops + rewinds the stolen voice
         s.set_percent_volume(_db_to_percent(gain_db))
         s.set_playback_rate(rate)
@@ -364,15 +405,9 @@ class VoicePool:
         if when is None:
             s.play()
         else:
-            # A reused voice's `playing` param may still be latched True
-            # from its previous (ended) one-shot — with no falling edge
-            # the new trigger would neither rise nor clear the `ended`
-            # latch.  A scheduled stop one sample ahead both drops
-            # `playing` for a rising edge and bumps the seek sequence
-            # (rewind), which clears `ended` — so scheduled re-triggers
-            # on the same voice always fire.
-            if when > 0:
-                s.stop(at_sample=int(when) - 1)
+            # re-triggering a voice whose previous one-shot ended is safe
+            # without a falling edge: play() is a message (play_seq), the
+            # seq edge clears the `ended` latch at the trigger block
             s.play(at_sample=int(when))
 
         if loop or rate <= 0.0:
@@ -421,6 +456,8 @@ class VoicePool:
 
     def stop_all(self, at_sample: int | None = None) -> None:
         for v in self._voices:
+            # pending scheduled plays must not out-live a stop-all
+            v.sampler.cancel_scheduled()
             v.sampler.stop(at_sample=at_sample)
             v.busy_until = float(at_sample) if at_sample is not None else 0.0
             v.gen = self._gen_counter = self._gen_counter + 1

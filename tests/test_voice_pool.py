@@ -225,9 +225,10 @@ class TestAllocation:
 
 def test_same_voice_scheduled_retrigger():
     """Two sample-accurate triggers landing on the SAME voice (1-voice
-    pool) must both fire: the pool schedules a stop one sample before
-    each play, clearing the one-shot `ended` latch and restoring the
-    rising edge even when `playing` stayed latched True."""
+    pool) must both fire: play() is a message (play_seq edge), so the
+    second trigger clears the one-shot `ended` latch even when `playing`
+    stayed latched True — and re-targeting keeps earlier-scheduled shots
+    (only commands at/after the new trigger are dropped)."""
     cx, pool, sink = build_ctx(num_voices=1)
     clip = ones_clip(256, value=0.5)
     h1 = pool.play(clip, when=2 * F, now=2 * F - 1)
