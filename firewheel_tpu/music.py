@@ -244,8 +244,9 @@ class MusicPlayer:
         if now is not None or self._clock is not None:
             self.update(now=now)  # sync before choosing the tail deck
         self._loop_reader = None  # an explicit queue ends a loop
-        if self._tail != self._current:
-            # a transition is already armed; wait for it to complete
+        if self._tail != self._current or self._pending:
+            # a transition is already armed (or earlier entries are
+            # waiting) — preserve FIFO order
             self._pending.append((reader, float(gain_db),
                                   float(crossfade_secs)))
             return
@@ -310,7 +311,10 @@ class MusicPlayer:
         cur = self.decks[self._current]
         other = self.decks[1 - self._current]
         other.sampler.pause(at_sample=at)  # cancel wiped its commands
-        other.end_sample = min(other.end_sample, at)             if other.end_sample >= 0 else at
+        if other.end_sample >= 0:
+            other.end_sample = min(other.end_sample, at)
+        else:
+            other.end_sample = at
         if fade_secs > 0:
             self._ramp(cur, at, fade_secs,
                        float(db_to_gain(np.float32(cur.gain_db))), 0.0)
