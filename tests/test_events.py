@@ -203,6 +203,44 @@ def test_batch_renderer_per_instance_events():
     assert br.poll_events(state) == []
 
 
+def test_fleet_restore_rebaselines_events(tmp_path):
+    """A restored BatchRenderer fleet must not replay pre-checkpoint
+    events, and post-restore totals stay monotonic."""
+    import firewheel_tpu as fw
+    from firewheel_tpu.parallel.mesh import BatchRenderer
+
+    clip, _ = make_clip(256)
+    g = fw.AudioGraph(fw.AudioGraphConfig(0, 2))
+    s = SamplerNode(100.0)
+    s.set_sample(clip)
+    samp = g.add_node(0, 2, s)
+    g.connect(samp, 0, g.graph_out_node(), 0)
+    g.connect(samp, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    prog = fw.ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+
+    br = BatchRenderer(prog, batch=2)
+    s.play()
+    params = br.stack_params([prog.collect_params()] * 2)
+    state = br.init_state()
+    out, om, state = br.render_chunk(params, state, num_blocks=8)
+    assert len(br.poll_events(state)) == 2  # both instances finished
+    ck = str(tmp_path / "fleet")
+    br.save_checkpoint(ck, state)
+
+    br2 = BatchRenderer(prog, batch=2)
+    state2, meta = br2.restore_checkpoint(ck)
+    # restored totals are 1 per instance, but nothing NEW happened
+    assert br2.poll_events(state2) == []
+    # re-trigger and the monotonic totals continue from the restore
+    s.play()
+    params2 = br2.stack_params([prog.collect_params()] * 2)
+    out, om, state2 = br2.render_chunk(params2, state2, num_blocks=8)
+    events = [e for e in br2.poll_events(state2) if e.name == "finished"]
+    assert sorted(e.instance for e in events) == [0, 1]
+    assert all(e.count == 1 and e.total == 2 for e in events)
+
+
 def test_voice_pool_finished_handles():
     from firewheel_tpu import AudioGraphConfig, VoicePool
     from firewheel_tpu.executor import clear_program_cache
