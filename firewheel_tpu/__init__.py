@@ -104,6 +104,7 @@ from .backend import (
 )
 from .voice_pool import VoiceHandle, VoicePool
 from .music import MusicPlayer
+from .serving import SessionHandle, SessionServer
 from . import nodes, utils
 
 __version__ = "0.1.0"
@@ -112,6 +113,8 @@ __all__ = [
     "AudioNode",
     "NodeEvent",
     "MusicPlayer",
+    "SessionServer",
+    "SessionHandle",
     "AudioNodeInfo",
     "BlockInfo",
     "NodeActivationError",

@@ -273,11 +273,28 @@ class BatchRenderer:
                     )
         return out
 
-    def reset_instance(self, state, index: int):
+    def reset_instance(self, state, index: int, template=None):
         """Reset one instance to the program's initial state (a client
         disconnect/reconnect in a game-server fleet) — all other
-        instances' recurrent state is untouched."""
-        return self.update_instance(state, index, self.program.init_state())
+        instances' recurrent state is untouched.  ``template``: the
+        per-instance state tree to install; default snapshots
+        ``program.init_state()`` NOW (which reflects the template
+        graph's CURRENT node values — pass a saved idle snapshot for
+        deterministic resets, as SessionServer does)."""
+        # the reset zeroes the instance's event counters; zero its poll
+        # baselines too, or the next poll_events() would diff 0 against
+        # the previous tenant's totals and wrap into garbage counts
+        per = self.batch // max(jax.process_count(), 1)
+        base = jax.process_index() * per if jax.process_count() > 1 else 0
+        local = int(index) - base
+        if 0 <= local < per:
+            for totals in self._event_totals.values():
+                if local < totals.shape[0]:
+                    totals[local] = 0
+        return self.update_instance(
+            state, index,
+            template if template is not None else self.program.init_state(),
+        )
 
     # -- fleet checkpoint/restore ----------------------------------------------
     def save_checkpoint(self, path: str, state, extra_meta: dict | None = None):

@@ -1,0 +1,190 @@
+"""Session multiplexing for serving fleets: many short-lived clients on
+one compiled batch program.
+
+``docs/SERVING.md`` describes the pattern — one
+:class:`~firewheel_tpu.parallel.mesh.BatchRenderer` per graph shape,
+batch slots padded with idle instances, per-instance control splices —
+and ``examples/game_server.py`` demonstrates it by hand.
+:class:`SessionServer` is that pattern as a component: a slot allocator
+with generation-checked session handles over a single renderer.
+
+* ``connect()`` claims a slot, resets its recurrent state, and splices
+  the session's params (built by mutating the template graph's node
+  handles in a ``configure`` callback) — O(one instance), no recompile,
+  the other B−1 sessions undisturbed.
+* ``disconnect()`` returns the slot to the idle pool and re-splices the
+  server's idle (muted) snapshot so a vacant slot renders silence (and,
+  silence masks being what they are, costs ~nothing).
+* ``render()`` advances the whole fleet one chunk; ``poll_events()``
+  returns device events grouped per live session, with slot reuse
+  isolated by the renderer's per-instance baseline reset.
+* Handles are generation-checked like
+  :class:`~firewheel_tpu.voice_pool.VoiceHandle`: a handle whose slot
+  was re-assigned becomes a silent no-op.
+
+Capacity is fixed per server (the compiled program's batch); run one
+server per (graph shape, batch bucket) and route sessions between
+servers at the application layer (SERVING.md "Capacity planning").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from .executor import ScheduleProgram
+from .parallel.mesh import BatchRenderer
+
+__all__ = ["SessionServer", "SessionHandle"]
+
+
+class SessionHandle:
+    """Generation-checked handle for one connected session."""
+
+    def __init__(self, server: "SessionServer", slot: int, gen: int):
+        self._server = server
+        self._slot = slot
+        self._gen = gen
+
+    @property
+    def slot(self) -> int:
+        return self._slot
+
+    @property
+    def alive(self) -> bool:
+        return self._server._gens[self._slot] == self._gen
+
+    def update(self, configure: Callable[[], None]) -> None:
+        """Apply a control change to THIS session: ``configure()``
+        mutates the template graph's node handles, and the resulting
+        param snapshot is spliced into this slot only."""
+        if self.alive:
+            self._server._splice(self._slot, configure)
+
+    def reset(self) -> None:
+        """Reset this session's recurrent state (e.g. a reconnect)."""
+        if self.alive:
+            self._server._state = self._server._br.reset_instance(
+                self._server._state, self._slot,
+                template=self._server._idle_state,
+            )
+
+    def disconnect(self) -> None:
+        if self.alive:
+            self._server.disconnect(self)
+
+
+class SessionServer:
+    """Multiplex up to ``capacity`` client sessions onto one compiled
+    batch program.
+
+    ``program`` is built from the TEMPLATE graph; keep the graph's node
+    handles around — ``connect``/``update`` configure a session by
+    mutating them inside a callback, and the server snapshots params
+    from the template afterward.  Construct the server while the
+    template is in its IDLE state (sources muted/paused): that snapshot
+    fills vacant slots.
+
+    ``renderer_kwargs`` pass through to :class:`BatchRenderer`
+    (``mesh``/``axis``/``lowering``/``output_format``/...).
+    """
+
+    def __init__(
+        self,
+        program: ScheduleProgram,
+        capacity: int,
+        *,
+        chunk_blocks: int = 16,
+        **renderer_kwargs: Any,
+    ):
+        self.program = program
+        self.capacity = int(capacity)
+        self.chunk_blocks = int(chunk_blocks)
+        self._br = BatchRenderer(program, batch=capacity, **renderer_kwargs)
+        #: the idle template snapshots — captured NOW, while the caller
+        #: has the template graph in its idle state: vacant slots render
+        #: these params, and every slot reset installs this state (a
+        #: connect must not inherit smoother/phase state reflecting the
+        #: PREVIOUS session's configure of the shared template nodes)
+        self._idle_params = program.collect_params()
+        self._idle_state = program.init_state()
+        self._params = self._br.stack_params(
+            [self._idle_params] * capacity
+        )
+        self._state = self._br.init_state()
+        self._free = list(range(capacity - 1, -1, -1))  # pop() → slot 0 first
+        self._gens = [0] * capacity
+        self._live: dict[int, SessionHandle] = {}
+        self.sample = 0  # fleet stream clock (absolute samples)
+
+    # -- session lifecycle -----------------------------------------------------
+    def _splice(self, slot: int, configure: Optional[Callable]) -> None:
+        if configure is not None:
+            configure()
+            params_i = self.program.collect_params()
+        else:
+            params_i = self._idle_params
+        self._params = self._br.update_instance(
+            self._params, slot, params_i
+        )
+
+    def connect(
+        self, configure: Callable[[], None] | None = None
+    ) -> Optional[SessionHandle]:
+        """Claim a slot for a new session (``None`` when full).
+        ``configure()`` mutates the template graph's nodes into this
+        session's starting state."""
+        if not self._free:
+            return None
+        slot = self._free.pop()
+        self._gens[slot] += 1
+        self._state = self._br.reset_instance(
+            self._state, slot, template=self._idle_state
+        )
+        self._splice(slot, configure)
+        h = SessionHandle(self, slot, self._gens[slot])
+        self._live[slot] = h
+        return h
+
+    def disconnect(self, handle: SessionHandle) -> None:
+        """Release a session's slot; the slot renders the idle template
+        until re-assigned."""
+        if not handle.alive:
+            return
+        slot = handle._slot
+        self._gens[slot] += 1
+        self._live.pop(slot, None)
+        self._splice(slot, None)  # idle/muted params
+        self._free.append(slot)
+
+    @property
+    def occupancy(self) -> int:
+        return self.capacity - len(self._free)
+
+    # -- the serving hot loop --------------------------------------------------
+    def render(self, num_blocks: int | None = None):
+        """Render one chunk for every slot → the renderer's output
+        (``f32[B, K, No, F]``, or wire-ready ``int16[B, K, F, No]`` with
+        ``output_format="pcm16"``).  Index by ``handle.slot`` for a
+        session's audio."""
+        k = num_blocks or self.chunk_blocks
+        out, om, self._state = self._br.render_chunk(
+            self._params, self._state, start_sample=self.sample,
+            num_blocks=k,
+        )
+        self.sample += k * self.program.max_block_frames
+        return out
+
+    def poll_events(self) -> dict:
+        """Device events since the last poll, grouped per LIVE session:
+        ``{SessionHandle: [NodeEvent, ...]}``.  Events from vacant or
+        re-assigned slots are dropped (the renderer re-baselines a
+        slot's counters on reset, so a new tenant never inherits its
+        predecessor's totals)."""
+        out: dict = {}
+        for e in self._br.poll_events(self._state):
+            h = self._live.get(e.instance)
+            if h is not None:
+                out.setdefault(h, []).append(e)
+        return out

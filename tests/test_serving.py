@@ -1,0 +1,122 @@
+"""SessionServer: slot allocation, per-session isolation, event routing
+(serving.py — the SERVING.md pattern as a component)."""
+
+import numpy as np
+import pytest
+
+import firewheel_tpu as fw
+from firewheel_tpu import SessionServer
+from firewheel_tpu.core.sample_resource import SampleResource
+from firewheel_tpu.nodes import BeepTestNode, SamplerNode, SumNode, VolumeNode
+
+SR, F = 48000, 128
+RNG = np.random.default_rng(5)
+
+
+def make_template():
+    """Template graph: tone -> volume, plus a one-shot SFX sampler, both
+    summed to the output.  Idle state: volume 0, sampler paused."""
+    g = fw.AudioGraph(fw.AudioGraphConfig(0, 2))
+    tone = BeepTestNode(440.0, -12.0, True)
+    vol = VolumeNode(0.0)  # idle template: muted
+    sfx = SamplerNode(100.0)
+    sfx.set_sample(SampleResource(
+        (RNG.standard_normal((2, 256)) * 0.1).astype(np.float32),
+        device=False,
+    ))
+    tid = g.add_node(0, 2, tone)
+    vid = g.add_node(2, 2, vol)
+    sid = g.add_node(0, 2, sfx)
+    mix = g.add_node(4, 2, SumNode())
+    g.connect(tid, 0, vid, 0)
+    g.connect(tid, 1, vid, 1)
+    g.connect(vid, 0, mix, 0)
+    g.connect(vid, 1, mix, 1)
+    g.connect(sid, 0, mix, 2)
+    g.connect(sid, 1, mix, 3)
+    g.connect(mix, 0, g.graph_out_node(), 0)
+    g.connect(mix, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    prog = fw.ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    return prog, {"tone": tone, "vol": vol, "sfx": sfx}
+
+
+def rms(x):
+    return float(np.sqrt((np.asarray(x, np.float64) ** 2).mean()))
+
+
+def test_lifecycle_and_isolation():
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=4, chunk_blocks=8)
+    assert srv.occupancy == 0
+
+    h1 = srv.connect(lambda: n["vol"].set_percent_volume(100.0))
+    h2 = srv.connect(lambda: n["vol"].set_percent_volume(0.0))
+    assert h1 is not None and h2 is not None and srv.occupancy == 2
+    out = None
+    for _ in range(3):  # let h1's volume smoother settle
+        out = np.asarray(srv.render())
+    # session 1 audible, session 2 muted, vacant slots idle (muted)
+    assert rms(out[h1.slot]) > 0.1
+    assert rms(out[h2.slot]) < 1e-6
+    assert rms(out[2]) < 1e-6 and rms(out[3]) < 1e-6
+
+    # live per-session control: mute h1, unmute h2
+    h1.update(lambda: n["vol"].set_percent_volume(0.0))
+    h2.update(lambda: n["vol"].set_percent_volume(100.0))
+    for _ in range(8):  # the 10 ms smoother snaps to 0 after ~5.5k samples
+        out = np.asarray(srv.render())
+    assert rms(out[h1.slot]) < 1e-6
+    assert rms(out[h2.slot]) > 0.1
+
+    # capacity exhaustion → None; disconnect frees the slot
+    h3, h4 = srv.connect(), srv.connect()
+    assert srv.connect() is None
+    h3.disconnect()
+    assert not h3.alive
+    h5 = srv.connect()
+    assert h5 is not None and h5.slot == h3.slot
+    assert srv.occupancy == 4
+
+
+def test_events_routed_per_session_and_isolated_across_reuse():
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=2, chunk_blocks=8)
+
+    def fire():
+        n["sfx"].play()
+
+    def quiet():
+        n["sfx"].pause()
+
+    h1 = srv.connect(fire)
+    h2 = srv.connect(quiet)
+    srv.render()  # 8 blocks = 1024 frames ≫ the 256-frame clip
+    ev = srv.poll_events()
+    assert h1 in ev and all(e.name == "finished" for e in ev[h1])
+    assert h2 not in ev
+
+    # slot reuse: disconnect h1 (its counters hold total=1), reconnect a
+    # NEW session that also fires — it must see exactly ITS OWN event
+    h1.disconnect()
+    h3 = srv.connect(fire)
+    assert h3.slot == h1.slot
+    srv.render()
+    ev = srv.poll_events()
+    assert h3 in ev
+    (e,) = [e for e in ev[h3] if e.name == "finished"]
+    assert e.count == 1 and e.total == 1  # fresh counters, fresh baseline
+    # the dead handle routes nothing
+    assert h1 not in ev
+
+
+def test_pcm16_output_format():
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=2, chunk_blocks=4,
+                        output_format="pcm16")
+    h = srv.connect(lambda: n["vol"].set_percent_volume(100.0))
+    out = None
+    for _ in range(3):
+        out = np.asarray(srv.render())
+    assert out.dtype == np.int16
+    assert np.abs(out[h.slot].astype(np.int32)).max() > 1000
