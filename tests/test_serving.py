@@ -120,3 +120,27 @@ def test_pcm16_output_format():
         out = np.asarray(srv.render())
     assert out.dtype == np.int16
     assert np.abs(out[h.slot].astype(np.int32)).max() > 1000
+
+
+def test_session_server_on_mesh():
+    """SessionServer over a dp mesh: per-session splices + events work
+    against sharded state (the virtual 8-device mesh)."""
+    import jax
+    from firewheel_tpu.parallel import make_mesh
+
+    ndev = len(jax.devices())
+    if ndev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh({"dp": ndev})
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=ndev, chunk_blocks=4,
+                        mesh=mesh, axis="dp")
+    h = srv.connect(lambda: (n["vol"].set_percent_volume(100.0),
+                             n["sfx"].play()))
+    out = None
+    for _ in range(3):
+        out = np.asarray(srv.render())
+    assert rms(out[h.slot]) > 0.1
+    assert all(rms(out[b]) < 1e-6 for b in range(ndev) if b != h.slot)
+    ev = srv.poll_events()
+    assert h in ev and any(e.name == "finished" for e in ev[h])
