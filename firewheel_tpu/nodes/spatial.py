@@ -8,6 +8,11 @@ in 3d space)" (``DESIGN_DOC.md:21``, unimplemented there).  Signal chain:
 * distance gain: inverse-distance rolloff (``ops/pan.spatial_params``);
 * air absorption: a one-pole lowpass whose cutoff falls with distance
   (20 kHz at the reference distance down to ~1.2 kHz far away);
+* occlusion (``set_occlusion``, 0..1): geometry-driven muffling — the
+  obstructed direct path loses up to ``occlusion_db`` of level and its
+  cutoff glides geometrically toward ``occlusion_cutoff_hz`` (the
+  standard game-engine occlusion model: the game raycasts, the engine
+  shades).  Pure param shaping on the host — zero recompiles;
 * panning: equal-power from the horizontal azimuth.
 
 Gain and pan ride 10 ms smoothers so moving emitters don't zipper.
@@ -97,6 +102,18 @@ class Spatializer3DProcessor(NodeProcessor):
         b = np.float32(
             np.exp(np.float32(-2.0 * np.pi) * np.float32(cutoff) / np.float32(self.sample_rate))
         )
+        # occlusion: attenuate + darken the obstructed direct path; the
+        # cutoff interpolates GEOMETRICALLY toward occlusion_cutoff_hz
+        # (perceptually even), the level drops linearly in dB
+        occ = n._occlusion
+        if occ > 0.0:
+            gain = gain * float(10.0 ** (-n.occlusion_db * occ / 20.0))
+            occ_cut = 20000.0 * (n.occlusion_cutoff_hz / 20000.0) ** occ
+            cutoff = min(cutoff, occ_cut)
+            b = np.float32(
+                np.exp(np.float32(-2.0 * np.pi) * np.float32(cutoff)
+                       / np.float32(self.sample_rate))
+            )
         out = {
             "gain": np.float32(gain * n.volume_gain),
             "pan": np.float32(pan),
@@ -196,6 +213,8 @@ class Spatializer3DNode(AudioNode):
         speed_of_sound: float = 343.0,
         max_distance_m: float = 100.0,
         motion_smooth_secs: float = 0.05,
+        occlusion_db: float = 18.0,
+        occlusion_cutoff_hz: float = 350.0,
     ):
         """``position``: emitter position relative to the listener
         (listener frame: +x right, +y up, −z forward).
@@ -214,6 +233,11 @@ class Spatializer3DNode(AudioNode):
         self.speed_of_sound = max(float(speed_of_sound), 1.0)
         self.max_distance_m = max(float(max_distance_m), 1.0)
         self.motion_smooth_secs = max(float(motion_smooth_secs), 1e-4)
+        self.occlusion_db = max(float(occlusion_db), 0.0)
+        self.occlusion_cutoff_hz = min(
+            max(float(occlusion_cutoff_hz), 20.0), 20000.0
+        )
+        self._occlusion = 0.0
 
     def position(self):
         return self._position
@@ -224,6 +248,16 @@ class Spatializer3DNode(AudioNode):
 
     def set_volume_gain(self, gain: float):
         self.volume_gain = max(float(gain), 0.0)
+
+    def set_occlusion(self, occlusion: float):
+        """Obstruction amount in [0, 1] from the game's geometry query
+        (0 = clear line of sight, 1 = fully occluded).  Live param — the
+        gain change rides the 10 ms smoother, the cutoff applies next
+        block."""
+        self._occlusion = min(max(float(occlusion), 0.0), 1.0)
+
+    def occlusion(self) -> float:
+        return self._occlusion
 
     def info(self) -> AudioNodeInfo:
         return AudioNodeInfo(

@@ -143,3 +143,50 @@ def test_scene_roundtrip_with_doppler():
     assert bool(n2.doppler) is True
     assert float(n2.max_distance_m) == 50.0
     assert abs(float(n2.motion_smooth_secs) - 0.02) < 1e-9
+
+
+class TestOcclusion:
+    """set_occlusion: the obstructed direct path loses level and highs
+    (game-engine occlusion model — the game raycasts, the engine shades)."""
+
+    def _render_noise(self, occlusion):
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(16 * F).astype(np.float32) * 0.25
+        node = Spatializer3DNode((0.0, 0.0, -2.0))
+        node.set_occlusion(occlusion)
+        prog = build_prog(node)
+        return render(prog, node, x), x
+
+    def test_zero_occlusion_is_identity_with_before(self):
+        out0, _ = self._render_noise(0.0)
+        node = Spatializer3DNode((0.0, 0.0, -2.0))  # never touched
+        prog = build_prog(node)
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(16 * F).astype(np.float32) * 0.25
+        ref = render(prog, node, x)
+        np.testing.assert_array_equal(out0, ref)
+
+    def test_full_occlusion_attenuates_and_darkens(self):
+        clear, _ = self._render_noise(0.0)
+        occl, _ = self._render_noise(1.0)
+        # steady-state segment (skip the 10 ms gain ramp)
+        s = slice(4 * F, None)
+        rms_clear = np.sqrt((clear[:, s] ** 2).mean())
+        rms_occl = np.sqrt((occl[:, s] ** 2).mean())
+        # level drop: ≥12 dB (18 dB gain cut minus lowpass interplay)
+        assert rms_occl < rms_clear * 10 ** (-12 / 20)
+        # darker: spectral centroid far lower
+        def centroid(sig):
+            spec = np.abs(np.fft.rfft(sig[0, s]))
+            freqs = np.fft.rfftfreq(sig[0, s].size, 1 / SR)
+            return (spec * freqs).sum() / spec.sum()
+        # one-pole skirt is 6 dB/oct: centroid halves, not vanishes
+        assert centroid(occl) < centroid(clear) * 0.6
+
+    def test_half_occlusion_between(self):
+        clear, _ = self._render_noise(0.0)
+        half, _ = self._render_noise(0.5)
+        occl, _ = self._render_noise(1.0)
+        s = slice(4 * F, None)
+        r = [np.sqrt((o[:, s] ** 2).mean()) for o in (clear, half, occl)]
+        assert r[0] > r[1] > r[2]
