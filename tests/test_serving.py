@@ -144,3 +144,19 @@ def test_session_server_on_mesh():
     assert all(rms(out[b]) < 1e-6 for b in range(ndev) if b != h.slot)
     ev = srv.poll_events()
     assert h in ev and any(e.name == "finished" for e in ev[h])
+
+
+def test_sessions_and_events_on_hybrid_lowering():
+    """The serving control plane + event routing work unchanged on the
+    Pallas-island hybrid lowering (interpret mode on CPU)."""
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=2, chunk_blocks=4,
+                        lowering="hybrid", hybrid_interpret=True, tile=1)
+    h = srv.connect(lambda: (n["vol"].set_percent_volume(100.0),
+                             n["sfx"].play()))
+    out = None
+    for _ in range(2):
+        out = np.asarray(srv.render())
+    assert rms(out[h.slot]) > 0.05
+    ev = srv.poll_events()
+    assert h in ev and any(e.name == "finished" for e in ev[h])
