@@ -61,7 +61,7 @@ def _pct_for_amp(amp: float) -> float:
 
 class _Deck:
     __slots__ = ("sampler", "sampler_id", "vol", "vol_id", "start_sample",
-                 "end_sample", "reader", "gain_db")
+                 "end_sample", "reader", "prev_reader", "gain_db")
 
     def __init__(self, sampler, sampler_id, vol, vol_id):
         self.sampler = sampler
@@ -71,6 +71,7 @@ class _Deck:
         self.start_sample = -1
         self.end_sample = -1  # absolute stream sample the deck goes idle
         self.reader = None
+        self.prev_reader = None
         self.gain_db = 0.0
 
 
@@ -182,6 +183,7 @@ class MusicPlayer:
         at = max(0, int(at))
         d = self.decks[idx]
         d.sampler.set_reader(reader)  # immediate rewind; deck is idle
+        d.prev_reader = d.reader  # event attribution across re-arming
         d.reader = reader
         d.gain_db = float(gain_db)
         amp = float(db_to_gain(np.float32(gain_db)))
@@ -286,16 +288,30 @@ class MusicPlayer:
         at = self._now(now)
         self.update(now=at)  # sync current/tail with the stream clock
         secs = max(float(secs), 1e-3)
-        self._cancel_all_scheduled()
+        self._pending.clear()
         self._loop_reader = None
         sr = self._sr()
         if self._current is not None:
             cur = self.decks[self._current]
+            cur.sampler.cancel_scheduled()
+            cur.vol.cancel_scheduled()
             self._ramp(cur, at, secs,
                        float(db_to_gain(np.float32(cur.gain_db))), 0.0)
             cur.sampler.pause(at_sample=at + int(round(secs * sr)))
             cur.end_sample = at + int(round(secs * sr))
-        idx = 1 - self._current if self._current is not None else 0
+            idx = 1 - self._current
+        else:
+            # after stop(fade) one deck may still be fading — arm the
+            # idle one and LEAVE the fading deck's ramp+pause intact so
+            # its fade completes underneath the incoming track
+            idle = [i for i, d in enumerate(self.decks)
+                    if d.end_sample <= at]
+            idx = idle[0] if idle else min(
+                range(2), key=lambda i: self.decks[i].end_sample
+            )
+        d = self.decks[idx]
+        d.sampler.cancel_scheduled()
+        d.vol.cancel_scheduled()
         self._schedule_track(idx, reader, gain_db, at, fade_in_secs=secs)
         self._current = idx
 
@@ -367,12 +383,26 @@ class MusicPlayer:
     def poll(self, events) -> list:
         """Translate a ``poll_events()`` batch: returns
         ``[("finished", reader), ...]`` for tracks whose deck reported
-        EOF on-device; also runs :meth:`update` when a clock is bound."""
+        EOF on-device; also runs :meth:`update` when a clock is bound.
+
+        Attribution: a finish belongs to the track that most recently
+        ENDED on the deck — when the deck was already re-armed with a
+        follow-on that has not finished yet (queue promotion lands at
+        the same stream time the finish event is generated), the event
+        is attributed to the PREVIOUS reader, not the pending one."""
         out = []
         ids = {d.sampler_id: d for d in self.decks}
+        t = int(self._clock()) if self._clock is not None else None
         for e in events:
             if e.name == "finished" and e.node_id in ids:
-                out.append(("finished", ids[e.node_id].reader))
+                d = ids[e.node_id]
+                stale = (
+                    t is not None
+                    and t < d.end_sample
+                    and d.prev_reader is not None
+                )
+                out.append(("finished",
+                            d.prev_reader if stale else d.reader))
         if self._clock is not None:
             self.update()
         return out

@@ -161,7 +161,12 @@ class SamplerNode(AudioNode):
         to start — SAMPLE-accurate even inside a chunked
         (K-blocks-per-dispatch) stream: the trigger rides the per-block
         param timelines and carries a sub-block offset the kernel applies
-        at the trigger block, so the gunshot fires on its exact sample."""
+        at the trigger block, so the gunshot fires on its exact sample.
+
+        Retriggering a voice that is still playing cuts it to silence
+        for the trigger block's pre-trigger samples (a retrigger IS a
+        cut; overlapping shots belong on separate voices — that is what
+        :class:`~firewheel_tpu.voice_pool.VoicePool` provides)."""
         if at_sample is None:
             self._playing = True
             self._play_seq += 1

@@ -74,14 +74,18 @@ class Spatializer3DProcessor(NodeProcessor):
             self._tau_per_m = np.float32(sample_rate / node.speed_of_sound)
 
     def init_state(self):
-        gain, pan, dist = self._host_spatial()
+        # seed the smoothers at the SAME targets collect_params will
+        # produce (incl. volume_gain and occlusion attenuation) so a
+        # fresh/reset node starts at its configured level instead of
+        # ramping down from the bare distance gain for 10 ms
+        p = self.collect_params()
         st = {
-            "gain": smoother_init(np.float32(gain)),
-            "pan": smoother_init(np.float32(pan)),
+            "gain": smoother_init(np.float32(p["gain"])),
+            "pan": smoother_init(np.float32(p["pan"])),
             "lp": jnp.zeros((), jnp.float32),
         }
         if self._doppler:
-            st["dist"] = smoother_init(np.float32(dist))
+            st["dist"] = smoother_init(np.float32(p["dist"]))
             st["ring"] = jnp.zeros((self._ring_len,), jnp.float32)
         return st
 
@@ -99,9 +103,6 @@ class Spatializer3DProcessor(NodeProcessor):
         gain, pan, dist = self._host_spatial()
         # air absorption: cutoff shrinks with distance
         cutoff = 20000.0 / (1.0 + 0.5 * max(dist - n.ref_distance, 0.0))
-        b = np.float32(
-            np.exp(np.float32(-2.0 * np.pi) * np.float32(cutoff) / np.float32(self.sample_rate))
-        )
         # occlusion: attenuate + darken the obstructed direct path; the
         # cutoff interpolates GEOMETRICALLY toward occlusion_cutoff_hz
         # (perceptually even), the level drops linearly in dB
@@ -110,10 +111,10 @@ class Spatializer3DProcessor(NodeProcessor):
             gain = gain * float(10.0 ** (-n.occlusion_db * occ / 20.0))
             occ_cut = 20000.0 * (n.occlusion_cutoff_hz / 20000.0) ** occ
             cutoff = min(cutoff, occ_cut)
-            b = np.float32(
-                np.exp(np.float32(-2.0 * np.pi) * np.float32(cutoff)
-                       / np.float32(self.sample_rate))
-            )
+        b = np.float32(
+            np.exp(np.float32(-2.0 * np.pi) * np.float32(cutoff)
+                   / np.float32(self.sample_rate))
+        )
         out = {
             "gain": np.float32(gain * n.volume_gain),
             "pan": np.float32(pan),

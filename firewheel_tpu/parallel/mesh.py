@@ -163,10 +163,17 @@ class BatchRenderer:
             sl = slice(jax.process_index() * per, (jax.process_index() + 1) * per)
 
             def lift(x):
-                x = np.asarray(x)
+                shape = np.shape(x)
+                if isinstance(x, jax.Array):
+                    # slice ON DEVICE first: fetching x[sl] moves only
+                    # this process's batch slice to host, not B copies
+                    # of every clip buffer
+                    local = np.asarray(x[sl])
+                else:
+                    local = np.asarray(x)[sl]
                 return jax.make_array_from_process_local_data(
-                    self._batched_sharding, np.ascontiguousarray(x[sl]),
-                    x.shape,
+                    self._batched_sharding, np.ascontiguousarray(local),
+                    shape,
                 )
 
             return jax.tree.map(lift, tree)
@@ -281,20 +288,30 @@ class BatchRenderer:
         ``program.init_state()`` NOW (which reflects the template
         graph's CURRENT node values — pass a saved idle snapshot for
         deterministic resets, as SessionServer does)."""
-        # the reset zeroes the instance's event counters; zero its poll
-        # baselines too, or the next poll_events() would diff 0 against
-        # the previous tenant's totals and wrap into garbage counts
+        # re-baseline the instance's poll counters at the TEMPLATE's
+        # values (0 for fresh init_state; the saved totals for a restored
+        # snapshot) — otherwise the next poll_events() would diff against
+        # the previous tenant's totals and wrap into garbage counts, or
+        # replay a restored snapshot's entire history
+        tmpl = template if template is not None else self.program.init_state()
         per = self.batch // max(jax.process_count(), 1)
         base = jax.process_index() * per if jax.process_count() > 1 else 0
         local = int(index) - base
         if 0 <= local < per:
-            for totals in self._event_totals.values():
-                if local < totals.shape[0]:
-                    totals[local] = 0
-        return self.update_instance(
-            state, index,
-            template if template is not None else self.program.init_state(),
-        )
+            for key, proc in self.program._procs.items():
+                counters = proc.event_counters()
+                st = tmpl.get(key) if counters else None
+                if not st:
+                    continue
+                for name, leaf in counters.items():
+                    totals = self._event_totals.get((key, name))
+                    if totals is None or local >= totals.shape[0]:
+                        continue
+                    if leaf in st:
+                        totals[local] = np.atleast_1d(
+                            np.asarray(st[leaf])
+                        ).astype(np.uint32).reshape(-1)
+        return self.update_instance(state, index, tmpl)
 
     # -- fleet checkpoint/restore ----------------------------------------------
     def save_checkpoint(self, path: str, state, extra_meta: dict | None = None):
@@ -337,6 +354,12 @@ class BatchRenderer:
             raise ValueError(
                 f"sample-rate mismatch: checkpoint {meta.get('sample_rate')} "
                 f"vs program {self.program.sample_rate}"
+            )
+        if meta.get("max_block_frames") != self.program.max_block_frames:
+            raise ValueError(
+                "block-size mismatch: checkpoint "
+                f"{meta.get('max_block_frames')} vs program "
+                f"{self.program.max_block_frames}"
             )
         state = self._lift_local(local)
         # re-baseline event counters at the restored totals so the next

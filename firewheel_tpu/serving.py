@@ -123,11 +123,32 @@ class SessionServer:
         if configure is not None:
             configure()
             params_i = self.program.collect_params()
+            self._reject_scheduled_commands()
         else:
             params_i = self._idle_params
         self._params = self._br.update_instance(
             self._params, slot, params_i
         )
+
+    def _reject_scheduled_commands(self) -> None:
+        """``at_sample=`` scheduling needs per-dispatch timeline
+        consumption (``collect_params(start_sample=...)``), which only the
+        streaming :class:`GraphProcessor` performs — on the snapshot-based
+        serving path such commands would silently never fire (and pile up
+        on the template nodes).  Fail fast instead: issue immediate
+        commands from ``configure`` and call ``handle.update`` at the
+        moment the change should apply (chunk-granular)."""
+        for proc in self.program._procs.values():
+            node = getattr(proc, "_node", None)
+            pending = getattr(node, "_scheduled", None)
+            if pending:
+                pending.clear()
+                raise ValueError(
+                    f"{type(node).__name__}: at_sample= scheduled commands "
+                    "are not supported on the SessionServer/BatchRenderer "
+                    "path (no per-dispatch timeline consumption); use "
+                    "immediate commands in configure()/update()"
+                )
 
     def connect(
         self, configure: Callable[[], None] | None = None
@@ -139,10 +160,16 @@ class SessionServer:
             return None
         slot = self._free.pop()
         self._gens[slot] += 1
-        self._state = self._br.reset_instance(
-            self._state, slot, template=self._idle_state
-        )
-        self._splice(slot, configure)
+        try:
+            self._state = self._br.reset_instance(
+                self._state, slot, template=self._idle_state
+            )
+            self._splice(slot, configure)
+        except Exception:
+            # a raising configure() must not leak the slot
+            self._gens[slot] += 1
+            self._free.append(slot)
+            raise
         h = SessionHandle(self, slot, self._gens[slot])
         self._live[slot] = h
         return h

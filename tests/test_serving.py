@@ -160,3 +160,26 @@ def test_sessions_and_events_on_hybrid_lowering():
     assert rms(out[h.slot]) > 0.05
     ev = srv.poll_events()
     assert h in ev and any(e.name == "finished" for e in ev[h])
+
+
+def test_connect_rejects_scheduled_commands_and_keeps_slot():
+    """at_sample= scheduling needs per-dispatch timeline consumption the
+    snapshot-based serving path doesn't perform — fail fast, don't
+    silently drop the command; and a raising configure() must not leak
+    its slot."""
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=2, chunk_blocks=4)
+    with pytest.raises(ValueError, match="at_sample"):
+        srv.connect(lambda: n["sfx"].play(at_sample=480))
+    assert srv.occupancy == 0
+    assert n["sfx"]._scheduled == []  # cleared, not left to pile up
+
+    def boom():
+        raise RuntimeError("game-side bug")
+
+    with pytest.raises(RuntimeError):
+        srv.connect(boom)
+    assert srv.occupancy == 0
+    # both slots still usable
+    assert srv.connect() is not None and srv.connect() is not None
+    assert srv.connect() is None
