@@ -133,6 +133,10 @@ class MusicPlayer:
         self._pending: list[tuple] = []  # (reader, gain_db, crossfade_secs)
         self._loop_reader = None
         self._loop_gain_db = 0.0
+        # musical grid for quantized transitions (set_tempo)
+        self._bpm = 0.0
+        self._beats_per_bar = 4
+        self._grid_origin = 0  # stream sample of beat/bar zero
 
     # -- internals -------------------------------------------------------------
     def _now(self, now) -> int:
@@ -196,6 +200,28 @@ class MusicPlayer:
         d.start_sample = at
         d.end_sample = at + self._stream_len(reader)
         self._tail = idx
+
+    # -- musical grid ----------------------------------------------------------
+    def set_tempo(self, bpm: float, beats_per_bar: int = 4,
+                  origin_sample: int = 0):
+        """Define the musical grid quantized transitions snap to.
+        ``origin_sample``: the stream sample of beat zero (usually the
+        current track's start)."""
+        self._bpm = max(float(bpm), 0.0)
+        self._beats_per_bar = max(int(beats_per_bar), 1)
+        self._grid_origin = int(origin_sample)
+
+    def _quantize(self, at: int, quantize) -> int:
+        """Next grid boundary at/after ``at``: ``None`` (as-is),
+        ``"beat"``, or ``"bar"`` (requires :meth:`set_tempo`)."""
+        if not quantize:
+            return at
+        assert self._bpm > 0, "set_tempo() before quantized transitions"
+        step = self._sr() * 60.0 / self._bpm
+        if quantize == "bar":
+            step *= self._beats_per_bar
+        n = math.ceil(max(0.0, (at - self._grid_origin)) / step)
+        return self._grid_origin + int(round(n * step))
 
     # -- transport -------------------------------------------------------------
     def play(self, reader, *, gain_db: float = 0.0, now: int | None = None,
@@ -282,10 +308,14 @@ class MusicPlayer:
                              fade_in_secs=fade)
 
     def crossfade_to(self, reader, secs: float, *, gain_db: float = 0.0,
-                     now: int | None = None):
-        """Transition to ``reader`` NOW over ``secs`` of equal-power
-        crossfade."""
-        at = self._now(now)
+                     now: int | None = None, quantize=None):
+        """Transition to ``reader`` over ``secs`` of equal-power
+        crossfade — immediately, or ``quantize="beat"``/``"bar"`` snaps
+        the transition to the next grid boundary (interactive-music
+        quantized transitions; :meth:`set_tempo` defines the grid): the
+        incoming track starts ON the grid point and the crossfade runs
+        from it."""
+        at = self._quantize(self._now(now), quantize)
         self.update(now=at)  # sync current/tail with the stream clock
         secs = max(float(secs), 1e-3)
         self._pending.clear()

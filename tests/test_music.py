@@ -163,3 +163,31 @@ def test_stop_with_fade_silences():
     # well after the fade: silence (smoother tail decays below -80 dB)
     assert np.abs(L[int(0.22 * SR):]).max() < 1e-4
     assert player.current_reader() is None
+
+
+def test_quantized_crossfade_lands_on_bar():
+    """crossfade_to(quantize="bar") snaps the incoming track's start to
+    the next bar boundary of the set_tempo grid — sample-exact."""
+    cx, player, sink = build()
+    a = const_reader(0.5, SR)
+    b = const_reader(0.25, SR)
+    player.play(a)
+    # 120 bpm, 4/4: bar = 2.0 s of beats... at 48k: beat 24000, bar 96000
+    player.set_tempo(120.0, beats_per_bar=4, origin_sample=0)
+    cx.render_offline(0.3)
+    player.crossfade_to(b, 0.05, quantize="beat")  # next beat: 24000
+    cx.render_offline(0.4)
+    cx.deactivate()
+    assert player.decks[player._current].start_sample == 24000
+    L = sink.audio(2)[0]
+    # before the beat: only a; after beat + fade: b level plus a's tail
+    assert abs(L[20000] - 0.5) < 1e-3
+    assert abs(np.median(np.abs(L[30000:32000])) - 0.25) < 0.02
+
+
+def test_quantize_requires_tempo():
+    cx, player, sink = build()
+    player.play(const_reader(0.5, SR))
+    with pytest.raises(AssertionError, match="set_tempo"):
+        player.crossfade_to(const_reader(0.25, SR), 0.1, quantize="bar")
+    cx.deactivate()
