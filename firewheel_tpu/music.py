@@ -42,6 +42,7 @@ from typing import Optional
 
 import numpy as np
 
+from .nodes.sampler import SamplerNode
 from .nodes.streaming_sampler import StreamingSamplerNode
 from .nodes.sum import SumNode
 from .nodes.volume import VolumeNode
@@ -115,7 +116,8 @@ class MusicPlayer:
         else:
             dest_node, dest_ports = dest
         n_ch = len(dest_ports)
-        self.sum_id = graph.add_node(2 * n_ch, n_ch, SumNode())
+        # 2 streaming decks + 1 stinger sampler, summed
+        self.sum_id = graph.add_node(3 * n_ch, n_ch, SumNode())
         self.decks: list[_Deck] = []
         for i in range(2):
             s = StreamingSamplerNode(window_secs=window_secs)
@@ -126,6 +128,13 @@ class MusicPlayer:
                 graph.connect(sid, ch, vid, ch)
                 graph.connect(vid, ch, self.sum_id, n_ch * i + ch)
             self.decks.append(_Deck(s, sid, v, vid))
+        #: stinger lane: an in-memory sampler for short musical overlays
+        #: (clips are live params — same-shape swaps are free)
+        self._stinger = SamplerNode(100.0)
+        stid = graph.add_node(0, n_ch, self._stinger)
+        self.stinger_id = stid
+        for ch in range(n_ch):
+            graph.connect(stid, ch, self.sum_id, 2 * n_ch + ch)
         for j, port in enumerate(dest_ports):
             graph.connect(self.sum_id, j, dest_node, port)
         self._current: Optional[int] = None  # audibly-playing deck
@@ -222,6 +231,24 @@ class MusicPlayer:
             step *= self._beats_per_bar
         n = math.ceil(max(0.0, (at - self._grid_origin)) / step)
         return self._grid_origin + int(round(n * step))
+
+    def stinger(self, clip, *, gain_db: float = 0.0, quantize=None,
+                now: int | None = None):
+        """Fire a short musical overlay ON TOP of the current music —
+        optionally ``quantize="beat"``/``"bar"`` so it lands on the grid
+        (the middleware 'stinger' feature).  ``clip`` is a
+        :class:`SampleResource`; same-shape clips swap without retraces
+        (pad a stinger set to one length for zero-recompile switching).
+        Returns the absolute stream sample the stinger fires at."""
+        at = self._quantize(self._now(now), quantize)
+        st = self._stinger
+        st.cancel_scheduled()
+        st.set_sample(clip)
+        st.set_percent_volume(
+            _pct_for_amp(float(db_to_gain(np.float32(gain_db))))
+        )
+        st.play(at_sample=at)
+        return at
 
     # -- transport -------------------------------------------------------------
     def play(self, reader, *, gain_db: float = 0.0, now: int | None = None,

@@ -191,3 +191,24 @@ def test_quantize_requires_tempo():
     with pytest.raises(AssertionError, match="set_tempo"):
         player.crossfade_to(const_reader(0.25, SR), 0.1, quantize="bar")
     cx.deactivate()
+
+
+def test_stinger_fires_on_the_bar_over_music():
+    """stinger(): a one-shot overlay lands on the quantized grid point
+    ON TOP of the playing bed."""
+    from firewheel_tpu.core.sample_resource import SampleResource
+
+    cx, player, sink = build()
+    player.play(const_reader(0.3, SR))
+    player.set_tempo(150.0, beats_per_bar=2, origin_sample=0)  # bar 38400
+    clip = SampleResource(np.full((2, 512), 0.4, np.float32), sample_rate=SR)
+    cx.render_offline(0.2)
+    at = player.stinger(clip, quantize="bar")
+    assert at == 38400
+    cx.render_offline(0.8)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    # before the bar: bed alone; on the bar: bed + stinger; after: bed
+    assert abs(L[at - 1000] - 0.3) < 1e-3
+    assert abs(L[at + 100] - 0.7) < 1e-2
+    assert abs(L[at + 1000] - 0.3) < 1e-2
