@@ -250,6 +250,17 @@ class MusicPlayer:
         st.play(at_sample=at)
         return at
 
+    def _mark_cut(self, d: _Deck, at: int, end: int | None = None):
+        """Bookkeeping after a deck's playback was cut at ``at``: a deck
+        whose armed FUTURE start was cancelled never played (start -1,
+        idle at ``at``); a playing deck goes idle at ``end`` (default
+        ``at``)."""
+        if d.start_sample > at:
+            d.start_sample = -1
+            d.end_sample = at
+        else:
+            d.end_sample = at if end is None else end
+
     # -- transport -------------------------------------------------------------
     def play(self, reader, *, gain_db: float = 0.0, now: int | None = None,
              fade_in_secs: float = 0.0, loop: bool = False):
@@ -268,7 +279,7 @@ class MusicPlayer:
             cur.sampler.cancel_scheduled()
             cur.vol.cancel_scheduled()
             cur.sampler.pause(at_sample=at)
-            cur.end_sample = at
+            self._mark_cut(cur, at)
             idx = 1 - self._current
         else:
             # prefer a deck already idle at `at`: a stop(fade) leaves one
@@ -355,7 +366,7 @@ class MusicPlayer:
             self._ramp(cur, at, secs,
                        float(db_to_gain(np.float32(cur.gain_db))), 0.0)
             cur.sampler.pause(at_sample=at + int(round(secs * sr)))
-            cur.end_sample = at + int(round(secs * sr))
+            self._mark_cut(cur, at, end=at + int(round(secs * sr)))
             idx = 1 - self._current
         else:
             # after stop(fade) one deck may still be fading — arm the
@@ -384,19 +395,20 @@ class MusicPlayer:
         cur = self.decks[self._current]
         other = self.decks[1 - self._current]
         other.sampler.pause(at_sample=at)  # cancel wiped its commands
-        if other.end_sample >= 0:
-            other.end_sample = min(other.end_sample, at)
-        else:
-            other.end_sample = at
+        self._mark_cut(
+            other, at,
+            end=min(other.end_sample, at) if other.end_sample >= 0 else at,
+        )
         if fade_secs > 0:
             self._ramp(cur, at, fade_secs,
                        float(db_to_gain(np.float32(cur.gain_db))), 0.0)
             fade_end = at + int(round(fade_secs * self._sr()))
             cur.sampler.pause(at_sample=fade_end)
-            cur.end_sample = fade_end  # audible until the fade completes
+            # audible until the fade completes (unless it never started)
+            self._mark_cut(cur, at, end=fade_end)
         else:
             cur.sampler.pause(at_sample=at)
-            cur.end_sample = at
+            self._mark_cut(cur, at)
         self._current = None
         self._tail = None
 
