@@ -183,3 +183,53 @@ def test_connect_rejects_scheduled_commands_and_keeps_slot():
     # both slots still usable
     assert srv.connect() is not None and srv.connect() is not None
     assert srv.connect() is None
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_session_lifecycle_fuzz(seed):
+    """Random connect/update/disconnect/reset/render/poll interleavings:
+    no exceptions, slot accounting exact, vacant slots silent, output
+    finite."""
+    rng = np.random.default_rng(seed)
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=4, chunk_blocks=4)
+    live = []
+
+    def op_connect():
+        h = srv.connect(lambda: (
+            n["vol"].set_percent_volume(float(rng.choice([0.0, 50.0, 100.0]))),
+            n["sfx"].play() if rng.integers(2) else n["sfx"].pause(),
+        ))
+        if h is not None:
+            live.append(h)
+
+    def op_disconnect():
+        if live:
+            live.pop(int(rng.integers(len(live)))).disconnect()
+
+    def op_update():
+        if live:
+            h = live[int(rng.integers(len(live)))]
+            h.update(lambda: n["vol"].set_percent_volume(
+                float(rng.choice([0.0, 100.0]))))
+
+    def op_reset():
+        if live:
+            live[int(rng.integers(len(live)))].reset()
+
+    ops = [op_connect, op_connect, op_disconnect, op_update, op_reset]
+    out = None
+    for _ in range(30):
+        ops[int(rng.integers(len(ops)))]()
+        out = np.asarray(srv.render())
+        ev = srv.poll_events()
+        assert all(h.alive for h in ev)  # events only for live sessions
+        assert srv.occupancy == len(live)
+        assert np.isfinite(out).all()
+    # all handles still consistent
+    for h in live:
+        assert h.alive
+    dead = set(range(srv.capacity)) - {h.slot for h in live}
+    # vacant slots render the idle (muted) template
+    for b in dead:
+        assert np.abs(out[b]).max() < 1e-6
