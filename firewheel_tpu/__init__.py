@@ -105,6 +105,7 @@ from .backend import (
 from .voice_pool import VoiceHandle, VoicePool
 from .music import MusicPlayer
 from .serving import SessionHandle, SessionServer
+from .scene3d import AudioListener, SpatialScene
 from . import nodes, utils
 
 __version__ = "0.1.0"
@@ -115,6 +116,8 @@ __all__ = [
     "MusicPlayer",
     "SessionServer",
     "SessionHandle",
+    "AudioListener",
+    "SpatialScene",
     "AudioNodeInfo",
     "BlockInfo",
     "NodeActivationError",
