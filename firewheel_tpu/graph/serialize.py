@@ -76,6 +76,10 @@ _SCALAR_ATTRS: dict[str, list[str]] = {
     ],
     "LimiterNode": ["_ceiling_db", "_lookahead_secs", "_release_secs"],
     "DuckerNode": ["_threshold_db", "_duck_db", "_attack_secs", "_release_secs"],
+    "GateNode": [
+        "_threshold_db", "_range_db", "_attack_secs", "_release_secs",
+        "_hold_secs", "_hysteresis_db",
+    ],
     "NoiseNode": ["_color", "_gain_db", "_enabled", "_seed"],
     "LFONode": ["_shape", "_freq_hz", "_depth", "_offset"],
     "SamplerNode": [

@@ -21,7 +21,7 @@ from .spatial import Spatializer3DNode
 from .binaural import BinauralSpatializerNode
 from .meter import DbMeterNode
 from .streaming_sampler import CallbackStreamReader, StreamingSamplerNode
-from .dynamics import CompressorNode, DuckerNode, LimiterNode
+from .dynamics import CompressorNode, DuckerNode, GateNode, LimiterNode
 from .generators import LFONode, LFOShape, NoiseNode
 from .loudness import IntegratedLoudness, LoudnessMeterNode
 from .waveshaper import WaveshaperNode
@@ -48,6 +48,7 @@ __all__ = [
     "StreamingSamplerNode",
     "CompressorNode",
     "DuckerNode",
+    "GateNode",
     "LimiterNode",
     "LoudnessMeterNode",
     "IntegratedLoudness",

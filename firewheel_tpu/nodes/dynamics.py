@@ -32,6 +32,8 @@ __all__ = [
     "CompressorProcessor",
     "DuckerNode",
     "DuckerProcessor",
+    "GateNode",
+    "GateProcessor",
     "LimiterNode",
     "LimiterProcessor",
 ]
@@ -244,6 +246,130 @@ class LimiterNode(AudioNode):
                 f"{num_inputs} in, {num_outputs} out"
             )
         return LimiterProcessor(
+            self, sample_rate, max_block_frames, num_inputs, num_outputs
+        )
+
+
+class GateProcessor(NodeProcessor):
+    def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
+        super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
+        self._node = node
+
+    def group_key(self):
+        return ()  # all variation rides in params
+
+    def init_state(self):
+        return {
+            # hysteresis latch: 1.0 while the gate is open
+            "open": jnp.zeros((), jnp.float32),
+            # hold countdown in samples (float — integer arithmetic inside
+            # scan bodies pessimizes the TPU loop, see CLAUDE.md)
+            "hold": jnp.zeros((), jnp.float32),
+            # smoothed gain; starts fully closed
+            "gain": jnp.zeros((), jnp.float32),
+        }
+
+    def collect_params(self):
+        n = self._node
+        close_db = n._threshold_db - max(n._hysteresis_db, 0.0)
+        return {
+            "open_lin": np.float32(db_to_gain(np.float32(n._threshold_db))),
+            "close_lin": np.float32(db_to_gain(np.float32(close_db))),
+            "floor": np.float32(db_to_gain(np.float32(min(n._range_db, 0.0)))),
+            "att_b": np.float32(_coef(n._attack_secs, self.sample_rate)),
+            "rel_b": np.float32(_coef(n._release_secs, self.sample_rate)),
+            "hold_n": np.float32(max(n._hold_secs, 0.0) * self.sample_rate),
+        }
+
+    def kernel(self, params, state, inputs, in_mask, info):
+        # channel-linked instantaneous detector: loudest channel drives the
+        # latch; hysteresis + hold prevent chatter at the threshold
+        level = jnp.max(jnp.abs(inputs), axis=0)  # [F]
+
+        def step(carry, lvl):
+            opn, hold, g = carry
+            above = lvl >= params["open_lin"]
+            below = lvl < params["close_lin"]
+            expired = hold <= 0.0
+            opn = jnp.where(above, 1.0, jnp.where(below & expired, 0.0, opn))
+            hold = jnp.where(
+                above, params["hold_n"], jnp.maximum(hold - 1.0, 0.0)
+            )
+            target = opn + (1.0 - opn) * params["floor"]
+            b = jnp.where(target > g, params["att_b"], params["rel_b"])
+            g = b * g + (1.0 - b) * target
+            return (opn, hold, g), g
+
+        (opn, hold, g_last), gains = jax.lax.scan(
+            step, (state["open"], state["hold"], state["gain"]), level
+        )
+        y = inputs * gains[None, :]
+        out_mask = in_mask  # gain never unsilences a silent input
+        y = gate(y, out_mask)
+        return y, {"open": opn, "hold": hold, "gain": g_last}, out_mask
+
+
+class GateNode(AudioNode):
+    """Noise gate (channel-linked, hysteresis + hold).
+
+    Opens when the loudest channel's instantaneous level crosses
+    ``threshold_db``; closes — attenuating by ``range_db`` — only after the
+    level has stayed below ``threshold_db - hysteresis_db`` for
+    ``hold_secs``.  The gain ramps open over ``attack_secs`` and closed over
+    ``release_secs`` (one-pole each), so the gate never clicks.
+
+    Beyond the reference's shipped nodes but inside its effect-node design
+    scope (``DESIGN_DOC.md:11-28``) — the standard companion to the bus
+    compressor for keying out room noise / bleed on voice chat and SFX
+    stems.
+    """
+
+    debug_name = "gate"
+
+    def __init__(
+        self,
+        threshold_db: float = -50.0,
+        range_db: float = -80.0,
+        attack_secs: float = 0.001,
+        release_secs: float = 0.1,
+        hold_secs: float = 0.05,
+        hysteresis_db: float = 6.0,
+    ):
+        self._threshold_db = float(threshold_db)
+        self._range_db = min(float(range_db), 0.0)
+        self._attack_secs = float(attack_secs)
+        self._release_secs = float(release_secs)
+        self._hold_secs = max(float(hold_secs), 0.0)
+        self._hysteresis_db = max(float(hysteresis_db), 0.0)
+
+    def set_threshold_db(self, v: float):
+        self._threshold_db = float(v)
+
+    def set_range_db(self, v: float):
+        self._range_db = min(float(v), 0.0)
+
+    def set_attack_secs(self, v: float):
+        self._attack_secs = float(v)
+
+    def set_release_secs(self, v: float):
+        self._release_secs = float(v)
+
+    def set_hold_secs(self, v: float):
+        self._hold_secs = max(float(v), 0.0)
+
+    def set_hysteresis_db(self, v: float):
+        self._hysteresis_db = max(float(v), 0.0)
+
+    def info(self) -> AudioNodeInfo:
+        return AudioNodeInfo(1, MAX_PORTS, 1, MAX_PORTS)
+
+    def activate(self, sample_rate, max_block_frames, num_inputs, num_outputs):
+        if num_inputs != num_outputs:
+            raise NodeActivationError(
+                "GateNode requires num_inputs == num_outputs; got "
+                f"{num_inputs} in, {num_outputs} out"
+            )
+        return GateProcessor(
             self, sample_rate, max_block_frames, num_inputs, num_outputs
         )
 

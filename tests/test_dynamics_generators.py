@@ -217,3 +217,131 @@ class TestLFO:
         node = LFONode(LFOShape.SQUARE, freq_hz=10.0)
         y = run_generator(node, 375)[0]
         assert abs(np.mean(y > 0) - 0.5) < 0.02
+
+
+# -- gate ----------------------------------------------------------------------
+
+def golden_gate(x, open_lin, close_lin, floor, att_b, rel_b, hold_n):
+    """Scalar float64 reference of the channel-linked hysteresis+hold gate."""
+    ch, n = x.shape
+    opn, hold, g = 0.0, 0.0, 0.0
+    y = np.zeros_like(x, dtype=np.float64)
+    for t in range(n):
+        lvl = np.max(np.abs(x[:, t]))
+        above = lvl >= open_lin
+        below = lvl < close_lin
+        expired = hold <= 0.0
+        if above:
+            opn = 1.0
+        elif below and expired:
+            opn = 0.0
+        hold = hold_n if above else max(hold - 1.0, 0.0)
+        target = opn + (1.0 - opn) * floor
+        b = att_b if target > g else rel_b
+        g = b * g + (1.0 - b) * target
+        y[:, t] = x[:, t] * g
+    return y
+
+
+def gate_test_signal(n=4096, seed=7):
+    """Quiet noise | loud burst | quiet noise, levels far from thresholds."""
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((2, n)) * 1e-4).astype(np.float32)  # ~-80 dB
+    x[:, n // 4 : n // 2] += (
+        0.5 * np.sin(2 * np.pi * 440 / SR * np.arange(n // 4))
+    ).astype(np.float32)
+    return x
+
+
+class TestGate:
+    def test_matches_golden(self):
+        from firewheel_tpu.nodes import GateNode
+
+        node = GateNode(
+            threshold_db=-40.0,
+            range_db=-60.0,
+            attack_secs=0.002,
+            release_secs=0.05,
+            hold_secs=0.01,
+            hysteresis_db=6.0,
+        )
+        x = gate_test_signal()
+        got, proc, _ = run_node(node, x)
+        p = {k: float(v) for k, v in proc.collect_params().items()}
+        ref = golden_gate(
+            x.astype(np.float64),
+            p["open_lin"], p["close_lin"], p["floor"],
+            p["att_b"], p["rel_b"], p["hold_n"],
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_noise_gated_burst_passes(self):
+        from firewheel_tpu.nodes import GateNode
+
+        # hold must exceed the burst sine's half-period (440 Hz -> ~1.1 ms)
+        # or the detector's zero crossings re-close the gate every cycle
+        node = GateNode(threshold_db=-40.0, range_db=-80.0,
+                        attack_secs=0.0005, release_secs=0.002,
+                        hold_secs=0.005)
+        x = gate_test_signal()
+        y, _, _ = run_node(node, x)
+        n = x.shape[-1]
+        # leading quiet region (gate closed from init): ~-80 dB attenuation
+        lead = slice(0, n // 4)
+        assert np.abs(y[:, lead]).max() <= np.abs(x[:, lead]).max() * 2e-4
+        # middle of the burst (attack settled): essentially untouched
+        mid = slice(n // 4 + 512, n // 2)
+        np.testing.assert_allclose(y[:, mid], x[:, mid], atol=1e-4)
+        # tail long after release: closed again
+        assert np.abs(y[:, -256:]).max() <= np.abs(x[:, -256:]).max() * 2e-4
+
+    def test_hold_and_hysteresis_keep_open(self):
+        from firewheel_tpu.nodes import GateNode
+
+        # level dips to -44 dB — below the -40 open threshold but above the
+        # -52 close threshold — so the gate must stay open through the dip
+        node = GateNode(threshold_db=-40.0, range_db=-80.0,
+                        attack_secs=0.0005, release_secs=0.005,
+                        hold_secs=0.0, hysteresis_db=12.0)
+        n = 2048
+        t = np.arange(n)
+        env = np.where((t >= 512) & (t < 1024), 10 ** (-44 / 20), 0.5)
+        x = np.repeat(
+            (env * np.sign(np.sin(2 * np.pi * 997 / SR * t)))[None, :].astype(
+                np.float32
+            ),
+            2, axis=0,
+        )
+        y, _, _ = run_node(node, x)
+        dip = slice(600, 1000)
+        np.testing.assert_allclose(y[:, dip], x[:, dip], atol=1e-5)
+
+    def test_chunk_invariance(self):
+        from firewheel_tpu.core.node import BlockInfo
+        from firewheel_tpu.nodes import GateNode
+
+        x = gate_test_signal(n=2048)
+        outs = []
+        for frames in (64, 256):
+            node = GateNode(threshold_db=-40.0, hold_secs=0.003)
+            proc = node.activate(SR, frames, 2, 2)
+            state = proc.init_state()
+            chunks = []
+            for i in range(0, x.shape[-1], frames):
+                p = proc.collect_params()
+                out, state, _ = proc.kernel(
+                    p, state, jnp.asarray(x[:, i : i + frames]),
+                    jnp.zeros((2,), bool), BlockInfo.make(stream_sample=i),
+                )
+                chunks.append(np.asarray(out))
+            outs.append(np.concatenate(chunks, axis=1))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-7)
+
+    def test_contract(self):
+        from firewheel_tpu.nodes import GateNode
+        from firewheel_tpu.testing import validate_node
+
+        report = validate_node(GateNode(), 2, 2)  # raises on contract breach
+        for check in ("eager", "jit", "scan", "vmap", "partial_block"):
+            assert report[check] == "ok", report
+        assert report["supports_megakernel"].startswith("declared"), report

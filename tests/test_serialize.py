@@ -30,6 +30,7 @@ from firewheel_tpu.nodes import (
     FilterNode,
     FilterType,
     FirFilterNode,
+    GateNode,
     HardClipNode,
     LFONode,
     LimiterNode,
@@ -84,6 +85,9 @@ def kitchen_sink():
     ir = (RNG.standard_normal((2, 600)) * 0.1).astype(np.float32)
     rev = g.add_node(2, 2, ConvolutionReverbNode(ir, wet=0.2, method="direct"))
     comp = g.add_node(2, 2, CompressorNode(threshold_db=-20.0, ratio=3.0))
+    gaten = g.add_node(
+        2, 2, GateNode(threshold_db=-55.0, range_db=-70.0, hold_secs=0.02)
+    )
     lim = g.add_node(2, 2, LimiterNode(ceiling_db=-2.0))
     clipn = g.add_node(2, 2, HardClipNode(-0.5))
     meter = g.add_node(2, 2, DbMeterNode())
@@ -126,7 +130,8 @@ def kitchen_sink():
         g.connect(dc, c, flanger, c)
         g.connect(flanger, c, rev, c)
         g.connect(rev, c, comp, c)
-        g.connect(comp, c, lim, c)
+        g.connect(comp, c, gaten, c)
+        g.connect(gaten, c, lim, c)
         g.connect(lim, c, clipn, c)
         g.connect(clipn, c, meter, c)
         g.connect(meter, c, loud, c)
