@@ -47,6 +47,7 @@ from firewheel_tpu.nodes import (
     DbMeterNode,
     EQBand,
     FilterType,
+    GateNode,
     HardClipNode,
     ModDelayNode,
     ParametricEQNode,
@@ -73,6 +74,7 @@ FX_PALETTE = {
     "flanger": lambda: ModDelayNode.flanger(feedback=0.6),
     "tremolo": lambda: TremoloNode(rate_hz=5.0, depth=0.8),
     "waveshaper": lambda: WaveshaperNode("soft", drive_db=12.0, mix=0.7),
+    "gate": lambda: GateNode(threshold_db=-45.0, hold_secs=0.1),
 }
 
 
@@ -343,6 +345,7 @@ PAGE = """<!DOCTYPE html>
       <option value="none">none</option><option value="eq">eq</option>
       <option value="chorus">chorus</option><option value="flanger">flanger</option>
       <option value="tremolo">tremolo</option><option value="waveshaper">waveshaper</option>
+      <option value="gate">gate</option>
     </select>
   </div>
   <div id="voices"></div>
