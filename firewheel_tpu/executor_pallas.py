@@ -80,7 +80,13 @@ __all__ = [
 # (reverb, FIR, binaural), gather samplers, and the round-3
 # verified-on-chip failures (mod-delay: batched take_along_axis becomes
 # a 3-D gather, "Only 2D gather is supported"; pitch shift: ring-buffer
-# write is a scatter, "Unimplemented primitive ... scatter").
+# write is a scatter, "Unimplemented primitive ... scatter"; noise:
+# threefry seeding rejects the tile-vmapped uint32 seed).  Mosaic also
+# rejects ``lax.scan`` with extensive outputs (per-step ys) — kernels
+# that emit per-sample recurrences (dynamics, pink noise) ride
+# ``ops.dynamics.sample_scan``, which re-emits the loop as iota-masked
+# ``fori_loop`` writes under ``core.trace_mode.MOSAIC`` (verified
+# on-chip: compressor→gate→limiter chain at 7e-9 parity vs XLA).
 
 
 def supports_megakernel(program: ScheduleProgram) -> bool:

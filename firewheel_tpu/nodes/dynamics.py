@@ -25,7 +25,12 @@ from ..core.node import (
     MAX_PORTS,
 )
 from ..core.units import db_to_gain, gain_to_db
-from ..ops.dynamics import compressor_gain_db, envelope_follow, sliding_max
+from ..ops.dynamics import (
+    compressor_gain_db,
+    envelope_follow,
+    sample_scan,
+    sliding_max,
+)
 
 __all__ = [
     "CompressorNode",
@@ -189,7 +194,7 @@ class LimiterProcessor(NodeProcessor):
             env = jnp.minimum(g, params["rel_b"] * env + (1.0 - params["rel_b"]) * g)
             return env, env
 
-        env_last, gain = jax.lax.scan(step, state["env"], need)
+        env_last, gain = sample_scan(step, state["env"], need)
 
         delayed = jnp.concatenate([state["delay"], inputs], axis=-1)
         y = delayed[:, :frames] * gain[None, :]
@@ -300,7 +305,7 @@ class GateProcessor(NodeProcessor):
             g = b * g + (1.0 - b) * target
             return (opn, hold, g), g
 
-        (opn, hold, g_last), gains = jax.lax.scan(
+        (opn, hold, g_last), gains = sample_scan(
             step, (state["open"], state["hold"], state["gain"]), level
         )
         y = inputs * gains[None, :]

@@ -30,6 +30,7 @@ from ..core.node import (
     MAX_PORTS,
 )
 from ..core.units import db_to_gain
+from ..ops.dynamics import sample_scan
 from .beep_test import phase_inc_fixed
 
 __all__ = ["NoiseNode", "NoiseProcessor", "LFONode", "LFOProcessor"]
@@ -43,6 +44,11 @@ _SEED_COUNTER = _itertools.count(1)
 
 
 class NoiseProcessor(NodeProcessor):
+    # threefry key seeding does not batch under the megakernel's tile vmap
+    # (PRNGKey receives the uint32 tile vector — probed on-chip, round 3);
+    # noise rides XLA islands in the hybrid renderer instead
+    supports_megakernel = False
+
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
@@ -97,10 +103,7 @@ class NoiseProcessor(NodeProcessor):
             y = (b0 + b1 + b2 + w * 0.1848) * 0.25
             return jnp.stack([b0, b1, b2], axis=-1), y
 
-        pink_state, pink = jax.lax.scan(
-            pink_step, state["pink"], jnp.moveaxis(white, -1, 0)
-        )
-        pink = jnp.moveaxis(pink, 0, -1)
+        pink_state, pink = sample_scan(pink_step, state["pink"], white)
 
         noise = pink * params["gain"]
         y = gate(noise, ~params["enabled"])

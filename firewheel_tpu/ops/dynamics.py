@@ -16,13 +16,54 @@ through a compressor/limiter bus).  TPU shapes:
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
+    "sample_scan",
     "envelope_follow",
     "compressor_gain_db",
     "sliding_max",
 ]
+
+
+def sample_scan(step, carry, xs):
+    """Per-sample recurrence along the last axis with per-step emissions.
+
+    ``step(carry, x) -> (carry', y)`` consumes one sample ``x = xs[..., i]``
+    and emits ``y`` shaped/dtyped like ``xs[..., 0]``.  Returns
+    ``(carry_last, ys)`` with ``ys.shape == xs.shape``.
+
+    Two semantically identical emissions (bit-exact, pinned in
+    tests/test_dsp_ops.py):
+
+    * XLA path: ``lax.scan`` with native extensive outputs;
+    * Mosaic path (``core.trace_mode.MOSAIC``): the Mosaic scan lowering
+      rejects scans that EMIT per-step outputs (``_scan_lowering_rule:
+      if num_extensive: raise NotImplementedError`` — verified on-chip,
+      round 3), so the recurrence runs as a ``fori_loop`` whose body
+      reads sample ``i`` and writes ``y`` back with iota-masked selects —
+      pure elementwise ops, which Mosaic lowers.  Same O(n) vector-op
+      count either way.
+    """
+    from ..core import trace_mode
+
+    if not trace_mode.MOSAIC:
+        carry_last, ys = jax.lax.scan(step, carry, jnp.moveaxis(xs, -1, 0))
+        return carry_last, jnp.moveaxis(ys, 0, -1)
+
+    n = xs.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, xs.shape, xs.ndim - 1)
+
+    def body(i, val):
+        c, out = val
+        mask = iota == i
+        x = jnp.sum(jnp.where(mask, xs, 0.0), axis=-1)  # exact: one lane
+        c, y = step(c, x)
+        out = jnp.where(mask, jnp.asarray(y)[..., None], out)
+        return c, out
+
+    return jax.lax.fori_loop(0, n, body, (carry, jnp.zeros_like(xs)))
 
 
 def envelope_follow(level, env0, attack_b, release_b):
@@ -41,8 +82,8 @@ def envelope_follow(level, env0, attack_b, release_b):
         env = b * env + (1.0 - b) * x
         return env, env
 
-    env_last, env = jax.lax.scan(step, env0, jnp.moveaxis(level, -1, 0))
-    return jnp.moveaxis(env, 0, -1), env_last
+    env_last, env = sample_scan(step, env0, level)
+    return env, env_last
 
 
 def compressor_gain_db(level_db, threshold_db, ratio, knee_db):
@@ -71,9 +112,31 @@ def sliding_max(x, window: int):
     ``x: f32[..., n]`` must already carry ``window - 1`` frames of lookahead
     tail (the caller appends its buffered future samples).  Output length is
     ``n - window + 1``.
+
+    XLA path: ``reduce_window`` (a max-pool XLA vectorizes).  Mosaic path:
+    the sparse-table doubling trick — ``log2(window)`` rounds of
+    shift-and-max over spans of 2^k, then one overlapping combine — all
+    static slices/concats/maxima, which Mosaic lowers.
     """
     if window <= 1:
         return x
+    from ..core import trace_mode
+
+    if trace_mode.MOSAIC:
+        neg = np.float32(-np.inf)
+
+        def shift(a, d):
+            pad = jnp.full(a.shape[:-1] + (d,), neg, a.dtype)
+            return jnp.concatenate([a[..., d:], pad], axis=-1)
+
+        m, size = x, 1
+        while size * 2 <= window:
+            m = jnp.maximum(m, shift(m, size))  # m[i] = max x[i : i+2k]
+            size *= 2
+        # spans [i, i+size) and [i+window-size, i+window) tile the window
+        out = jnp.maximum(m, shift(m, window - size))
+        return out[..., : x.shape[-1] - window + 1]
+
     return jax.lax.reduce_window(
         x,
         -jnp.inf,

@@ -330,3 +330,76 @@ class TestPerChannelCoeffs:
         bad = BiquadCoeffs(*(jnp.stack([v, v]) for v in c))
         with pytest.raises(ValueError, match="scalar coefficients"):
             biquad_pallas(jnp.zeros((2, 128)), (jnp.zeros((2,)), jnp.zeros((2,))), bad)
+
+
+# -- Mosaic-safe sample_scan / sliding_max emissions ----------------------------
+
+class TestMosaicSampleScan:
+    """The Mosaic emissions (fori_loop + iota-masked emit; doubling sliding
+    max) must be bit-exact vs the XLA forms: same op order per sample, and
+    the masked read/write move exactly one lane."""
+
+    def test_envelope_follow_bit_exact(self):
+        from firewheel_tpu.core.trace_mode import mosaic_trace
+        from firewheel_tpu.ops.dynamics import envelope_follow
+
+        rng = np.random.default_rng(3)
+        level = jnp.asarray(np.abs(rng.standard_normal((2, 3, 257))), jnp.float32)
+        env0 = jnp.asarray(np.abs(rng.standard_normal((2, 3))), jnp.float32)
+        a_env, a_last = envelope_follow(level, env0, 0.9, 0.99)
+        with mosaic_trace():
+            b_env, b_last = envelope_follow(level, env0, 0.9, 0.99)
+        np.testing.assert_array_equal(np.asarray(a_env), np.asarray(b_env))
+        np.testing.assert_array_equal(np.asarray(a_last), np.asarray(b_last))
+
+    def test_sample_scan_tuple_carry(self):
+        from firewheel_tpu.core.trace_mode import mosaic_trace
+        from firewheel_tpu.ops.dynamics import sample_scan
+
+        rng = np.random.default_rng(5)
+        xs = jnp.asarray(rng.standard_normal(130), jnp.float32)
+
+        def step(carry, x):
+            a, b = carry
+            a = jnp.where(x > a, x, 0.5 * a + b)
+            b = jnp.maximum(b - 1.0, 0.0)
+            return (a, b), a * 0.25
+
+        carry0 = (jnp.float32(0.0), jnp.float32(3.0))
+        (a1, b1), y1 = sample_scan(step, carry0, xs)
+        with mosaic_trace():
+            (a2, b2), y2 = sample_scan(step, carry0, xs)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+    @pytest.mark.parametrize("window", [1, 2, 3, 4, 7, 8, 9, 16, 17, 241])
+    def test_sliding_max_matches_reduce_window(self, window):
+        from firewheel_tpu.core.trace_mode import mosaic_trace
+        from firewheel_tpu.ops.dynamics import sliding_max
+
+        rng = np.random.default_rng(window)
+        x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+        a = sliding_max(x, window)
+        with mosaic_trace():
+            b = sliding_max(x, window)
+        assert np.asarray(b).shape == np.asarray(a).shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pink_noise_bit_exact_across_modes(self):
+        from firewheel_tpu.core.node import BlockInfo
+        from firewheel_tpu.core.trace_mode import mosaic_trace
+        from firewheel_tpu.nodes import NoiseNode
+
+        node = NoiseNode("pink", gain_db=-12.0, seed=11)
+        proc = node.activate(48000, 128, 0, 2)
+        info = BlockInfo.make(stream_sample=512)
+        p, s = proc.collect_params(), proc.init_state()
+        empty = jnp.zeros((0, 128), jnp.float32)
+        y1, s1, _ = proc.kernel(p, s, empty, jnp.zeros((0,), bool), info)
+        with mosaic_trace():
+            y2, s2, _ = proc.kernel(p, s, empty, jnp.zeros((0,), bool), info)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(
+            np.asarray(s1["pink"]), np.asarray(s2["pink"])
+        )
