@@ -281,6 +281,21 @@ class AudioNode:
         node's recurrent state is parked and resumes frozen)."""
         return False
 
+    def latency_frames(self, sample_rate: int) -> int:
+        """Algorithmic delay this node imposes on its signal path, in
+        frames — the plugin-delay-compensation (PDC) protocol.
+
+        Declare a non-zero value only when the output is (to first order)
+        the processed input *delayed by that many frames* — e.g. a
+        lookahead limiter's window or an explicit alignment delay.  Do NOT
+        declare effect delays (echo/reverb tails) — those are the sound,
+        not latency.  ``AudioGraph.compensate_latency`` sums these along
+        every path and pads the faster sides of each merge so parallel
+        chains stay phase-aligned (the comb-filter killer every DAW
+        ships; beyond the reference's shipped code but squarely in its
+        effect-node design scope, DESIGN_DOC.md:11-28)."""
+        return 0
+
     def info(self) -> AudioNodeInfo:
         raise NotImplementedError
 

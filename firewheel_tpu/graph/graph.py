@@ -454,6 +454,29 @@ class AudioGraph:
         self._preprocess()
         return cycle_detected(self._nodes, self._graph_in_id, self._graph_out_id)
 
+    # -- latency (PDC) ---------------------------------------------------
+    def path_latencies(self, sample_rate: int):
+        """Accumulated algorithmic latency (frames) arriving at each node
+        — see :mod:`firewheel_tpu.graph.latency`."""
+        from .latency import path_latencies
+
+        return path_latencies(self, sample_rate)
+
+    def output_latency_frames(self, sample_rate: int) -> int:
+        """Total latency of the mix at ``graph_out`` (sync visuals to it)."""
+        from .latency import output_latency_frames
+
+        return output_latency_frames(self, sample_rate)
+
+    def compensate_latency(self, sample_rate: int):
+        """Splice alignment delays so every merge's inputs arrive
+        phase-aligned (automatic PDC); returns a
+        :class:`~firewheel_tpu.graph.latency.LatencyReport`.  Idempotent;
+        safe on a live graph (the next ``update()`` hot-swaps)."""
+        from .latency import compensate_latency
+
+        return compensate_latency(self, sample_rate)
+
     def compile_internal(self, max_block_frames: int) -> CompiledSchedule:
         """Compile without activating nodes — the pure data transformation
         the reference unit-tests against (graph.rs:629-642)."""

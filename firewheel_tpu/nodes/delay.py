@@ -64,6 +64,14 @@ class DelayCompNode(AudioNode):
         self._delay_frames = int(delay_frames)
         self._delay_secs = delay_secs
 
+    def latency_frames(self, sample_rate: int) -> int:
+        # a pure delay IS latency — reporting it makes
+        # ``AudioGraph.compensate_latency`` account for manual alignment
+        # delays (and makes auto-inserted ones idempotent)
+        if self._delay_secs is not None:
+            return int(round(self._delay_secs * sample_rate))
+        return self._delay_frames
+
     def info(self) -> AudioNodeInfo:
         return AudioNodeInfo(
             num_min_supported_inputs=1,

@@ -143,12 +143,24 @@ class FirFilterProcessor(NodeProcessor):
 class FirFilterNode(AudioNode):
     debug_name = "fir_filter"
 
-    def __init__(self, taps, gain: float = 1.0):
+    def __init__(self, taps, gain: float = 1.0, report_latency: bool = False):
         """``taps``: ``f32[N]`` (shared across channels) or ``f32[ch, N]``
         FIR taps — e.g. from :func:`design_windowed_sinc` or a measured IR.
-        ``gain``: post-filter linear gain (live param)."""
+        ``gain``: post-filter linear gain (live param).
+        ``report_latency``: declare the linear-phase group delay
+        ``(N-1)//2`` to the PDC protocol (``AudioNode.latency_frames``) so
+        ``AudioGraph.compensate_latency`` aligns parallel paths around this
+        filter.  Only meaningful for (near-)linear-phase taps — asymmetric
+        taps have frequency-dependent delay no single number captures, so
+        the default is off."""
         self._taps = np.atleast_2d(np.array(taps, np.float32, copy=True))
         self._gain = float(gain)
+        self._report_latency = bool(report_latency)
+
+    def latency_frames(self, sample_rate: int) -> int:
+        if self._report_latency:
+            return (self._taps.shape[-1] - 1) // 2
+        return 0
 
     def num_taps(self) -> int:
         return self._taps.shape[-1]
