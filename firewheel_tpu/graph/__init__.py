@@ -66,3 +66,19 @@ __all__ = [
 from .serialize import SCENE_VERSION, load_graph, save_graph  # noqa: E402
 
 __all__ += ["SCENE_VERSION", "load_graph", "save_graph"]
+
+from .latency import (  # noqa: E402
+    LatencyInsertion,
+    LatencyReport,
+    compensate_latency,
+    output_latency_frames,
+    path_latencies,
+)
+
+__all__ += [
+    "LatencyInsertion",
+    "LatencyReport",
+    "compensate_latency",
+    "output_latency_frames",
+    "path_latencies",
+]
