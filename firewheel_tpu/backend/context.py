@@ -244,6 +244,22 @@ class FirewheelCtx:
         ``stream_config()`` accessor, firewheel-cpal/src/lib.rs:28-339)."""
         return self._active.config if self._active else None
 
+    def output_latency_frames(self) -> int:
+        """Algorithmic latency of the rendered mix at ``graph_out``, in
+        frames (``graph/latency.py`` longest-path sum of every node's
+        ``latency_frames``).  Games add the sink's buffering latency
+        (``stream_config().buffer_frames`` etc.) and sync visuals/haptics
+        to the total.  Works activated (the active stream's rate) or not
+        (pass-through to the graph at the config rate you plan to use):
+        when inactive, raises unless a rate is known."""
+        if self._active is not None:
+            sr = self._active.config.sample_rate
+        else:
+            raise RuntimeError(
+                "not activated — call graph.output_latency_frames(sample_rate)"
+            )
+        return self._cx.graph.output_latency_frames(sr)
+
     def node_state(self, node_id):
         """Host copy of a node's recurrent state (meter readback etc.)."""
         if self._active is None:

@@ -60,7 +60,7 @@ _SCALAR_ATTRS: dict[str, list[str]] = {
     "DelayCompNode": ["_delay_frames", "_delay_secs"],
     "EchoNode": ["_delay_secs", "_feedback", "_wet", "_dry"],
     "ConvolutionReverbNode": ["method", "_wet", "_dry"],
-    "FirFilterNode": ["_gain"],
+    "FirFilterNode": ["_gain", "_report_latency"],
     "Spatializer3DNode": [
         "_position", "volume_gain", "ref_distance", "rolloff",
         "doppler", "speed_of_sound", "max_distance_m", "motion_smooth_secs",

@@ -142,6 +142,8 @@ class MusicPlayer:
         self._pending: list[tuple] = []  # (reader, gain_db, crossfade_secs)
         self._loop_reader = None
         self._loop_gain_db = 0.0
+        self._stinger_end = -1  # stream sample the active overlay ends
+        self._pending_stinger: Optional[tuple] = None  # (clip, gain_db, at)
         # musical grid for quantized transitions (set_tempo)
         self._bpm = 0.0
         self._beats_per_bar = 4
@@ -225,7 +227,10 @@ class MusicPlayer:
         ``"beat"``, or ``"bar"`` (requires :meth:`set_tempo`)."""
         if not quantize:
             return at
-        assert self._bpm > 0, "set_tempo() before quantized transitions"
+        # a real exception, not an assert: asserts vanish under -O and the
+        # failure would otherwise surface as a bare ZeroDivisionError
+        if self._bpm <= 0:
+            raise ValueError("set_tempo() before quantized transitions")
         step = self._sr() * 60.0 / self._bpm
         if quantize == "bar":
             step *= self._beats_per_bar
@@ -240,7 +245,22 @@ class MusicPlayer:
         :class:`SampleResource`; same-shape clips swap without retraces
         (pad a stinger set to one length for zero-recompile switching).
         Returns the absolute stream sample the stinger fires at."""
-        at = self._quantize(self._now(now), quantize)
+        t = self._now(now)
+        at = self._quantize(t, quantize)
+        if at > t and t < self._stinger_end:
+            # the active overlay is still sounding and the retrigger lies
+            # in the future: applying set_sample/volume now would silence
+            # it until the boundary.  Stage host-side; update() applies it
+            # once the overlay ends (sample-accurate when it ends before
+            # the boundary) or at the boundary (within the host's update
+            # cadence when they overlap — the one-lane trade-off).
+            self._pending_stinger = (clip, float(gain_db), at)
+            return at
+        self._pending_stinger = None
+        self._fire_stinger(clip, float(gain_db), at)
+        return at
+
+    def _fire_stinger(self, clip, gain_db: float, at: int):
         st = self._stinger
         st.cancel_scheduled()
         st.set_sample(clip)
@@ -248,7 +268,7 @@ class MusicPlayer:
             _pct_for_amp(float(db_to_gain(np.float32(gain_db))))
         )
         st.play(at_sample=at)
-        return at
+        self._stinger_end = at + self._stream_len(clip)
 
     def _mark_cut(self, d: _Deck, at: int, end: int | None = None):
         """Bookkeeping after a deck's playback was cut at ``at``: a deck
@@ -282,6 +302,13 @@ class MusicPlayer:
             self._mark_cut(cur, at)
             idx = 1 - self._current
         else:
+            if self._tail is not None:
+                # a quantized transition armed from the stopped state has
+                # not started yet — this play supersedes it
+                armed = self.decks[self._tail]
+                armed.sampler.cancel_scheduled()
+                armed.vol.cancel_scheduled()
+                self._mark_cut(armed, at)
             # prefer a deck already idle at `at`: a stop(fade) leaves one
             # deck audibly fading — grabbing it would cut the fade
             idle = [i for i, d in enumerate(self.decks)
@@ -353,8 +380,9 @@ class MusicPlayer:
         quantized transitions; :meth:`set_tempo` defines the grid): the
         incoming track starts ON the grid point and the crossfade runs
         from it."""
-        at = self._quantize(self._now(now), quantize)
-        self.update(now=at)  # sync current/tail with the stream clock
+        t_now = self._now(now)
+        at = self._quantize(t_now, quantize)
+        self.update(now=t_now)  # sync current/tail with the stream clock
         secs = max(float(secs), 1e-3)
         self._pending.clear()
         self._loop_reader = None
@@ -369,19 +397,34 @@ class MusicPlayer:
             self._mark_cut(cur, at, end=at + int(round(secs * sr)))
             idx = 1 - self._current
         else:
-            # after stop(fade) one deck may still be fading — arm the
-            # idle one and LEAVE the fading deck's ramp+pause intact so
-            # its fade completes underneath the incoming track
+            if self._tail is not None:
+                # an earlier quantized transition armed from the stopped
+                # state never started — this one supersedes it
+                armed = self.decks[self._tail]
+                armed.sampler.cancel_scheduled()
+                armed.vol.cancel_scheduled()
+                self._mark_cut(armed, t_now)
+            # after stop(fade) one deck may still be fading NOW — classify
+            # idleness at call time (NOT the future grid point: a fade
+            # ending before the boundary is still audible here) and LEAVE
+            # the fading deck's ramp+pause intact so its fade completes
+            # underneath the incoming track
             idle = [i for i, d in enumerate(self.decks)
-                    if d.end_sample <= at]
+                    if d.end_sample <= t_now]
             idx = idle[0] if idle else min(
                 range(2), key=lambda i: self.decks[i].end_sample
             )
         d = self.decks[idx]
         d.sampler.cancel_scheduled()
         d.vol.cancel_scheduled()
+        was_current = self._current
         self._schedule_track(idx, reader, gain_db, at, fade_in_secs=secs)
-        self._current = idx
+        # the OLD deck stays the audible current until the grid boundary —
+        # update() flips current to the tail once `at` passes, so transport
+        # calls issued before the boundary act on the deck the player
+        # actually hears (stop(fade) fades it, they don't hard-cut it)
+        if at <= t_now or was_current is None:
+            self._current = idx
 
     def stop(self, *, fade_secs: float = 0.0, now: int | None = None):
         """Fade out (or hard-pause) the current track and clear the
@@ -391,6 +434,17 @@ class MusicPlayer:
         self._cancel_all_scheduled()
         self._loop_reader = None
         if self._current is None:
+            # nothing is current, but decks may not be silent: a cancelled
+            # armed transition goes idle now, and a deck still draining an
+            # earlier stop-fade is hard-cut (its ramp + safety pause were
+            # just wiped — without a pause it would sound forever)
+            self._tail = None
+            for d in self.decks:
+                if d.start_sample > at:
+                    self._mark_cut(d, at)
+                elif d.end_sample > at:
+                    d.sampler.pause(at_sample=at)
+                    self._mark_cut(d, at)
             return
         cur = self.decks[self._current]
         other = self.decks[1 - self._current]
@@ -429,9 +483,19 @@ class MusicPlayer:
         deck once an armed follow-on (queue/loop) has started, promotes
         host-side queue entries, and keeps one loop iteration armed.
         Call once per game frame."""
-        if self._current is None or (now is None and self._clock is None):
+        if now is None and self._clock is None:
             return
         t = self._now(now)
+        if self._pending_stinger is not None:
+            clip, gdb, s_at = self._pending_stinger
+            if t >= min(s_at, self._stinger_end):
+                # the active overlay ended (fire the staged one armed for
+                # its boundary) or the boundary arrived while they overlap
+                # (retrigger now — late by at most one host frame)
+                self._pending_stinger = None
+                self._fire_stinger(clip, gdb, s_at)
+        if self._current is None:
+            return
         if (
             self._tail != self._current
             and t >= self.decks[self._tail].start_sample

@@ -2,7 +2,7 @@
 coordinates.
 
 The spatial nodes (:class:`~firewheel_tpu.nodes.spatial.Spatializer3DNode`,
-:class:`~firewheel_tpu.nodes.binaural.BinauralNode`) take positions in
+:class:`~firewheel_tpu.nodes.binaural.BinauralSpatializerNode`) take positions in
 the LISTENER frame (+x right, +y up, −z forward) — the DSP-correct
 contract, but games track everything in world space with a moving,
 rotating listener (the camera/player).  This module is the thin
@@ -92,7 +92,12 @@ class SpatialScene:
         self._emitters: dict = {}  # key -> (node, world_pos)
 
     def add(self, key, node, world_pos) -> None:
-        assert hasattr(node, "set_position"), node
+        if not hasattr(node, "set_position"):  # real error: asserts vanish under -O
+            raise TypeError(
+                f"emitter node {node!r} has no set_position() — pass a "
+                "Spatializer3DNode/BinauralSpatializerNode (or any node "
+                "with the positional-emitter protocol)"
+            )
         self._emitters[key] = (node, np.asarray(world_pos, np.float64))
         self._push(key)
 

@@ -198,3 +198,38 @@ def test_volume_chain_reports_zero():
     g.connect(vol, 1, g.graph_out_node(), 1)
     assert g.output_latency_frames(SR) == 0
     assert g.compensate_latency(SR).insertions == []
+
+
+def test_ctx_output_latency_accessor():
+    """FirewheelCtx surfaces the mix latency while activated (games add
+    sink buffering and sync visuals to the total)."""
+    import time
+
+    from firewheel_tpu import ArraySink, FirewheelCtx, StreamConfig
+    from firewheel_tpu.nodes import MonoToStereoNode
+
+    cx = FirewheelCtx()
+    with pytest.raises(RuntimeError, match="not activated"):
+        cx.output_latency_frames()
+
+    g = cx.graph
+    beep = g.add_node(0, 1, BeepTestNode(440.0, -12.0, True))
+    lim = g.add_node(1, 1, LimiterNode(lookahead_secs=0.005))
+    up = g.add_node(1, 2, MonoToStereoNode())
+    g.connect(beep, 0, lim, 0)
+    g.connect(lim, 0, up, 0)
+    g.connect(up, 0, g.graph_out_node(), 0)
+    g.connect(up, 1, g.graph_out_node(), 1)
+
+    cfg = StreamConfig(sample_rate=SR, num_out_channels=2, buffer_frames=256)
+    cx.activate(cfg, sink=ArraySink(), duration_secs=0.05)
+    try:
+        assert cx.output_latency_frames() == 240
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            cx.update()
+            if cx.stream and cx.stream.frames_rendered >= SR * 0.05:
+                break
+            time.sleep(0.005)
+    finally:
+        cx.deactivate()

@@ -176,9 +176,14 @@ def test_quantized_crossfade_lands_on_bar():
     player.set_tempo(120.0, beats_per_bar=4, origin_sample=0)
     cx.render_offline(0.3)
     player.crossfade_to(b, 0.05, quantize="beat")  # next beat: 24000
+    # before the boundary the OLD deck stays current (transport calls act
+    # on what the player hears); update() flips once the beat passes
+    assert player.decks[player._current].reader is a
     cx.render_offline(0.4)
+    player.update()  # clock is bound: flips current to the armed deck
     cx.deactivate()
     assert player.decks[player._current].start_sample == 24000
+    assert player.current_reader() is b
     L = sink.audio(2)[0]
     # before the beat: only a; after beat + fade: b level plus a's tail
     assert abs(L[20000] - 0.5) < 1e-3
@@ -188,7 +193,7 @@ def test_quantized_crossfade_lands_on_bar():
 def test_quantize_requires_tempo():
     cx, player, sink = build()
     player.play(const_reader(0.5, SR))
-    with pytest.raises(AssertionError, match="set_tempo"):
+    with pytest.raises(ValueError, match="set_tempo"):
         player.crossfade_to(const_reader(0.25, SR), 0.1, quantize="bar")
     cx.deactivate()
 
@@ -212,3 +217,76 @@ def test_stinger_fires_on_the_bar_over_music():
     assert abs(L[at - 1000] - 0.3) < 1e-3
     assert abs(L[at + 100] - 0.7) < 1e-2
     assert abs(L[at + 1000] - 0.3) < 1e-2
+
+
+def test_stop_fades_audible_deck_during_quantized_transition():
+    """Regression: stop(fade) issued while a quantized crossfade is armed
+    but before its boundary must FADE the audibly-playing old track, not
+    hard-cut it (the armed deck is not current until it starts)."""
+    cx, player, sink = build()
+    a = const_reader(0.5, SR)
+    b = const_reader(0.25, SR)
+    player.play(a)
+    player.set_tempo(30.0, beats_per_bar=4, origin_sample=0)  # beat 96000
+    cx.render_offline(0.1)
+    player.crossfade_to(b, 0.5, quantize="beat")  # armed for t=96000
+    t_stop = cx.stream.frames_rendered
+    player.stop(fade_secs=0.2)  # well before the beat boundary
+    cx.render_offline(0.4)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    # mid-fade: still audible (the old code dropped 0.5 -> 0 in one block)
+    mid = np.abs(L[t_stop + int(0.08 * SR): t_stop + int(0.12 * SR)])
+    assert mid.max() > 0.05
+    # after the fade (and before the cancelled boundary): silence
+    assert np.abs(L[t_stop + int(0.3 * SR):]).max() < 1e-3
+    # the armed transition was cancelled — nothing starts at the beat
+    assert player.current_reader() is None
+
+
+def test_stop_twice_hard_cuts_the_fade():
+    """Regression: a second stop() during a stop-fade must actually
+    silence the fading deck (cancelling the fade also cancels its pause —
+    without a replacement pause the deck sounded forever)."""
+    cx, player, sink = build()
+    player.play(const_reader(0.5, SR * 2))
+    cx.render_offline(0.1)
+    player.stop(fade_secs=0.5)
+    cx.render_offline(0.05)
+    t_cut = cx.stream.frames_rendered
+    player.stop()  # hard stop mid-fade
+    cx.render_offline(0.2)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    assert np.abs(L[t_cut - 1500] ).max() > 0.05  # fade was audible
+    # shortly after the hard stop (smoother tail < 10 ms): silence
+    assert np.abs(L[t_cut + int(0.05 * SR):]).max() < 1e-3
+
+
+def test_stinger_retrigger_waits_for_active_overlay():
+    """Regression: a quantized stinger staged while the previous overlay
+    is still sounding must let it play out, then fire on its boundary."""
+    from firewheel_tpu.core.sample_resource import SampleResource
+
+    cx, player, sink = build()
+    player.play(const_reader(0.3, SR * 2))
+    player.set_tempo(75.0, beats_per_bar=1, origin_sample=0)  # bar 38400
+    clip_a = SampleResource(np.full((2, 9600), 0.4, np.float32), sample_rate=SR)
+    clip_b = SampleResource(np.full((2, 4800), 0.5, np.float32), sample_rate=SR)
+    cx.render_offline(0.1)
+    at_a = player.stinger(clip_a)          # fires now, ends ~ at_a + 9600
+    cx.render_offline(0.02)
+    at_b = player.stinger(clip_b, quantize="bar")
+    assert at_b == 38400
+    # pump host updates while rendering (game-frame cadence)
+    for _ in range(16):
+        cx.render_offline(0.05)
+        player.update()
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    # overlay A keeps sounding after B was staged (old code silenced it)
+    assert abs(L[at_a + 8000] - 0.7) < 2e-2
+    # between A's end and the bar: bed alone
+    assert abs(L[30000] - 0.3) < 2e-2
+    # B fires on the bar
+    assert abs(L[at_b + 2000] - 0.8) < 2e-2
