@@ -244,19 +244,23 @@ class FirewheelCtx:
         ``stream_config()`` accessor, firewheel-cpal/src/lib.rs:28-339)."""
         return self._active.config if self._active else None
 
-    def output_latency_frames(self) -> int:
+    def output_latency_frames(self, sample_rate: int | None = None) -> int:
         """Algorithmic latency of the rendered mix at ``graph_out``, in
         frames (``graph/latency.py`` longest-path sum of every node's
         ``latency_frames``).  Games add the sink's buffering latency
         (``stream_config().buffer_frames`` etc.) and sync visuals/haptics
-        to the total.  Works activated (the active stream's rate) or not
-        (pass-through to the graph at the config rate you plan to use):
-        when inactive, raises unless a rate is known."""
+        to the total.  Activated, the active stream's rate is used (and
+        ``sample_rate`` is ignored); inactive, pass the rate you plan to
+        activate with — some nodes' latency is rate-dependent."""
         if self._active is not None:
             sr = self._active.config.sample_rate
+        elif sample_rate is not None:
+            sr = int(sample_rate)
         else:
             raise RuntimeError(
-                "not activated — call graph.output_latency_frames(sample_rate)"
+                "not activated and no sample_rate given — call "
+                "output_latency_frames(sample_rate=...) with the rate you "
+                "plan to activate with"
             )
         return self._cx.graph.output_latency_frames(sr)
 

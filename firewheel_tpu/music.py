@@ -332,10 +332,19 @@ class MusicPlayer:
         of equal-power crossfade.  Queue depth is unlimited: the first
         follow-on is armed on the device; deeper entries wait host-side
         and are promoted a full track ahead by :meth:`update`."""
-        if self._current is None:
-            return self.play(reader, gain_db=gain_db, now=now)
         if now is not None or self._clock is not None:
-            self.update(now=now)  # sync before choosing the tail deck
+            self.update(now=now)  # sync current/tail with the stream clock
+        if self._current is None:
+            if self._tail is not None:
+                # a quantized transition armed from the stopped state has
+                # not reached its grid boundary yet — preserve FIFO order:
+                # the queued track waits host-side and update() promotes
+                # it after the armed track becomes current
+                self._loop_reader = None
+                self._pending.append((reader, float(gain_db),
+                                      float(crossfade_secs)))
+                return
+            return self.play(reader, gain_db=gain_db, now=now)
         self._loop_reader = None  # an explicit queue ends a loop
         if self._tail != self._current or self._pending:
             # a transition is already armed (or earlier entries are
@@ -417,22 +426,26 @@ class MusicPlayer:
         d = self.decks[idx]
         d.sampler.cancel_scheduled()
         d.vol.cancel_scheduled()
-        was_current = self._current
         self._schedule_track(idx, reader, gain_db, at, fade_in_secs=secs)
-        # the OLD deck stays the audible current until the grid boundary —
-        # update() flips current to the tail once `at` passes, so transport
-        # calls issued before the boundary act on the deck the player
-        # actually hears (stop(fade) fades it, they don't hard-cut it)
-        if at <= t_now or was_current is None:
+        # current = the AUDIBLE deck: until the grid boundary passes, the
+        # old deck (or, from the stopped state, no deck at all) stays
+        # current — update() flips current to the tail once `at` passes,
+        # so transport calls issued before the boundary act on what the
+        # player actually hears (stop(fade) fades it / cancels the armed
+        # deck, they don't hard-cut the incoming track)
+        if at <= t_now:
             self._current = idx
 
     def stop(self, *, fade_secs: float = 0.0, now: int | None = None):
-        """Fade out (or hard-pause) the current track and clear the
-        queue."""
+        """Fade out (or hard-pause) the current track, clear the queue,
+        and drop any STAGED stinger (one waiting host-side for its grid
+        boundary) — a stinger already sounding is device-scheduled on its
+        own lane and plays out."""
         at = self._now(now)
         self.update(now=at)
         self._cancel_all_scheduled()
         self._loop_reader = None
+        self._pending_stinger = None
         if self._current is None:
             # nothing is current, but decks may not be silent: a cancelled
             # armed transition goes idle now, and a deck still draining an
@@ -495,8 +508,13 @@ class MusicPlayer:
                 self._pending_stinger = None
                 self._fire_stinger(clip, gdb, s_at)
         if self._current is None:
-            return
-        if (
+            if (self._tail is None
+                    or t < self.decks[self._tail].start_sample):
+                return
+            # a transition armed from the stopped state reached its grid
+            # boundary: the armed deck becomes the audible current
+            self._current = self._tail
+        elif (
             self._tail != self._current
             and t >= self.decks[self._tail].start_sample
         ):
@@ -541,7 +559,9 @@ class MusicPlayer:
         return out
 
     def current_reader(self):
-        """The reader of the audibly-current deck (None when stopped)."""
+        """The reader of the audibly-current deck (None when stopped,
+        including while a transition armed from the stopped state still
+        awaits its grid boundary)."""
         if self._current is None:
             return None
         return self.decks[self._current].reader
