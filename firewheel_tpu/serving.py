@@ -29,6 +29,7 @@ servers at the application layer (SERVING.md "Capacity planning").
 
 from __future__ import annotations
 
+import copy
 from typing import Any, Callable, Optional
 
 import numpy as np
@@ -37,6 +38,19 @@ from .executor import ScheduleProgram
 from .parallel.mesh import BatchRenderer
 
 __all__ = ["SessionServer", "SessionHandle"]
+
+
+def _snap_dict(d: dict) -> dict:
+    """One-level copy of a node's ``__dict__``: containers (scheduled-
+    command lists etc.) are copied so later mutation can't alias the
+    snapshot; everything else — scalars, ndarrays, SampleResources,
+    readers — is kept by reference (configure callbacks REPLACE such
+    attributes, they don't mutate them in place)."""
+    return {
+        k: (copy.copy(v) if isinstance(v, (list, dict, set, bytearray))
+            else v)
+        for k, v in d.items()
+    }
 
 
 class SessionHandle:
@@ -57,10 +71,15 @@ class SessionHandle:
 
     def update(self, configure: Callable[[], None]) -> None:
         """Apply a control change to THIS session: ``configure()``
-        mutates the template graph's node handles, and the resulting
-        param snapshot is spliced into this slot only."""
+        mutates the template graph's node handles — pre-restored to this
+        session's CURRENT control state, so partial updates compose —
+        and the resulting param snapshot is spliced into this slot
+        only."""
         if self.alive:
-            self._server._splice(self._slot, configure)
+            self._server._splice(
+                self._slot, configure,
+                base=self._server._slot_ctrl[self._slot],
+            )
 
     def reset(self) -> None:
         """Reset this session's recurrent state (e.g. a reconnect)."""
@@ -84,7 +103,13 @@ class SessionServer:
     mutating them inside a callback, and the server snapshots params
     from the template afterward.  Construct the server while the
     template is in its IDLE state (sources muted/paused): that snapshot
-    fills vacant slots.
+    fills vacant slots, and every ``connect`` configure runs against the
+    template RESTORED to it (``update`` configures run against the
+    session's own previous control state), so a partial configure never
+    inherits another session's settings.  Between server calls the
+    template always sits in its idle state; attributes holding arrays/
+    resources are restored by reference — configure callbacks must
+    replace them (``set_sample(...)``), not mutate them in place.
 
     ``renderer_kwargs`` pass through to :class:`BatchRenderer`
     (``mesh``/``axis``/``lowering``/``output_format``/...).
@@ -109,6 +134,21 @@ class SessionServer:
         #: PREVIOUS session's configure of the shared template nodes)
         self._idle_params = program.collect_params()
         self._idle_state = program.init_state()
+        #: template control-state snapshots (node ``__dict__``s): the
+        #: IDLE one is the base every ``connect`` configure starts from,
+        #: and each live slot keeps its own so ``update`` configures
+        #: compose with the session's previous state — a PARTIAL
+        #: configure can never inherit another tenant's leftovers
+        #: (round-3 verdict: cross-session control leakage)
+        self._nodes = []
+        seen: set[int] = set()
+        for proc in program._procs.values():
+            node = getattr(proc, "_node", None)
+            if node is not None and id(node) not in seen:
+                seen.add(id(node))
+                self._nodes.append(node)
+        self._idle_ctrl = self._capture_ctrl()
+        self._slot_ctrl: list = [None] * capacity
         self._params = self._br.stack_params(
             [self._idle_params] * capacity
         )
@@ -119,13 +159,35 @@ class SessionServer:
         self.sample = 0  # fleet stream clock (absolute samples)
 
     # -- session lifecycle -----------------------------------------------------
-    def _splice(self, slot: int, configure: Optional[Callable]) -> None:
+    def _capture_ctrl(self) -> list[dict]:
+        return [_snap_dict(n.__dict__) for n in self._nodes]
+
+    def _restore_ctrl(self, snaps: list[dict]) -> None:
+        for node, d in zip(self._nodes, snaps):
+            node.__dict__.clear()
+            node.__dict__.update(_snap_dict(d))
+
+    def _splice(self, slot: int, configure: Optional[Callable],
+                base: Optional[list] = None) -> None:
+        """Splice one slot's params.  ``configure`` runs against the
+        template restored to ``base`` (the idle snapshot by default, or
+        the session's own previous control state for ``update``), so a
+        configure that sets only SOME parameters starts from a defined
+        state — never from whatever the previous tenant left behind.
+        The template is restored to idle afterward either way."""
         if configure is not None:
-            configure()
-            params_i = self.program.collect_params()
-            self._reject_scheduled_commands()
+            self._restore_ctrl(base if base is not None else
+                               self._idle_ctrl)
+            try:
+                configure()
+                params_i = self.program.collect_params()
+                self._reject_scheduled_commands()
+                self._slot_ctrl[slot] = self._capture_ctrl()
+            finally:
+                self._restore_ctrl(self._idle_ctrl)
         else:
             params_i = self._idle_params
+            self._slot_ctrl[slot] = None
         self._params = self._br.update_instance(
             self._params, slot, params_i
         )

@@ -233,3 +233,62 @@ def test_random_session_lifecycle_fuzz(seed):
     # vacant slots render the idle (muted) template
     for b in dead:
         assert np.abs(out[b]).max() < 1e-6
+
+
+def test_partial_configure_starts_from_idle_not_previous_tenant():
+    """Round-3 verdict: a connect() configure that sets only SOME params
+    must start from the server's IDLE snapshot, not from whatever the
+    previous session's configure left on the shared template nodes."""
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=2, chunk_blocks=8)
+    ha = srv.connect(lambda: n["vol"].set_percent_volume(100.0))
+    # B's configure touches only the SFX sampler — it must NOT inherit
+    # A's volume (idle template volume is 0 = muted)
+    hb = srv.connect(lambda: n["sfx"].pause())
+    out = None
+    for _ in range(8):
+        out = np.asarray(srv.render())
+    assert rms(out[ha.slot]) > 0.1
+    assert rms(out[hb.slot]) < 1e-6
+
+
+def test_partial_update_composes_with_own_session_state():
+    """update() configures run against the SESSION's previous control
+    state: a partial update must keep what the session set earlier."""
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=1, chunk_blocks=8)
+    h = srv.connect(lambda: n["vol"].set_percent_volume(100.0))
+    h.update(lambda: n["sfx"].play())  # touches only the sampler
+    out = None
+    for _ in range(8):
+        out = np.asarray(srv.render())
+    assert rms(out[h.slot]) > 0.1  # the tone is still audible
+
+
+def test_template_rests_idle_between_server_calls():
+    """Between connect/update calls the template graph sits in its idle
+    state — direct reads of node handles see idle, not the last tenant."""
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=2, chunk_blocks=8)
+    srv.connect(lambda: n["vol"].set_percent_volume(100.0))
+    assert n["vol"].percent_volume() == 0.0  # idle template value
+
+
+def test_raising_configure_leaves_template_idle():
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=2, chunk_blocks=8)
+
+    def bad():
+        n["vol"].set_percent_volume(100.0)
+        raise RuntimeError("client error")
+
+    with pytest.raises(RuntimeError, match="client error"):
+        srv.connect(bad)
+    assert srv.occupancy == 0
+    assert n["vol"].percent_volume() == 0.0
+    # the next partial configure is unaffected by the failed one
+    h = srv.connect(lambda: n["sfx"].pause())
+    out = None
+    for _ in range(4):
+        out = np.asarray(srv.render())
+    assert rms(out[h.slot]) < 1e-6
