@@ -88,9 +88,13 @@ class BatchRenderer:
     ):
         """``lowering``: ``"xla"`` (default — the fused XLA chunk path) or
         ``"hybrid"`` — the Pallas-megakernel-islands-between-XLA-stages
-        lowering (``executor_pallas.HybridMegaRenderer``), which measured
-        1.48× over XLA on the BASELINE effects-chain on v5e
-        (docs/PERF.md).  Same stacked params/state trees, same
+        lowering (``executor_pallas.HybridMegaRenderer``): the
+        guaranteed-fusion/VMEM-residency option for deep serial effects
+        chains.  Session A/Bs on the tunnel measured it both faster
+        (1.48×) and slower (0.60×) than XLA on the BASELINE
+        effects-chain — inside the drift envelope, so no speedup is
+        claimed (docs/PERF.md "Hybrid-vs-XLA is session-dependent").
+        Same stacked params/state trees, same
         ``render_chunk`` contract; per-instance control
         (``update_instance``/checkpoints) works unchanged.  ``tile`` is
         the hybrid's batch tile (per-shard batch must divide by it);
