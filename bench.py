@@ -25,6 +25,11 @@ the roofline estimate in docs/PERF.md.
 
 Node count: 64 includes the graph_in/graph_out sentinels (62 processing
 nodes) — the reference counts sentinels as nodes too (graph.rs:133,146).
+
+Modes: default = device-throughput headline + a serving-loop (egress
+included) measurement in the same JSON line (served_* fields);
+``--serve`` = the serving loop as its own headline; ``--megakernel`` /
+``--hybrid`` = the Pallas lowerings.
 """
 
 from __future__ import annotations
@@ -113,6 +118,114 @@ def bench_megakernel():
         "vs_baseline": round(best["median"] / TARGET, 3),
         "best": round(best["best"], 1),
         "spread": round(best["spread"], 3),
+    }), flush=True)
+
+
+def measure_serve(program, batch, k_blocks, trials=7, budget_s=150.0,
+                  n_chunks=4):
+    """The full SERVING loop, device→host egress included: render with
+    ``output_format="pcm16"`` and fetch every chunk to the host,
+    overlapping the fetch of chunk t with the dispatch of chunk t+1
+    (``BatchRenderer.render_stream``).  Realtime factor counts only
+    audio that actually REACHED the host — the number a fleet can ship,
+    not just compute.  Returns a result dict (or raises)."""
+    import jax
+
+    from firewheel_tpu.parallel import BatchRenderer
+
+    br = BatchRenderer(program, batch=batch, output_format="pcm16")
+    params, state = br.stack_params(), br.init_state()
+    t0 = time.time()
+    out, _om, state = br.render_chunk(params, state, num_blocks=k_blocks)
+    host = np.asarray(out)  # full-output fetch (never slices: CLAUDE.md)
+    chunk_mb = host.nbytes / 1e6
+    log(f"  serve B={batch} K={k_blocks}: compile+first fetch "
+        f"{time.time()-t0:.1f}s; chunk = {chunk_mb:.1f} MB pcm16")
+    audio_per_chunk = batch * k_blocks * BLOCK / SR
+
+    t_cfg = time.time()
+    rts, fetched = [], {"bytes": 0}
+
+    def eat(a):
+        fetched["bytes"] += a.nbytes
+
+    sample = k_blocks * BLOCK
+    for trial in range(trials):
+        fetched["bytes"] = 0
+        t0 = time.time()
+        _, state, sample = br.render_stream(
+            params, state, num_chunks=n_chunks, num_blocks=k_blocks,
+            start_sample=sample, on_chunk=eat,
+        )
+        wall = time.time() - t0
+        rts.append(n_chunks * audio_per_chunk / wall)
+        log(f"  serve trial {trial}: {wall*1e3:.0f} ms for "
+            f"{n_chunks*audio_per_chunk:.0f} audio-s, "
+            f"{fetched['bytes']/1e6:.0f} MB fetched → {rts[-1]:.0f}x "
+            f"({fetched['bytes']/wall/1e9:.2f} GB/s egress)")
+        if time.time() - t_cfg > budget_s and len(rts) >= 5:
+            log("  (serve budget reached)")
+            break
+    median = float(np.median(rts))
+    wall_at_median = n_chunks * audio_per_chunk / median
+    return {
+        "median": median,
+        "best": float(np.max(rts)),
+        "spread": round(float((np.max(rts) - np.min(rts)) / median), 3),
+        "egress_GBps": round(
+            n_chunks * chunk_mb / 1e3 / wall_at_median, 3
+        ),
+        "chunk_mb": round(chunk_mb, 1),
+        "cfg": (batch, k_blocks),
+    }
+
+
+def bench_serve():
+    """`bench.py --serve`: the serving loop with egress as its own
+    headline.  One JSON line, same contract."""
+    t_start = time.time()
+    import jax
+
+    from __graft_entry__ import _mixer_graph
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    program = _mixer_graph(block=BLOCK)
+    best = None
+    # The loop is egress-bound on a remote attach (docs/PERF.md "Serving
+    # loop with egress"), so the small config measures the same number
+    # as the big one without the multi-minute B=8192 pcm16 compile; the
+    # big config runs only if the budget allows.
+    for batch, k in [(4096, 16), (8192, 32)]:
+        try:
+            res = measure_serve(program, batch, k)
+        except Exception as e:
+            log(f"  serve B={batch} K={k} failed: "
+                f"{str(e).splitlines()[0][:160]}")
+            continue
+        if best is None or res["median"] > best["median"]:
+            best = res
+        if time.time() - t_start > 420:
+            log("time budget reached")
+            break
+    if best is None:
+        print(json.dumps({"metric": "serve bench failed", "value": 0.0,
+                          "unit": "x realtime", "vs_baseline": 0.0}))
+        return
+    b, k = best["cfg"]
+    print(json.dumps({
+        "metric": (
+            "median realtime factor of the SERVING loop — render → PCM16 "
+            "→ host fetch, fetch of chunk t overlapped with dispatch of "
+            f"t+1 — 64-node 48kHz stereo graph, batch={b}, K={k}, "
+            "median of >=5 trials"
+        ),
+        "value": round(best["median"], 1),
+        "unit": "x realtime (audio shipped to host)",
+        "vs_baseline": round(best["median"] / TARGET, 3),
+        "best": round(best["best"], 1),
+        "spread": best["spread"],
+        "egress_GBps": best["egress_GBps"],
     }), flush=True)
 
 
@@ -260,25 +373,45 @@ def main():
         f"amortized {best_res['amortized']:.0f}x), p99 block latency "
         f"{best_res['p99_block_ms']:.3f} ms (budget {BLOCK/SR*1e3:.2f} ms)")
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "median realtime factor (audio-sec/sec/chip), 64-node "
-                    f"48kHz stereo graph, batch={best_cfg[0]}, "
-                    f"K={best_cfg[1]}, median of >=5 trials; p99 block "
-                    f"latency {best_res['p99_block_ms']:.3f} ms"
-                ),
-                "value": round(best_res["median"], 1),
-                "unit": "x realtime",
-                "vs_baseline": round(best_res["median"] / TARGET, 3),
-                "best": round(best_res["best"], 1),
-                "spread": best_res["spread"],
-                "amortized": round(best_res["amortized"], 1),
-            }
+    # The serving-loop measurement (egress included) rides the same run so
+    # the driver captures BOTH halves of the BASELINE story: device
+    # throughput (headline) and shipped-to-host throughput (served_*).
+    served = None
+    if time.time() - t_start < 540:
+        try:
+            # egress-bound: the small config measures the same shipped-
+            # audio number as the headline config at a fraction of the
+            # compile cost (docs/PERF.md "Serving loop with egress")
+            served = measure_serve(
+                program, 4096, 16, trials=5, budget_s=60.0, n_chunks=2
+            )
+            log(f"serve: median {served['median']:.0f}x shipped-to-host "
+                f"({served['egress_GBps']} GB/s pcm16 egress)")
+        except Exception as e:
+            log(f"serve measurement failed: {str(e).splitlines()[0][:160]}")
+
+    result = {
+        "metric": (
+            "median realtime factor (audio-sec/sec/chip), 64-node "
+            f"48kHz stereo graph, batch={best_cfg[0]}, "
+            f"K={best_cfg[1]}, median of >=5 trials; p99 block "
+            f"latency {best_res['p99_block_ms']:.3f} ms"
+            + (
+                f"; serving loop with PCM16 host egress "
+                f"{served['median']:.0f}x" if served else ""
+            )
         ),
-        flush=True,
-    )
+        "value": round(best_res["median"], 1),
+        "unit": "x realtime",
+        "vs_baseline": round(best_res["median"] / TARGET, 3),
+        "best": round(best_res["best"], 1),
+        "spread": best_res["spread"],
+        "amortized": round(best_res["amortized"], 1),
+    }
+    if served:
+        result["served_median"] = round(served["median"], 1)
+        result["served_egress_GBps"] = served["egress_GBps"]
+    print(json.dumps(result), flush=True)
 
 
 def bench_hybrid():
@@ -365,5 +498,7 @@ if __name__ == "__main__":
         bench_megakernel()
     elif "--hybrid" in sys.argv[1:]:
         bench_hybrid()
+    elif "--serve" in sys.argv[1:]:
+        bench_serve()
     else:
         main()

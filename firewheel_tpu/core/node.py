@@ -28,6 +28,7 @@ import dataclasses
 import enum
 from typing import Any, NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
@@ -119,6 +120,42 @@ def gate(x, silent_flag):
     return jnp.where(m != jnp.float32(0.0), jnp.zeros_like(x), x)
 
 
+#: the device stream clock's modulus: kernels see ``stream_sample`` as a
+#: uint32 that wraps every 2^32 samples (~24.8 h @ 48 kHz)
+STREAM_SAMPLE_PERIOD = 1 << 32
+
+
+def wrap_stream_sample(start_sample):
+    """Epoch-rebase a host sample clock onto the device's modular uint32
+    stream clock (→ traced ``uint32`` scalar).
+
+    The framework's ABSOLUTE clocks are host-side Python ints and never
+    wrap: ``GraphProcessor``'s stream position, ``SessionServer.sample``,
+    the music/voice-pool shadow clocks, and every ``at_sample=``
+    scheduled command are compared as exact ints, and the PerBlock
+    timeline machinery converts them to per-block values before
+    dispatch.  Kernels therefore need ``info.stream_sample`` only for
+    keying and deltas (e.g. the noise node's ``fold_in``), never for
+    absolute comparisons — so the device clock is MODULAR by contract:
+    this helper rebases the unbounded host int modulo 2^32 at every
+    dispatch boundary (a bare ``jnp.asarray(x, uint32)`` raises
+    ``OverflowError`` past 2^32, which would crash a serving fleet
+    ~24.8 h in).  Crossing the epoch changes the noise keystream and
+    resets ``stream_time_secs``; scheduled commands and transport land
+    exactly (tests/test_clock_wrap.py).  The reference keeps unbounded
+    f64 seconds host-side (firewheel-cpal/src/lib.rs:386-419) — same
+    split: absolute time on the host, per-block deltas in the kernel.
+    """
+    import jax.numpy as jnp
+
+    if isinstance(start_sample, (int, np.integer)):
+        return jnp.asarray(
+            int(start_sample) & (STREAM_SAMPLE_PERIOD - 1), jnp.uint32
+        )
+    # traced/array clocks: astype wraps modularly by definition
+    return jnp.asarray(start_sample).astype(jnp.uint32)
+
+
 def stream_time_from_sample(sample, sample_rate: float):
     """uint32 sample counter -> f32 seconds with split precision.
 
@@ -145,8 +182,11 @@ class BlockInfo(NamedTuple):
 
     ``stream_time_secs`` — seconds from stream start to this block's first
     frame (f32).
-    ``stream_sample`` — absolute sample index of the block's first frame
-    (uint32; wraps after ~24.8 h at 48 kHz).
+    ``stream_sample`` — sample index of the block's first frame on the
+    device's MODULAR clock (uint32; one epoch = 2^32 samples ≈ 24.8 h at
+    48 kHz).  Kernels use it for keying and deltas only; absolute-time
+    semantics (``at_sample=`` scheduling, transport) are resolved
+    host-side on unbounded ints — see :func:`wrap_stream_sample`.
     ``stream_status`` — :class:`StreamStatus` bits (uint32).
     """
 
@@ -158,7 +198,7 @@ class BlockInfo(NamedTuple):
     def make(stream_time_secs=0.0, stream_sample=0, stream_status=0) -> "BlockInfo":
         return BlockInfo(
             stream_time_secs=jnp.asarray(stream_time_secs, jnp.float32),
-            stream_sample=jnp.asarray(stream_sample, jnp.uint32),
+            stream_sample=wrap_stream_sample(stream_sample),
             stream_status=jnp.asarray(stream_status, jnp.uint32),
         )
 

@@ -41,7 +41,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core.node import stream_time_from_sample, BlockInfo, NodeProcessor
+from .core.node import (
+    stream_time_from_sample, wrap_stream_sample, BlockInfo, NodeProcessor,
+)
 from .graph.compiler import CompiledSchedule, NodeID
 
 __all__ = ["node_key", "ScheduleProgram"]
@@ -868,7 +870,7 @@ class ScheduleProgram:
             spass,
             jnp.asarray(graph_in),
             jnp.asarray(in_mask),
-            jnp.asarray(start_sample, jnp.uint32),
+            wrap_stream_sample(start_sample),
             jnp.asarray(status, jnp.uint32),
         )
         return outs, oms, (sg, sp)
@@ -929,7 +931,7 @@ class ScheduleProgram:
             # (uint32 bit-ops inside the scan body pessimize XLA's loop
             # compilation on TPU — measured 26x slower steady-state); the
             # body just reads its slice from xs.
-            start = jnp.asarray(start_sample, jnp.uint32)
+            start = wrap_stream_sample(start_sample)
             k = graph_in.shape[0]
             samples = start + jnp.uint32(frames) * jnp.arange(k, dtype=jnp.uint32)
             times = stream_time_from_sample(samples, sr)
@@ -965,6 +967,6 @@ class ScheduleProgram:
             state,
             graph_in,
             in_mask,
-            jnp.asarray(start_sample, jnp.uint32),
+            wrap_stream_sample(start_sample),
             jnp.asarray(status, jnp.uint32),
         )

@@ -64,7 +64,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .core.node import BlockInfo
+from .core.node import BlockInfo, wrap_stream_sample
 from .executor import ScheduleProgram
 
 __all__ = [
@@ -337,7 +337,7 @@ class MegaRenderer:
     def render_chunk(self, params, state, start_sample=0):
         if self._built is None:
             self._built = self._build(params, state)
-        return self._built(params, state, jnp.asarray(start_sample, jnp.uint32))
+        return self._built(params, state, wrap_stream_sample(start_sample))
 
 
 # ---------------------------------------------------------------------------
@@ -743,7 +743,7 @@ class HybridMegaRenderer:
         from .core.node import stream_time_from_sample
 
         def run(params, state, graph_in, in_mask, start_sample):
-            start = jnp.asarray(start_sample, jnp.uint32)
+            start = wrap_stream_sample(start_sample)
             samples = start + jnp.uint32(f) * jnp.arange(
                 k_blocks, dtype=jnp.uint32
             )
@@ -874,5 +874,5 @@ class HybridMegaRenderer:
             self._built = self._build(params, state)
         return self._built(
             params, state, graph_in, in_mask,
-            jnp.asarray(start_sample, jnp.uint32),
+            wrap_stream_sample(start_sample),
         )

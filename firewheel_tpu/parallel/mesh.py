@@ -28,7 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.node import BlockInfo, stream_time_from_sample
+from ..core.node import BlockInfo, stream_time_from_sample, wrap_stream_sample
 from ..core.sample_resource import pcm_f32_to_i16
 from ..executor import ScheduleProgram, _ResilientJit
 
@@ -503,9 +503,54 @@ class BatchRenderer:
             state,
             graph_in,
             in_mask,
-            jnp.asarray(start_sample, jnp.uint32),
+            wrap_stream_sample(start_sample),
             jnp.asarray(status, jnp.uint32),
         )
+
+    def render_stream(self, params, state, *, num_chunks: int,
+                      num_blocks: int = 8, start_sample: int = 0,
+                      on_chunk=None):
+        """Sustained serving loop with device→host egress: render
+        ``num_chunks`` chunks and fetch EVERY chunk's audio to the host,
+        overlapping the fetch of chunk *t* with the device render of
+        chunk *t+1* (dispatch is async; ``np.asarray`` of the previous
+        output runs while the next chunk computes — full-output fetches
+        only, never slices, per the tunnel discipline in docs/PERF.md).
+
+        This is the shipped-audio hot loop the reference always runs
+        (its cpal callback delivers every block,
+        firewheel-cpal/src/lib.rs:429-437) — ``render_chunk`` alone
+        leaves the audio device-resident.  Pair with
+        ``output_format="pcm16"`` to halve the fetched bytes.
+
+        ``on_chunk(host_out)`` is called with each fetched chunk (a
+        NumPy array) in order; when omitted, the chunks are collected
+        and returned as a list (mind host memory at large B×K).
+        Returns ``(chunks_or_None, final_state, next_start_sample)``.
+        """
+        f = self.program.max_block_frames
+        collected = [] if on_chunk is None else None
+        pending = None
+        s = int(start_sample)
+        for _ in range(int(num_chunks)):
+            out, _om, state = self.render_chunk(
+                params, state, start_sample=s, num_blocks=num_blocks
+            )
+            s += num_blocks * f
+            if pending is not None:
+                host = np.asarray(pending)  # overlaps the in-flight render
+                if on_chunk is not None:
+                    on_chunk(host)
+                else:
+                    collected.append(host)
+            pending = out
+        if pending is not None:
+            host = np.asarray(pending)
+            if on_chunk is not None:
+                on_chunk(host)
+            else:
+                collected.append(host)
+        return collected, state, s
 
 
 class VoiceParallelMixer:
@@ -612,7 +657,7 @@ class VoiceParallelMixer:
         def chunk(params, state, start_sample):
             # clocks vectorized outside the scan (see executor.chunk_fn:
             # uint32 bit-ops in the body pessimize TPU loop compilation)
-            start = jnp.asarray(start_sample, jnp.uint32)
+            start = wrap_stream_sample(start_sample)
             samples = start + jnp.uint32(f) * jnp.arange(
                 num_blocks, dtype=jnp.uint32
             )
@@ -663,4 +708,4 @@ class VoiceParallelMixer:
         if fn is None:
             fn = self.step_fn(num_blocks)
             self._jit_cache[num_blocks] = fn
-        return fn(params, state, jnp.asarray(start_sample, jnp.uint32))
+        return fn(params, state, wrap_stream_sample(start_sample))

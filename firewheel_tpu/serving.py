@@ -157,6 +157,9 @@ class SessionServer:
         self._gens = [0] * capacity
         self._live: dict[int, SessionHandle] = {}
         self.sample = 0  # fleet stream clock (absolute samples)
+        #: one-chunk render→fetch pipeline (render_fetched): the device
+        #: output still in flight while the next chunk renders
+        self._inflight = None
 
     # -- session lifecycle -----------------------------------------------------
     def _capture_ctrl(self) -> list[dict]:
@@ -264,6 +267,26 @@ class SessionServer:
         )
         self.sample += k * self.program.max_block_frames
         return out
+
+    def render_fetched(self, num_blocks: int | None = None):
+        """The SHIPPED-audio hot loop: dispatch the next chunk, then
+        fetch the PREVIOUS chunk's output to the host while the new one
+        renders on-device (dispatch is async; the ``np.asarray`` fetch
+        overlaps the in-flight render).  Returns the previous chunk's
+        host audio as a NumPy array — ``None`` on the first call
+        (pipeline priming; the fleet's wire output runs one chunk
+        behind ``self.sample``).  Call :meth:`flush` on shutdown to
+        drain the last in-flight chunk.  Construct the server with
+        ``output_format="pcm16"`` to halve the fetched bytes."""
+        out = self.render(num_blocks)
+        prev, self._inflight = self._inflight, out
+        return None if prev is None else np.asarray(prev)
+
+    def flush(self):
+        """Drain the render→fetch pipeline: fetch and return the last
+        in-flight chunk (``None`` when nothing is in flight)."""
+        prev, self._inflight = self._inflight, None
+        return None if prev is None else np.asarray(prev)
 
     def poll_events(self) -> dict:
         """Device events since the last poll, grouped per LIVE session:

@@ -292,3 +292,68 @@ def test_raising_configure_leaves_template_idle():
     for _ in range(4):
         out = np.asarray(srv.render())
     assert rms(out[h.slot]) < 1e-6
+
+
+def test_render_stream_matches_sequential_chunks():
+    """BatchRenderer.render_stream (the overlapped render→fetch serving
+    loop) must deliver exactly the chunks a sequential render_chunk loop
+    produces — pipelining is a latency trick, not a semantics change."""
+    from firewheel_tpu.parallel import BatchRenderer
+
+    prog, n = make_template()
+    n["vol"].set_percent_volume(100.0)
+
+    def renders(fn):
+        br = BatchRenderer(prog, batch=3, output_format="pcm16")
+        return fn(br, br.stack_params(), br.init_state())
+
+    def sequential(br, params, state):
+        outs, s = [], 0
+        for _ in range(4):
+            out, _om, state = br.render_chunk(
+                params, state, start_sample=s, num_blocks=4)
+            outs.append(np.asarray(out))
+            s += 4 * F
+        return outs
+
+    def streamed(br, params, state):
+        outs, state, s = br.render_stream(
+            params, state, num_chunks=4, num_blocks=4)
+        assert s == 4 * 4 * F
+        return outs
+
+    a, b = renders(sequential), renders(streamed)
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        assert x.dtype == np.int16 and x.shape == y.shape
+        np.testing.assert_array_equal(x, y)
+    # the callback variant delivers the same chunks and collects nothing
+    got = []
+    br = BatchRenderer(prog, batch=3, output_format="pcm16")
+    ret, _, _ = br.render_stream(
+        br.stack_params(), br.init_state(), num_chunks=4, num_blocks=4,
+        on_chunk=got.append)
+    assert ret is None and len(got) == 4
+    for x, y in zip(a, got):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_render_fetched_is_one_chunk_delayed_render():
+    """SessionServer.render_fetched ships chunk t-1 while chunk t
+    renders; flush() drains the last in-flight chunk."""
+    def build():
+        prog, n = make_template()
+        srv = SessionServer(prog, capacity=2, chunk_blocks=4)
+        srv.connect(lambda: n["vol"].set_percent_volume(100.0))
+        return srv
+
+    ref = build()
+    want = [np.asarray(ref.render()) for _ in range(3)]
+
+    srv = build()
+    assert srv.render_fetched() is None  # pipeline priming
+    got = [srv.render_fetched() for _ in range(2)]
+    got.append(srv.flush())
+    assert srv.flush() is None  # drained
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
