@@ -57,6 +57,8 @@ if _os.environ.get("FIREWHEEL_TPU_CACHE_DIR"):
 from .core import (
     AudioNode,
     AutomationCurve,
+    FlacStreamReader,
+    decode_flac,
     Keyframe,
     ParamAutomator,
     load_audio,
@@ -102,6 +104,7 @@ from .backend import (
     WavSink,
     available_output_devices,
 )
+from .utils.flac_encode import encode_flac
 from .voice_pool import VoiceHandle, VoicePool
 from .music import MusicPlayer
 from .serving import SessionHandle, SessionServer
@@ -135,6 +138,9 @@ __all__ = [
     "AutomationCurve",
     "Keyframe",
     "ParamAutomator",
+    "FlacStreamReader",
+    "decode_flac",
+    "encode_flac",
     "load_audio",
     "register_format",
     "supported_formats",

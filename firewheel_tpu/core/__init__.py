@@ -39,6 +39,7 @@ from .sample_resource import (SampleResource, pcm_f32_to_i16,
                               pcm_i16_to_f32, pcm_u16_to_f32)
 from .automation import AutomationCurve, Keyframe, ParamAutomator
 from .events import NodeEvent, diff_counters
+from .flac import FlacStreamReader, decode_flac
 from .formats import load_audio, register_format, supported_formats
 from . import interleave
 

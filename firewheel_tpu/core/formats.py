@@ -142,3 +142,12 @@ try:  # sunau exists through py3.12
     register_format([".au", ".snd"], _load_au)
 except ImportError:  # pragma: no cover
     pass
+
+
+def _load_flac(path):
+    from .flac import decode_flac
+
+    return decode_flac(path)
+
+
+register_format([".flac"], _load_flac)
