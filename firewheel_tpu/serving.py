@@ -32,6 +32,7 @@ from __future__ import annotations
 import copy
 from typing import Any, Callable, Optional
 
+import jax
 import numpy as np
 
 from .executor import ScheduleProgram
@@ -287,6 +288,87 @@ class SessionServer:
         in-flight chunk (``None`` when nothing is in flight)."""
         prev, self._inflight = self._inflight, None
         return None if prev is None else np.asarray(prev)
+
+    # -- fleet checkpoint/resume -------------------------------------------------
+    def save_checkpoint(self, path: str, extra_meta: dict | None = None):
+        """Snapshot the WHOLE serving fleet mid-stream: per-process
+        sharded state + params (each process writes only its addressable
+        batch slice) plus the slot-allocator control block (generations,
+        free list, stream clock).  Every process of a multi-host fleet
+        calls this with the same ``path`` (shared filesystem); see
+        ``checkpoint.py``.  The in-flight ``render_fetched`` chunk is NOT
+        part of the snapshot — ``flush()`` before saving."""
+        import os as _os
+
+        from .checkpoint import save_sharded_checkpoint
+
+        meta = {
+            "session_server": {
+                "capacity": self.capacity,
+                "chunk_blocks": self.chunk_blocks,
+                "gens": list(self._gens),
+                "free": list(self._free),
+                "sample": int(self.sample),
+            }
+        }
+        if extra_meta:
+            reserved = set(meta) & set(extra_meta)
+            if reserved:
+                raise ValueError(f"extra_meta uses reserved keys {reserved}")
+            meta.update(extra_meta)
+        self._br.save_checkpoint(_os.path.join(path, "state"), self._state,
+                                 extra_meta=meta)
+        save_sharded_checkpoint(_os.path.join(path, "params"), self._params)
+
+    def restore_checkpoint(self, path: str):
+        """Resume a saved fleet on a FRESHLY constructed server (same
+        template program, capacity, and mesh) → ``{slot: SessionHandle}``
+        for every session that was live at save time (the application
+        re-associates its clients by slot).  The resumed render is
+        bit-exact: params and recurrent state restore shard-by-shard, and
+        event counters re-baseline so ``poll_events`` reports only
+        post-restore events.  One documented loss: per-session CONTROL
+        snapshots (the basis for partial ``update()`` composition) are
+        host callback state and are not serialized — after a restore,
+        ``update()`` configures compose against the IDLE state, so issue
+        total updates for restored sessions."""
+        import os as _os
+
+        from .checkpoint import _local_slice, load_sharded_local
+
+        state, meta = self._br.restore_checkpoint(_os.path.join(path, "state"))
+        ctrl = meta["session_server"]
+        if ctrl["capacity"] != self.capacity:
+            raise ValueError(
+                f"capacity mismatch: checkpoint {ctrl['capacity']} vs "
+                f"server {self.capacity}"
+            )
+        template = jax.tree.map(_local_slice, self._params)
+        local, _ = load_sharded_local(_os.path.join(path, "params"), template)
+        self._params = self._br._lift_local(local)
+        self._state = state
+        # restored state carries device-side command sequence numbers a
+        # fresh template doesn't know about: let each processor adopt the
+        # fleet-max (GraphProcessor.set_state_dict's resync, batch-wide),
+        # then RECAPTURE the idle snapshots so later splices baseline at
+        # the adopted counters instead of rewinding them to zero
+        for key, proc in self.program._procs.items():
+            st = state.get(key)
+            if st:
+                proc.resync_from_state(jax.tree.map(_local_slice, st))
+        self._idle_params = self.program.collect_params()
+        self._idle_ctrl = self._capture_ctrl()
+        self._gens = list(ctrl["gens"])
+        self._free = list(ctrl["free"])
+        self.sample = int(ctrl["sample"])
+        self._slot_ctrl = [None] * self.capacity  # see docstring
+        self._inflight = None
+        self._live = {}
+        for slot in range(self.capacity):
+            if slot not in self._free:
+                self._live[slot] = SessionHandle(self, slot,
+                                                 self._gens[slot])
+        return dict(self._live)
 
     def poll_events(self) -> dict:
         """Device events since the last poll, grouped per LIVE session:

@@ -1,0 +1,185 @@
+"""Multi-host fleet checkpoint E2E (round-3 verdict #6): a dp-sharded
+SessionServer runs mid-stream across two real processes, saves a sharded
+checkpoint, the processes DIE, and a fresh two-process fleet restores —
+bit-exact resume per shard, slot allocator intact, event baselines
+re-established (no pre-kill event replay), and post-restore commands
+still fire exactly once."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_PHASE_A = r"""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; work = sys.argv[3]
+os.environ["FIREWHEEL_TPU_PLATFORM"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.getcwd())
+from firewheel_tpu.parallel.distributed import initialize_multihost
+initialize_multihost(f"localhost:{port}", 2, rank)
+
+import numpy as np
+from fleet_common import make_server, SR, F, K
+
+srv, n = make_server()
+ha = srv.connect(lambda: (n["vol"].set_percent_volume(100.0),
+                          n["sfx"].play()))
+hb = srv.connect(lambda: n["vol"].set_percent_volume(37.0))
+assert ha.slot == 0 and hb.slot == 1
+
+srv.render(); srv.render()   # mid-stream; the 256-frame clip finishes
+ev = srv.poll_events()
+# slots 0/1 are process 0's addressable instances
+if rank == 0:
+    assert ha in ev and all(e.name == "finished" for e in ev[ha]), ev
+else:
+    assert ev == {}
+
+ck = os.path.join(work, "fleet_ck")
+srv.save_checkpoint(ck, extra_meta={"app": {"wave": 3}})
+
+# the uninterrupted continuation = ground truth for the resumed fleet
+truth = {}
+for c in range(2):
+    out = srv.render()
+    for s in out.addressable_shards:
+        truth[f"c{c}_s{s.index[0].start or 0}"] = np.asarray(s.data)
+np.savez(os.path.join(work, f"truth.rank{rank}.npz"), **truth)
+print(f"PHASE_A_RANK{rank}_OK", flush=True)
+"""
+
+_PHASE_B = r"""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; work = sys.argv[3]
+os.environ["FIREWHEEL_TPU_PLATFORM"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.getcwd())
+from firewheel_tpu.parallel.distributed import initialize_multihost
+initialize_multihost(f"localhost:{port}", 2, rank)
+
+import numpy as np
+from fleet_common import make_server, SR, F, K
+
+srv, n = make_server()                      # fresh, idle fleet
+handles = srv.restore_checkpoint(os.path.join(work, "fleet_ck"))
+assert set(handles) == {0, 1} and srv.occupancy == 2
+assert srv.sample == 2 * K * F
+
+# resumed render must be bit-exact vs the uninterrupted continuation
+truth = np.load(os.path.join(work, f"truth.rank{rank}.npz"))
+for c in range(2):
+    out = srv.render()
+    for s in out.addressable_shards:
+        want = truth[f"c{c}_s{s.index[0].start or 0}"]
+        np.testing.assert_array_equal(np.asarray(s.data), want)
+
+# event baselines: nothing from before the kill is replayed
+assert srv.poll_events() == {}
+
+# post-restore control: a re-play on the restored session fires exactly
+# once (sequence counters were adopted from the restored state)
+handles[0].update(lambda: n["sfx"].play())
+srv.render(); srv.render()
+ev = srv.poll_events()
+if rank == 0:
+    assert handles[0] in ev and ev[handles[0]][0].name == "finished", ev
+    assert ev[handles[0]][0].count == 1
+else:
+    assert ev == {}
+
+with open(os.path.join(work, f"ok{rank}"), "w") as f:
+    f.write(f"PHASE_B_RANK{rank}_OK")
+print(f"PHASE_B_RANK{rank}_OK", flush=True)
+"""
+
+_COMMON = r"""
+import numpy as np
+from firewheel_tpu import (
+    AudioGraph, AudioGraphConfig, ScheduleProgram, SessionServer,
+)
+from firewheel_tpu.core.sample_resource import SampleResource
+from firewheel_tpu.nodes import BeepTestNode, SamplerNode, SumNode, VolumeNode
+from firewheel_tpu.parallel import make_mesh
+
+SR, F, K = 48000, 64, 2
+
+
+def make_server():
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    tone = BeepTestNode(440.0, -12.0, True)
+    vol = VolumeNode(0.0)
+    sfx = SamplerNode(100.0)
+    sfx.set_sample(SampleResource(
+        (np.linspace(0.2, 0.0, 256, dtype=np.float32)[None, :]
+         * np.ones((2, 1), np.float32)),
+        device=False,
+    ))
+    tid = g.add_node(0, 2, tone)
+    vid = g.add_node(2, 2, vol)
+    sid = g.add_node(0, 2, sfx)
+    mix = g.add_node(4, 2, SumNode())
+    g.connect(tid, 0, vid, 0); g.connect(tid, 1, vid, 1)
+    g.connect(vid, 0, mix, 0); g.connect(vid, 1, mix, 1)
+    g.connect(sid, 0, mix, 2); g.connect(sid, 1, mix, 3)
+    g.connect(mix, 0, g.graph_out_node(), 0)
+    g.connect(mix, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    srv = SessionServer(prog, capacity=8, chunk_blocks=K,
+                        mesh=make_mesh({"dp": 4}), axis="dp")
+    return srv, {"tone": tone, "vol": vol, "sfx": sfx}
+"""
+
+
+def _run_phase(script_path, port, work, repo, timeout=240):
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = f"{repo}:{work}"
+    procs = []
+    for rank in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script_path), str(rank), str(port), work],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("fleet children timed out")
+        logs.append(stdout)
+    for rank, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{log[-2500:]}"
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_session_server_kill_and_resume(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = str(tmp_path)
+    (tmp_path / "fleet_common.py").write_text(_COMMON)
+    a = tmp_path / "phase_a.py"
+    b = tmp_path / "phase_b.py"
+    a.write_text(_PHASE_A)
+    b.write_text(_PHASE_B)
+
+    _run_phase(a, _free_port(), work, repo)   # fleet runs, saves, DIES
+    _run_phase(b, _free_port(), work, repo)   # fresh fleet resumes
+    for rank in (0, 1):
+        assert open(tmp_path / f"ok{rank}").read() == f"PHASE_B_RANK{rank}_OK"

@@ -357,3 +357,48 @@ def test_render_fetched_is_one_chunk_delayed_render():
     assert srv.flush() is None  # drained
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w, g)
+
+
+def test_fleet_checkpoint_restores_sessions_bit_exact(tmp_path):
+    """SessionServer.save_checkpoint mid-stream → a FRESH server restores
+    params+state+slots and renders bit-exactly; event counters are
+    re-baselined (no pre-kill event replay)."""
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=4, chunk_blocks=4)
+    ha = srv.connect(lambda: (n["vol"].set_percent_volume(100.0),
+                              n["sfx"].play()))
+    hb = srv.connect(lambda: n["vol"].set_percent_volume(37.0))
+    srv.render(); srv.render()
+    ev = srv.poll_events()
+    assert ha in ev  # the 256-frame clip finished pre-checkpoint
+    ck = str(tmp_path / "fleet")
+    srv.save_checkpoint(ck, extra_meta={"app": {"tick": 42}})
+    truth = [np.asarray(srv.render()) for _ in range(2)]
+
+    prog2, n2 = make_template()
+    srv2 = SessionServer(prog2, capacity=4, chunk_blocks=4)
+    handles = srv2.restore_checkpoint(ck)
+    assert set(handles) == {ha.slot, hb.slot}
+    assert srv2.occupancy == 2 and srv2.sample == srv.sample - 8 * F
+    # no resurrected events from before the checkpoint
+    srv2.poll_events()  # establishes nothing new; baselines already set
+    got = [np.asarray(srv2.render()) for _ in range(2)]
+    for t, g in zip(truth, got):
+        np.testing.assert_array_equal(t, g)
+    assert srv2.poll_events() == {}
+    # events still flow post-restore, attributed to the restored handle
+    handles[ha.slot].update(lambda: n2["sfx"].play())
+    srv2.render()
+    ev2 = srv2.poll_events()
+    assert handles[ha.slot] in ev2
+
+
+def test_restore_rejects_capacity_mismatch(tmp_path):
+    prog, n = make_template()
+    srv = SessionServer(prog, capacity=4, chunk_blocks=4)
+    srv.render()
+    ck = str(tmp_path / "fleet")
+    srv.save_checkpoint(ck)
+    srv8 = SessionServer(make_template()[0], capacity=8, chunk_blocks=4)
+    with pytest.raises(ValueError, match="batch mismatch|capacity"):
+        srv8.restore_checkpoint(ck)
