@@ -127,8 +127,13 @@ def save_sharded_checkpoint(
                     "metadata under your own key instead"
                 )
             full_meta.update(meta)
-        with open(os.path.join(path, _META_FILE), "w") as f:
+        # atomic publish: other ranks poll for this file and read it
+        # the moment it exists — a plain open/dump lets them see a
+        # half-written JSON (raced in tests under load)
+        tmp = os.path.join(path, f".{_META_FILE}.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
             json.dump(full_meta, f, indent=2)
+        os.replace(tmp, os.path.join(path, _META_FILE))
 
 
 def load_sharded_local(path: str, local_template):
@@ -182,8 +187,10 @@ def save_checkpoint(path: str, processor, extra_meta: dict | None = None) -> Non
                 "user metadata under your own key instead"
             )
         meta.update(extra_meta)
-    with open(os.path.join(path, _META_FILE), "w") as f:
+    tmp = os.path.join(path, f".{_META_FILE}.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(path, _META_FILE))  # atomic publish
 
 
 def load_checkpoint(path: str, template: Any):
