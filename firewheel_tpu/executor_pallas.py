@@ -77,16 +77,23 @@ __all__ = [
 # Eligibility is declared per processor class via the
 # ``NodeProcessor.supports_megakernel`` attribute (True by default) so
 # third-party nodes can opt out — in-tree opt-outs: FFT/conv kernels
-# (reverb, FIR, binaural), gather samplers, and the round-3
-# verified-on-chip failures (mod-delay: batched take_along_axis becomes
-# a 3-D gather, "Only 2D gather is supported"; pitch shift: ring-buffer
-# write is a scatter, "Unimplemented primitive ... scatter"; noise:
-# threefry seeding rejects the tile-vmapped uint32 seed).  Mosaic also
-# rejects ``lax.scan`` with extensive outputs (per-step ys) — kernels
-# that emit per-sample recurrences (dynamics, pink noise) ride
-# ``ops.dynamics.sample_scan``, which re-emits the loop as iota-masked
-# ``fori_loop`` writes under ``core.trace_mode.MOSAIC`` (verified
-# on-chip: compressor→gate→limiter chain at 7e-9 parity vs XLA).
+# (reverb, FIR, binaural), gather samplers, mod-delay feedback mode
+# (its sub-block scan emits per-step ys), and noise (threefry seeding
+# rejects the tile-vmapped uint32 seed).  The round-3 verified-on-chip
+# failures were reformulated in round 4 and now lower: mod-delay's
+# fractional tap and pitch-shift's dual taps ride the 128-wide tiled
+# rank-1 gather (``ops.gather.mosaic_gather_1d``; direct
+# take_along_axis was a 3-D gather under the tile vmap, "Only 2D
+# gather is supported"), and pitch's ring write is shift-left
+# static-slice concat (ANY cursor-positioned vmapped
+# dynamic_update_slice batches to scatter, which Mosaic can't lower).
+# Both verified on the real chip 2026-08-19 at 0.0 parity vs the XLA
+# executor, K=4 with state carry.  Mosaic also rejects ``lax.scan``
+# with extensive outputs (per-step ys) — kernels that emit per-sample
+# recurrences (dynamics, pink noise) ride ``ops.dynamics.sample_scan``,
+# which re-emits the loop as iota-masked ``fori_loop`` writes under
+# ``core.trace_mode.MOSAIC`` (verified on-chip: compressor→gate→limiter
+# chain at 7e-9 parity vs XLA).
 
 
 def supports_megakernel(program: ScheduleProgram) -> bool:
@@ -96,6 +103,15 @@ def supports_megakernel(program: ScheduleProgram) -> bool:
     # (config-dependent kernels) are honored
     return all(
         getattr(p, "supports_megakernel", True)
+        for p in program._procs.values()
+    )
+
+
+def _needs_unroll(program: ScheduleProgram) -> bool:
+    """True when any node asks for a statically unrolled K-block loop
+    (``megakernel_needs_unroll``) — see :class:`MegaRenderer`."""
+    return any(
+        getattr(p, "megakernel_needs_unroll", False)
         for p in program._procs.values()
     )
 
@@ -128,6 +144,7 @@ class MegaRenderer:
         num_blocks: int,
         tile: int = 8,
         interpret: bool = False,
+        unroll: bool | None = None,
     ):
         assert supports_megakernel(program), (
             "graph not eligible for the megakernel (stream inputs, reverb "
@@ -139,6 +156,13 @@ class MegaRenderer:
         self.num_blocks = num_blocks
         self.tile = tile
         self.interpret = interpret
+        # unroll=None → auto: statically unroll the K-block loop when any
+        # node requests it (pitch shift: its gather-heavy body compiles at
+        # trip count 1 but SIGABRTs libtpu inside a real fori_loop —
+        # probed 2026-08-19); static k also makes out_ref stores static.
+        self.unroll = (
+            _needs_unroll(program) if unroll is None else bool(unroll)
+        )
         self._built = None
 
     # -- pytree plumbing -------------------------------------------------------
@@ -223,10 +247,11 @@ class MegaRenderer:
 
             def block_step(k, carry):
                 s_leaves_cur = carry
-                sample = start_ref[0] + (k * f).astype(jnp.uint32)
-                t_secs = start_time_ref[0] + k.astype(jnp.float32) * jnp.float32(
-                    f / sr
-                )
+                ku = jnp.asarray(k)  # traced int (fori) or static (unroll)
+                sample = start_ref[0] + (ku * f).astype(jnp.uint32)
+                t_secs = start_time_ref[0] + ku.astype(
+                    jnp.float32
+                ) * jnp.float32(f / sr)
                 outs, oms, s_next = jax.vmap(
                     one_instance, in_axes=(0, 0, None, None)
                 )(params_t, s_leaves_cur, sample, t_secs)
@@ -243,9 +268,13 @@ class MegaRenderer:
                 mask_ref[:, k] = row
                 return s_next
 
-            s_final = jax.lax.fori_loop(
-                0, k_blocks, block_step, [jnp.asarray(s) for s in state0]
-            )
+            carry = [jnp.asarray(s) for s in state0]
+            if self.unroll:
+                for k in range(k_blocks):
+                    carry = block_step(k, carry)
+                s_final = carry
+            else:
+                s_final = jax.lax.fori_loop(0, k_blocks, block_step, carry)
             for r, v, e in zip(s_out_refs, s_final, s_expand):
                 v = _to_kernel_dtype(v)
                 r[...] = v[:, None] if e else v
@@ -556,6 +585,12 @@ class HybridMegaRenderer:
         assert n_in <= 128 and n_out <= 128, "live cut exceeds flag lanes"
         plan = [("single", [sn]) for sn in nodes]
         keys = self._seg_keys(nodes)
+        # per-island static unroll when any member node requests it
+        # (see MegaRenderer.__init__)
+        unroll_seg = any(
+            getattr(program._procs[k], "megakernel_needs_unroll", False)
+            for k in keys
+        )
 
         p_leaves, p_def = jax.tree.flatten(params_seg)
         s_leaves, s_def = jax.tree.flatten(state_seg)
@@ -623,10 +658,11 @@ class HybridMegaRenderer:
 
             def block_step(k, carry):
                 s_cur = carry
-                sample = start_ref[0] + (k * f).astype(jnp.uint32)
-                t_secs = start_time_ref[0] + k.astype(jnp.float32) * jnp.float32(
-                    f / sr
-                )
+                ku = jnp.asarray(k)  # traced int (fori) or static (unroll)
+                sample = start_ref[0] + (ku * f).astype(jnp.uint32)
+                t_secs = start_time_ref[0] + ku.astype(
+                    jnp.float32
+                ) * jnp.float32(f / sr)
                 rows = env_ref[:, k]
                 fl = envf_ref[:, k]
                 outs, oflags, s_next = jax.vmap(
@@ -636,9 +672,13 @@ class HybridMegaRenderer:
                 outf_ref[:, k] = oflags
                 return s_next
 
-            s_final = jax.lax.fori_loop(
-                0, k_blocks, block_step, [jnp.asarray(s) for s in state0]
-            )
+            carry = [jnp.asarray(s) for s in state0]
+            if unroll_seg:
+                for k in range(k_blocks):
+                    carry = block_step(k, carry)
+                s_final = carry
+            else:
+                s_final = jax.lax.fori_loop(0, k_blocks, block_step, carry)
             for r, v, e in zip(s_out_refs, s_final, s_expand):
                 v = _to_kernel_dtype(v)
                 r[...] = v[:, None] if e else v

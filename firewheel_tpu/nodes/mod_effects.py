@@ -41,6 +41,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from ..core import trace_mode
 from ..core.node import (
     gate,
     AudioNode,
@@ -96,9 +97,13 @@ def _lfo_delay(phases, base, depth):
 
 
 class ModDelayProcessor(NodeProcessor):
-    # verified on-chip (round 3): the batched kernel turns each
-    # take_along_axis into a 3-D gather ("Only 2D gather is supported")
-    supports_megakernel = False
+    # Megakernel eligibility (round-4 reformulation of the round-3 3-D
+    # gather failure): the NO-FEEDBACK kernel emits its fractional tap
+    # as a rank-1 gather under trace_mode.MOSAIC (channels flattened
+    # into the index), which tile-vmaps to the 2-D gather Mosaic
+    # supports.  FEEDBACK mode stays opted out: its sub-block lax.scan
+    # emits per-step ys (Mosaic: "num_extensive" NotImplementedError,
+    # probed on-chip round 3).
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
@@ -111,6 +116,18 @@ class ModDelayProcessor(NodeProcessor):
             # would invert the collect_params clamp (np.clip with lo > hi
             # returns hi) and tap out of bounds — grow the line instead
             self._window = max(self._window, _SUB + 3)
+        # eligibility: no feedback (the fb sub-block scan emits per-step
+        # ys Mosaic rejects) AND a line short enough that the tiled
+        # Mosaic gather stays reasonable (ops/gather.py unroll cost)
+        from ..ops.gather import gather_unroll_cost
+
+        self.supports_megakernel = (
+            not self._fb_mode
+            and gather_unroll_cost(
+                num_inputs * (self._window + max_block_frames),
+                2 * num_inputs * max_block_frames,
+            ) <= 256
+        )
 
     def group_key(self):
         return (self._window, self._fb_mode)
@@ -156,8 +173,35 @@ class ModDelayProcessor(NodeProcessor):
             i0 = jnp.floor(pos)
             frac = pos - i0
             i0 = i0.astype(jnp.int32)
-            s0 = jnp.take_along_axis(seq, i0, axis=-1)
-            s1 = jnp.take_along_axis(seq, i0 + 1, axis=-1)
+            if trace_mode.MOSAIC:
+                # Mosaic-safe tap: flatten channels into a rank-1 index
+                # and gather through the 128-wide tiled decomposition
+                # (ops/gather.py — tpu.dynamic_gather only compiles one
+                # lane tile wide; round 3's direct take_along_axis was a
+                # 3-D gather and failed outright).
+                from ..ops.gather import mosaic_gather_1d
+
+                # lane-pad before the channel flatten: reshaping an
+                # UNALIGNED [ch, wf] into the lane dim crashes the TPU
+                # compiler (probed 2026-08-19: [2,1282]→[2564] dies,
+                # [2,1408]→[2816] compiles)
+                wf = w + frames
+                pad = (-wf) % 128
+                seq_g = (jnp.concatenate(
+                    [seq, jnp.zeros((ch, pad), jnp.float32)], axis=-1)
+                    if pad else seq)
+                wf += pad
+                flat = seq_g.reshape(ch * wf)
+                offs = (jnp.arange(ch, dtype=jnp.int32) * wf)[:, None]
+                idx = jnp.concatenate([
+                    (i0 + offs).reshape(-1), (i0 + 1 + offs).reshape(-1),
+                ])
+                g2 = mosaic_gather_1d(flat, idx)
+                s0 = g2[: ch * frames].reshape(ch, frames)
+                s1 = g2[ch * frames:].reshape(ch, frames)
+            else:
+                s0 = jnp.take_along_axis(seq, i0, axis=-1)
+                s1 = jnp.take_along_axis(seq, i0 + 1, axis=-1)
             tap = s0 + (s1 - s0) * frac
             new_line = seq[:, frames:]
         else:

@@ -28,9 +28,11 @@ because state carries the current tap phase, not the target).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
+from ..core import trace_mode
 from ..core.node import (
     gate,
     broadcast_flag,
@@ -45,9 +47,24 @@ __all__ = ["PitchShiftNode", "PitchShiftProcessor"]
 
 
 class PitchShiftProcessor(NodeProcessor):
-    # verified on-chip (round 3): the ring-buffer write is a scatter
-    # ("Unimplemented primitive in Pallas TPU lowering ... scatter")
-    supports_megakernel = False
+    # Megakernel eligibility (round-4 reformulation of the round-3
+    # scatter failure): the ring is SHIFT-LEFT (newest samples always at
+    # the end, like mod_effects' line) instead of cursor+scatter —
+    # vmap(dynamic_update_slice) always delegates to scatter
+    # (jax slicing.py _dynamic_update_slice_batching_rule), so ANY
+    # cursor-positioned write is un-lowerable under the tile vmap; the
+    # static-slice concat is scatter-free in both lowerings and handles
+    # partial blocks.  Taps lower through the 128-wide tiled gather
+    # (ops/gather.py: tpu.dynamic_gather only compiles one lane tile
+    # wide — wider take_along_axis crashes the TPU compiler, probed
+    # 2026-08-19); the unroll cost caps eligibility to small rings, so
+    # the DEFAULT 8192-sample window stays on the XLA executor while
+    # short-window shifters join the megakernel.
+    # the gather-heavy body compiles at fori_loop trip count 1 but
+    # SIGABRTs libtpu inside a real K-loop (probed 2026-08-19); static
+    # unroll sidesteps the loop entirely
+    megakernel_needs_unroll = True
+
     def __init__(self, node, sample_rate, max_block_frames, num_inputs, num_outputs):
         super().__init__(sample_rate, max_block_frames, num_inputs, num_outputs)
         self._node = node
@@ -60,6 +77,11 @@ class PitchShiftProcessor(NodeProcessor):
         # two keeps the ring mod cheap.
         w = max(int(node.window_secs * sample_rate), 8 * max_block_frames)
         self._window = 1 << (w - 1).bit_length()
+        from ..ops.gather import gather_unroll_cost
+
+        self.supports_megakernel = gather_unroll_cost(
+            num_inputs * self._window, 2 * num_inputs * max_block_frames
+        ) <= 256
 
     def group_key(self):
         return (self._window,)
@@ -67,8 +89,8 @@ class PitchShiftProcessor(NodeProcessor):
     def init_state(self):
         ch = self.num_inputs
         return {
+            # shift-left ring: ring[:, -1] is the newest sample
             "ring": np.zeros((ch, self._window), np.float32),
-            "cursor": np.zeros((), np.int32),
             # tap phase in [0, 1): position of tap A inside the wrap
             # cycle; tap B rides half a cycle away
             "phase": np.zeros((), np.float32),
@@ -82,15 +104,11 @@ class PitchShiftProcessor(NodeProcessor):
     def kernel(self, params, state, inputs, in_mask, info):
         ch, frames = inputs.shape
         w = self._window
-        ring, cursor = state["ring"], state["cursor"]
-
-        # write this block into the ring, wrap-safe for ANY hop length
-        # (stream tails dispatch partial blocks): a scatter at the
-        # wrapped indices — frames-sized, cheap next to the gathers
-        widx = jnp.mod(
-            cursor + jnp.arange(frames, dtype=jnp.int32), w
+        # shift-left write: static slices only (see class comment) —
+        # handles any hop length (stream tails dispatch partial blocks)
+        ring = jnp.concatenate(
+            [jnp.asarray(state["ring"])[:, frames:], inputs], axis=-1
         )
-        ring = jnp.asarray(ring).at[:, widx].set(inputs)
 
         # tap delays: phase p in [0,1) maps to delay d = p*span where
         # span = W - W/8 — the slack keeps every read clear of the region
@@ -105,18 +123,46 @@ class PitchShiftProcessor(NodeProcessor):
         phases_a = jnp.mod(state["phase"] + t * dphase, 1.0)  # [F]
         phases_b = jnp.mod(phases_a + 0.5, 1.0)
 
-        # sample positions: (cursor + k) is "now" for output sample k;
-        # read at now - delay, modulo the ring
-        now = cursor.astype(jnp.float32) + t - 1.0
+        # sample positions: output sample k is ring index w-frames+k
+        # ("now"); read at now - delay.  delay <= span = w - w/8 and
+        # w >= 8F keep pos in [w/8 - F, w-1] — always in-bounds, no mod.
+        now = jnp.float32(w - frames) + t - 1.0
 
         def tap(phases):
-            pos = jnp.mod(now - phases * span, jnp.float32(w))
+            pos = now - phases * span
             i0 = jnp.floor(pos)
             frac = pos - i0
             i0 = i0.astype(jnp.int32)
-            i1 = jnp.mod(i0 + 1, w)
-            s0 = ring[:, i0]
-            s1 = ring[:, i1]
+            # pos == w-1 exactly gives i1 == w with frac == 0: clamp
+            i1 = jnp.minimum(i0 + 1, w - 1)
+            if trace_mode.MOSAIC:
+                # Mosaic-safe tap: flatten channels into a rank-1 index
+                # and gather through the 128-wide tiled decomposition
+                # (ops/gather.py); eligibility is gated on the unroll
+                # cost in __init__, so this only traces for small rings.
+                from ..ops.gather import mosaic_gather_1d
+
+                # lane-pad before the channel flatten (unaligned lane
+                # reshapes crash the TPU compiler — see mod_effects.py);
+                # the window is a power of two so this only fires for
+                # sub-128 windows
+                pad = (-w) % 128
+                ring_g = (jnp.concatenate(
+                    [ring, jnp.zeros((ch, pad), jnp.float32)], axis=-1)
+                    if pad else ring)
+                wp = w + pad
+                flat = ring_g.reshape(ch * wp)
+                offs = (jnp.arange(ch, dtype=jnp.int32) * wp)[:, None]
+                idx = jnp.concatenate([
+                    (offs + i0[None, :]).reshape(-1),
+                    (offs + i1[None, :]).reshape(-1),
+                ])
+                g2 = mosaic_gather_1d(flat, idx)
+                s0 = g2[: ch * frames].reshape(ch, frames)
+                s1 = g2[ch * frames:].reshape(ch, frames)
+            else:
+                s0 = ring[:, i0]
+                s1 = ring[:, i1]
             y = s0 + (s1 - s0) * frac[None, :]
             # triangular crossfade: silent at the wrap (phase 0/1),
             # loudest mid-cycle; A^2-weights + B's sum to unit power
@@ -128,7 +174,12 @@ class PitchShiftProcessor(NodeProcessor):
         shifted = tap(phases_a) + tap(phases_b)
         y = inputs + params["mix"] * (shifted - inputs)
 
-        line_quiet = jnp.all(jnp.abs(state["ring"]) < 1e-12)
+        # two-stage reduce: a one-shot multi-axis jnp.all over the wide
+        # ring SIGABRTs the TPU compiler under Mosaic (probed
+        # 2026-08-19); per-lane then per-channel compiles
+        line_quiet = jnp.all(
+            jnp.all(jnp.abs(state["ring"]) < 1e-12, axis=-1)
+        )
         all_silent = jnp.all(in_mask) & line_quiet
         y = gate(y, all_silent)
         out_mask = broadcast_flag(all_silent, (ch,))
@@ -137,7 +188,6 @@ class PitchShiftProcessor(NodeProcessor):
             "ring": jnp.where(
                 all_silent, jnp.zeros((ch, w), jnp.float32), ring
             ),
-            "cursor": jnp.mod(cursor + frames, w).astype(jnp.int32),
             "phase": jnp.where(
                 all_silent, jnp.float32(0.0), phases_a[frames - 1]
             ),

@@ -97,6 +97,33 @@ def mixer_program():
     return _program(g)
 
 
+def sampler_pitch_program():
+    """sampler (xla) → chorus → pitch → clip (unrolled island) → reverb
+    (xla): exercises the per-island static K-loop unroll."""
+    from firewheel_tpu.nodes import ModDelayNode, PitchShiftNode
+
+    rng = np.random.default_rng(7)
+    clip_audio = (rng.standard_normal((2, 4096)) * 0.25).astype(np.float32)
+    ir = (rng.standard_normal((2, 128)) * np.exp(
+        -np.arange(128, dtype=np.float32) / 32.0
+    )).astype(np.float32)
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    sampler_node = SamplerNode(percent_volume=100.0, quality="cubic")
+    sampler_node.set_sample(SampleResource(clip_audio))
+    sampler_node.play()
+    sampler = g.add_node(0, 2, sampler_node)
+    chorus = g.add_node(2, 2, ModDelayNode.chorus(rate_hz=0.9, mix=0.5))
+    pitch = g.add_node(2, 2, PitchShiftNode(semitones=-3.0, mix=0.7))
+    clip = g.add_node(2, 2, HardClipNode(-1.0))
+    rev = g.add_node(2, 2, ConvolutionReverbNode(ir, wet=0.3))
+    chain = [sampler, chorus, pitch, clip, rev, g.graph_out_node()]
+    for a, b in zip(chain[:-1], chain[1:]):
+        for ch in range(2):
+            g.connect(a, ch, b, ch)
+    return _program(g)
+
+
 def round3_effects_program():
     """New-node chain with interleaved eligibility (round 3):
     beep → chorus (xla) → eq → waveshaper → tremolo (island) →
@@ -165,13 +192,17 @@ class TestPartition:
         prog = round3_effects_program()
         segs = partition_schedule(prog)
         kinds = [k for k, _ in segs]
-        # beep+? | chorus (xla) | eq+shaper+trem island | pitch shift (xla)
-        assert "mega" in kinds
-        by_kind = {}
-        for k, nodes in segs:
-            by_kind.setdefault(k, []).append(len(nodes))
-        # the eq→waveshaper→tremolo run must island together
-        assert max(by_kind["mega"]) >= 3
+        # round 4: chorus + pitch reformulated Mosaic-safe, so the whole
+        # beep→chorus→eq→waveshaper→tremolo→pitch chain is ONE island
+        assert kinds == ["mega"]
+
+    def test_unroll_island_partitions(self):
+        """A pitch-shift island between XLA stages asks for a statically
+        unrolled K loop (megakernel_needs_unroll) without dragging the
+        sampler/reverb stages along."""
+        prog = sampler_pitch_program()
+        segs = partition_schedule(prog)
+        assert [k for k, _ in segs] == ["xla", "mega", "xla"]
 
     def test_min_island_folds_tiny_runs(self):
         prog = effects_chain_program()
@@ -230,6 +261,28 @@ class TestHybridParity:
             np.asarray(out_h), np.asarray(out_x), atol=2e-6, rtol=0
         )
         np.testing.assert_array_equal(np.asarray(om_h), np.asarray(om_x))
+
+    def test_unroll_island_matches_xla(self):
+        """Pitch inside an island: the K loop statically unrolls
+        (megakernel_needs_unroll) and still matches the XLA chunk path,
+        state carry included."""
+        prog = sampler_pitch_program()
+        hy = HybridMegaRenderer(prog, batch=B, num_blocks=K, tile=4,
+                                interpret=True)
+        params, state = hy.stack_params(), hy.init_state()
+        out1, om1, st1 = hy.render_chunk(params, state, start_sample=0)
+        out2, om2, _ = hy.render_chunk(params, st1, start_sample=K * F)
+        xo1, xm1, xs1 = _xla_reference(prog, params, state)
+        xo2, xm2, _ = _xla_reference(
+            prog, params, xs1, start_sample=K * F
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(xo1), atol=2e-6, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(out2), np.asarray(xo2), atol=2e-6, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(om2), np.asarray(xm2))
 
     def test_state_carries_across_chunks(self):
         prog = effects_chain_program()

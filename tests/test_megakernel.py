@@ -77,8 +77,9 @@ def test_eligibility():
 
 def test_eligibility_round3_nodes():
     """On-chip verified (round 3): EQ / waveshaper / tremolo lower through
-    Mosaic; mod-delay (3-D batched gathers) and pitch shift (ring-buffer
-    scatter) must stay on the XLA executor or in XLA islands."""
+    Mosaic.  Round 4 reformulated mod-delay (no-feedback) and pitch
+    shift into Mosaic-safe forms — they are now ELIGIBLE (parity in
+    test_mod_pitch_parity_interpret; flanger feedback stays out)."""
     from firewheel_tpu.nodes import (
         EQBand,
         FilterType,
@@ -103,8 +104,8 @@ def test_eligibility_round3_nodes():
         EQBand(FilterType.PEAKING, 440.0, 1.0, 6.0)])))
     assert supports_megakernel(prog_with(2, WaveshaperNode("tanh", 6.0)))
     assert supports_megakernel(prog_with(2, TremoloNode(4.0, 0.5)))
-    assert not supports_megakernel(prog_with(2, ModDelayNode.chorus()))
-    assert not supports_megakernel(prog_with(2, PitchShiftNode(3.0)))
+    assert supports_megakernel(prog_with(2, ModDelayNode.chorus()))
+    assert supports_megakernel(prog_with(2, PitchShiftNode(3.0)))
 
 
 def test_eligibility_dynamics_and_noise():
@@ -210,3 +211,60 @@ def test_dynamics_chain_parity_interpret():
     )
     np.testing.assert_array_equal(np.asarray(outs), np.asarray(bout))
     np.testing.assert_array_equal(np.asarray(masks), np.asarray(bmask))
+
+
+def test_mod_pitch_parity_interpret():
+    """Round-4 reformulations: mod-delay (no feedback) and pitch shift
+    join the megakernel — rank-1 flattened gathers (→ 2-D after the tile
+    vmap) and a shift-left ring (static-slice concat) instead of the
+    cursor+scatter write.  Interpret mode traces the SAME Mosaic-form
+    kernels; state parity is checked per-leaf."""
+    from firewheel_tpu.nodes import ModDelayNode, PitchShiftNode
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b = g.add_node(0, 2, BeepTestNode(440, -14, True))
+    ch = g.add_node(2, 2, ModDelayNode.chorus())
+    ps = g.add_node(2, 2, PitchShiftNode(semitones=4.0, mix=0.6))
+    cl = g.add_node(2, 2, HardClipNode(0.0))
+    chain = [b, ch, ps, cl, g.graph_out_node()]
+    for a_, b_ in zip(chain[:-1], chain[1:]):
+        g.connect(a_, 0, b_, 0); g.connect(a_, 1, b_, 1)
+    pkg = g.compile(SR, F)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    assert supports_megakernel(prog)
+
+    B, K = 8, 4
+    mega = MegaRenderer(prog, batch=B, num_blocks=K, tile=4, interpret=True)
+    outs, masks, mstate = mega.render_chunk(
+        mega.stack_params(), mega.init_state(), 0
+    )
+    br = BatchRenderer(prog, batch=B)
+    bout, bmask, bstate = br.render_chunk(
+        br.stack_params(), br.init_state(), num_blocks=K
+    )
+    np.testing.assert_array_equal(np.asarray(outs), np.asarray(bout))
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(bmask))
+    for key in mstate:
+        ma, xa = mstate[key], bstate[key]
+        for (pa, a), (pb, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(ma),
+            jax.tree_util.tree_leaves_with_path(xa),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b_),
+                err_msg=f"{key}{jax.tree_util.keystr(pa)}",
+            )
+
+
+def test_flanger_feedback_stays_opted_out():
+    from firewheel_tpu.nodes import ModDelayNode
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    b = g.add_node(0, 2, BeepTestNode(440, -14, True))
+    fl = g.add_node(2, 2, ModDelayNode.flanger())
+    g.connect(b, 0, fl, 0); g.connect(b, 1, fl, 1)
+    g.connect(fl, 0, g.graph_out_node(), 0)
+    g.connect(fl, 1, g.graph_out_node(), 1)
+    pkg = g.compile(SR, F)
+    prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
+    assert not supports_megakernel(prog)
