@@ -116,8 +116,8 @@ class MusicPlayer:
         else:
             dest_node, dest_ports = dest
         n_ch = len(dest_ports)
-        # 2 streaming decks + 1 stinger sampler, summed
-        self.sum_id = graph.add_node(3 * n_ch, n_ch, SumNode())
+        # 2 streaming decks + 2 stinger samplers, summed
+        self.sum_id = graph.add_node(4 * n_ch, n_ch, SumNode())
         self.decks: list[_Deck] = []
         for i in range(2):
             s = StreamingSamplerNode(window_secs=window_secs)
@@ -128,13 +128,22 @@ class MusicPlayer:
                 graph.connect(sid, ch, vid, ch)
                 graph.connect(vid, ch, self.sum_id, n_ch * i + ch)
             self.decks.append(_Deck(s, sid, v, vid))
-        #: stinger lane: an in-memory sampler for short musical overlays
-        #: (clips are live params — same-shape swaps are free)
-        self._stinger = SamplerNode(100.0)
-        stid = graph.add_node(0, n_ch, self._stinger)
-        self.stinger_id = stid
-        for ch in range(n_ch):
-            graph.connect(stid, ch, self.sum_id, 2 * n_ch + ch)
+        #: stinger lanes: TWO in-memory samplers for short musical
+        #: overlays (clips are live params — same-shape swaps are free).
+        #: Two lanes make the common retrigger — a new stinger while the
+        #: previous one still sounds — sample-accurate: it fires on the
+        #: free lane instead of waiting host-side for the busy one.
+        self._stingers: list[SamplerNode] = []
+        self.stinger_ids: list[int] = []
+        self._stinger_ends = [-1, -1]  # stream sample each lane ends
+        for j in range(2):
+            st = SamplerNode(100.0)
+            stid = graph.add_node(0, n_ch, st)
+            self._stingers.append(st)
+            self.stinger_ids.append(stid)
+            for ch in range(n_ch):
+                graph.connect(stid, ch, self.sum_id, (2 + j) * n_ch + ch)
+        self.stinger_id = self.stinger_ids[0]
         for j, port in enumerate(dest_ports):
             graph.connect(self.sum_id, j, dest_node, port)
         self._current: Optional[int] = None  # audibly-playing deck
@@ -142,7 +151,6 @@ class MusicPlayer:
         self._pending: list[tuple] = []  # (reader, gain_db, crossfade_secs)
         self._loop_reader = None
         self._loop_gain_db = 0.0
-        self._stinger_end = -1  # stream sample the active overlay ends
         self._pending_stinger: Optional[tuple] = None  # (clip, gain_db, at)
         # musical grid for quantized transitions (set_tempo)
         self._bpm = 0.0
@@ -247,28 +255,40 @@ class MusicPlayer:
         Returns the absolute stream sample the stinger fires at."""
         t = self._now(now)
         at = self._quantize(t, quantize)
-        if at > t and t < self._stinger_end:
-            # the active overlay is still sounding and the retrigger lies
-            # in the future: applying set_sample/volume now would silence
-            # it until the boundary.  Stage host-side; update() applies it
-            # once the overlay ends (sample-accurate when it ends before
-            # the boundary) or at the boundary (within the host's update
-            # cadence when they overlap — the one-lane trade-off).
+        free = [j for j, e in enumerate(self._stinger_ends) if e <= t]
+        if free:
+            # a silent lane exists: fire (or schedule for `at`) on it —
+            # sample-accurate, any still-sounding overlay plays out on the
+            # other lane untouched.  A staged stinger is superseded.
+            self._pending_stinger = None
+            self._fire_stinger(free[0], clip, float(gain_db), at)
+            return at
+        if at > t:
+            # BOTH overlays still sounding and the retrigger lies in the
+            # future: re-programming either lane now would cut it.  Stage
+            # host-side; update() fires it once a lane frees (sample-
+            # accurate when that happens before the boundary) or at the
+            # boundary (within the host's update cadence when all three
+            # overlap — the two-lane trade-off).
             self._pending_stinger = (clip, float(gain_db), at)
             return at
+        # immediate retrigger with every lane busy: cut the one ending
+        # soonest (the least audible loss)
         self._pending_stinger = None
-        self._fire_stinger(clip, float(gain_db), at)
+        lane = min(range(len(self._stingers)),
+                   key=lambda j: self._stinger_ends[j])
+        self._fire_stinger(lane, clip, float(gain_db), at)
         return at
 
-    def _fire_stinger(self, clip, gain_db: float, at: int):
-        st = self._stinger
+    def _fire_stinger(self, lane: int, clip, gain_db: float, at: int):
+        st = self._stingers[lane]
         st.cancel_scheduled()
         st.set_sample(clip)
         st.set_percent_volume(
             _pct_for_amp(float(db_to_gain(np.float32(gain_db))))
         )
         st.play(at_sample=at)
-        self._stinger_end = at + self._stream_len(clip)
+        self._stinger_ends[lane] = at + self._stream_len(clip)
 
     def _mark_cut(self, d: _Deck, at: int, end: int | None = None):
         """Bookkeeping after a deck's playback was cut at ``at``: a deck
@@ -501,12 +521,19 @@ class MusicPlayer:
         t = self._now(now)
         if self._pending_stinger is not None:
             clip, gdb, s_at = self._pending_stinger
-            if t >= min(s_at, self._stinger_end):
-                # the active overlay ended (fire the staged one armed for
-                # its boundary) or the boundary arrived while they overlap
-                # (retrigger now — late by at most one host frame)
+            if t >= min(s_at, min(self._stinger_ends)):
+                # a lane freed (fire the staged one armed for its
+                # boundary) or the boundary arrived with every lane still
+                # sounding (retrigger now — late by at most one host
+                # frame, cutting the soonest-ending overlay)
                 self._pending_stinger = None
-                self._fire_stinger(clip, gdb, s_at)
+                free = [j for j, e in enumerate(self._stinger_ends)
+                        if e <= t]
+                lane = free[0] if free else min(
+                    range(len(self._stingers)),
+                    key=lambda j: self._stinger_ends[j],
+                )
+                self._fire_stinger(lane, clip, gdb, s_at)
         if self._current is None:
             if (self._tail is None
                     or t < self.decks[self._tail].start_sample):

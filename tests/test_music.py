@@ -290,3 +290,46 @@ def test_stinger_retrigger_waits_for_active_overlay():
     assert abs(L[30000] - 0.3) < 2e-2
     # B fires on the bar
     assert abs(L[at_b + 2000] - 0.8) < 2e-2
+
+
+def test_stinger_second_lane_overlaps_sample_accurately():
+    """Two stinger lanes (round 4): a retrigger while the first overlay
+    still sounds fires on the FREE lane immediately — both overlays sound
+    at once with no host-cadence wait.  A THIRD stinger while both lanes
+    sound stages host-side and fires on its grid boundary once a lane
+    frees (the two-lane trade-off)."""
+    from firewheel_tpu.core.sample_resource import SampleResource
+
+    cx, player, sink = build()
+    player.play(const_reader(0.1, SR * 2))
+    player.set_tempo(75.0, beats_per_bar=1, origin_sample=0)  # bar 38400
+    clip_a = SampleResource(
+        np.full((2, 19200), 0.2, np.float32), sample_rate=SR)
+    clip_b = SampleResource(
+        np.full((2, 24000), 0.3, np.float32), sample_rate=SR)
+    clip_c = SampleResource(
+        np.full((2, 4800), 0.25, np.float32), sample_rate=SR)
+    cx.render_offline(0.1)
+    at_a = player.stinger(clip_a)  # lane 0; ends at_a + 19200
+    cx.render_offline(0.05)
+    at_b = player.stinger(clip_b)  # lane 1 is free: fires NOW, no staging
+    assert at_b > at_a
+    assert player._pending_stinger is None  # not staged — second lane
+    cx.render_offline(0.05)
+    at_c = player.stinger(clip_c, quantize="bar")  # both busy: staged
+    assert at_c == 38400
+    assert player._pending_stinger is not None
+    for _ in range(16):
+        cx.render_offline(0.06)
+        player.update()
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    # A and B overlap: bed + A + B right after at_b
+    assert abs(L[at_b + 500] - 0.6) < 2e-2
+    # A ended, B still sounding
+    assert abs(L[at_a + 19200 + 1000] - 0.4) < 2e-2
+    # between B's end and the bar: bed alone
+    assert abs(L[at_b + 24000 + 1000] - 0.1) < 2e-2
+    # C fires exactly on the bar (sample-accurate despite staging)
+    assert abs(L[at_c - 8] - 0.1) < 2e-2
+    assert abs(L[at_c + 8] - 0.35) < 2e-2
