@@ -183,8 +183,18 @@ class FirewheelCtx:
             if max_pump_buffers is None:
                 self._active.stream.pump()
             elif max_pump_buffers > 0:
+                # Bound one update()'s render-ahead, but never below a
+                # whole dispatch chunk: clamping to PUMP_MAX_BUFFERS (8)
+                # alone would cap every pump at 8 buffers, which the
+                # strict-size rule then shrinks to SINGLE-buffer
+                # dispatches (warmup compiles {1, chunk_buffers} only) —
+                # on a ~30 ms-RTT tunnel that throttled render_offline
+                # to ~0.01x realtime (round-4 soak, k=1 regime).
                 self._active.stream.pump(
-                    min(max_pump_buffers, PUMP_MAX_BUFFERS)
+                    min(
+                        max_pump_buffers,
+                        max(PUMP_MAX_BUFFERS, cfg.chunk_buffers),
+                    )
                 )
             if self._active.stream.error is not None:
                 # surfaced on the next update() via the error channel

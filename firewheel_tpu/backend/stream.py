@@ -83,8 +83,13 @@ class StreamConfig:
         self.num_in_channels = num_in_channels
         self.buffer_frames = buffer_frames
         self.realtime = realtime
+        # floor to a power of two: the processor only warms (and the
+        # strict-size rule only dispatches) power-of-two chunk programs,
+        # so a 75-buffer chunk would decompose into one 64-chunk plus 11
+        # SINGLE-buffer dispatches every pump
+        chunk_buffers = 1 << (max(1, int(chunk_buffers)).bit_length() - 1)
         self.lookahead_buffers = max(lookahead_buffers, chunk_buffers + 1)
-        self.chunk_buffers = max(1, int(chunk_buffers))
+        self.chunk_buffers = chunk_buffers
         #: precompile every power-of-two tail size at activate (see
         #: GraphProcessor.warmup)
         self.warmup_full = bool(warmup_full)

@@ -208,3 +208,33 @@ def test_chunked_input_silence_mask_per_block():
             assert (blk == np.float32(0.5)).all(), f"block {i}"
         else:
             assert (blk == 0).all(), f"block {i}"
+
+
+def test_offline_pump_dispatches_whole_chunks():
+    """Regression (round-4 soak): update()'s render-ahead bound clamped
+    explicit max_pump_buffers to PUMP_MAX_BUFFERS (8), so with
+    chunk_buffers > 8 every render_offline dispatch shrank to a SINGLE
+    buffer (8 is not a warmed size; the strict-size rule walks k down to
+    1) — ~0.01x realtime on a ~30 ms-RTT chip tunnel.  The bound must
+    admit at least one whole chunk, and a non-power-of-two request
+    floors to the processor's quantized chunk."""
+    cx = FirewheelCtx()
+    g = cx.graph_mut()
+    beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+    g.connect(beep, 0, g.graph_out_node(), 0)
+    g.connect(beep, 1, g.graph_out_node(), 1)
+    sink = ArraySink()
+    cfg = StreamConfig(SR, 2, buffer_frames=128, chunk_buffers=23)
+    assert cfg.chunk_buffers == 16  # floored to the warmed power of two
+    cx.activate(cfg, sink=sink)
+    st = cx.stream
+    st._render_times.clear()
+    cx.render_offline(1.0)  # 375 buffers
+    dispatches = len(st._render_times)
+    cx.deactivate()
+    # 375 buffers in 16-buffer chunks: 23 chunks + tail (8/4/2/1 sizes),
+    # far below the 375 the k=1 regime would log (deque caps at 512)
+    assert dispatches <= 40, dispatches
+    audio = sink.audio(2)
+    assert audio.shape[1] >= SR
+    assert np.abs(audio).max() > 0.2
