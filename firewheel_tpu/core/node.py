@@ -291,6 +291,24 @@ class NodeProcessor:
         default) to opt out."""
         return None
 
+    def signature_key(self):
+        """Behavioral-identity key for the cross-program compile cache,
+        or ``None`` to opt the whole program out of it.
+
+        Defaults to :meth:`group_key`, but the two answer different
+        questions: ``group_key`` additionally gates *pooling* (vmapping
+        consecutive identical nodes into one traced kernel), which some
+        nodes expose as an explicit user opt-in because it imposes a
+        stability promise (e.g. ``SamplerNode(poolable=True)`` promises a
+        fixed sample shape).  A node whose kernel is behaviorally
+        identical given the same (params, state, inputs) should return a
+        non-``None`` key here even when pooling is opted out — otherwise
+        one such node makes every live edit of the surrounding graph pay
+        a full retrace + XLA compile instead of adopting the donor
+        program's warmed executables (round-4 soak: a game mixer with one
+        default sampler recompiled on every topology edit)."""
+        return self.group_key()
+
 
 class AudioNode:
     """Main-thread node handle (node.rs:6-34).

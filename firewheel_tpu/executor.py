@@ -366,7 +366,8 @@ class ScheduleProgram:
         """Canonical shape signature: node kernels in schedule order + the
         buffer wiring under first-use renumbering.  Two programs with equal
         signatures trace to identical computations over the canon-keyed
-        packed pytrees (the ``group_key`` behavioral-identity contract)."""
+        packed pytrees (the ``signature_key`` behavioral-identity
+        contract; ``group_key`` additionally gates pooling)."""
         renum: dict[int, int] = {}
 
         def canon_buf(b: int) -> int:
@@ -380,8 +381,8 @@ class ScheduleProgram:
             if proc is None:
                 entry = ("<sentinel>",)
             else:
-                gk = proc.group_key()
-                if gk is None:
+                sk = proc.signature_key()
+                if sk is None:
                     return None
                 entry = (
                     type(proc).__name__,
@@ -389,7 +390,12 @@ class ScheduleProgram:
                     proc.num_outputs,
                     proc.sample_rate,
                     proc.max_block_frames,
-                    gk,
+                    sk,
+                    # pooling eligibility is structural: a poolable and a
+                    # non-poolable node with equal signature_keys trace
+                    # different plans (vmapped vs per-node), so they must
+                    # not alias in the donor cache
+                    proc.group_key() is not None,
                 )
             ins = tuple(
                 ("clear",)

@@ -318,6 +318,17 @@ class SamplerProcessor(NodeProcessor):
         node = self._node
         if not node.poolable:
             return None
+        return self.signature_key()
+
+    def signature_key(self):
+        """Unlike pooling (gated on the ``poolable`` opt-in, because it
+        promises a stable sample shape for the program's lifetime), the
+        compile-cache identity holds unconditionally: the sample data
+        rides ``collect_params`` as a device argument, so the traced
+        kernel depends only on its shape and the interpolator — a
+        default (non-poolable) sampler must not force the whole program
+        to recompile on every live edit."""
+        node = self._node
         shape = (
             tuple(np.asarray(node._sample.data).shape)
             if node._sample is not None

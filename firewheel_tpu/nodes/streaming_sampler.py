@@ -433,6 +433,14 @@ class StreamingSamplerProcessor(NodeProcessor):
         """``finished``: the stream reached EOF (core/events.py)."""
         return {"finished": "finish_count"}
 
+    def signature_key(self):
+        """Compile-cache identity (never pooled — ``group_key`` stays
+        ``None``: the host-side prefetch shadow clock is per-instance).
+        The kernel is pure over (params, state): the window rides
+        ``collect_params`` and its SHAPE is a packed-cache key, so any
+        constant token is a sound identity here."""
+        return "streaming-sampler"
+
     def kernel(self, params, state, inputs, in_mask, info):
         frames = self.max_block_frames if inputs.ndim < 2 else inputs.shape[-1]
         n_out = self.num_outputs

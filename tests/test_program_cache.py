@@ -167,6 +167,112 @@ class TestAdoption:
         assert _PROGRAM_CACHE[p1.signature] is p1
 
 
+class TestSignatureKeyVsGroupKey:
+    """signature_key (compile-cache identity) is split from group_key
+    (pooling eligibility): a default non-poolable SamplerNode must not
+    force every live edit of the surrounding graph to recompile
+    (round-4 soak regression — progcache stayed 0 for the game mixer)."""
+
+    def _sampler_graph(self, poolable=False, n=4096):
+        from firewheel_tpu.core.sample_resource import SampleResource
+        from firewheel_tpu.nodes import LoopRange, SamplerNode
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        clip = np.linspace(-0.2, 0.2, n, dtype=np.float32)[None, :].repeat(2, 0)
+        smp = SamplerNode(percent_volume=90.0, poolable=poolable)
+        smp.set_sample(SampleResource(clip))
+        smp.set_loop_range(LoopRange.FULL)
+        smp.play()
+        src = g.add_node(0, 2, smp)
+        vol = g.add_node(2, 2, VolumeNode(80.0))
+        for ch in range(2):
+            g.connect(src, ch, vol, ch)
+            g.connect(vol, ch, g.graph_out_node(), ch)
+        return g
+
+    def test_nonpoolable_sampler_program_is_cacheable(self):
+        p1 = program_of(self._sampler_graph())
+        assert p1.signature is not None
+        out1, _ = packed_render(p1)
+        p2 = program_of(self._sampler_graph())
+        assert p2.signature == p1.signature
+        assert p2._jit_packed_cache is p1._jit_packed_cache
+        out2, _ = packed_render(p2)
+        assert len(p1._jit_packed_cache) == 1  # adopted, not recompiled
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_poolable_and_nonpoolable_never_alias(self):
+        # pooling is structural (vmapped vs per-node plan): equal
+        # signature_keys must still split on the group_key flag
+        p_np = program_of(self._sampler_graph(poolable=False))
+        p_p = program_of(self._sampler_graph(poolable=True))
+        assert p_np.signature is not None and p_p.signature is not None
+        assert p_np.signature != p_p.signature
+
+    def test_sample_shape_is_structural(self):
+        p1 = program_of(self._sampler_graph(n=4096))
+        p2 = program_of(self._sampler_graph(n=8192))
+        assert p1.signature != p2.signature
+
+    def test_streaming_sampler_program_is_cacheable(self):
+        from firewheel_tpu.nodes.streaming_sampler import (
+            CallbackStreamReader, StreamingSamplerNode,
+        )
+
+        def make():
+            g = AudioGraph(AudioGraphConfig(0, 2))
+            node = StreamingSamplerNode()
+            node.set_reader(CallbackStreamReader(
+                lambda start, n: np.zeros((2, n), np.float32),
+                num_channels=2, len_frames=SR, sample_rate=SR,
+            ))
+            src = g.add_node(0, 2, node)
+            for ch in range(2):
+                g.connect(src, ch, g.graph_out_node(), ch)
+            return g
+
+        p1, p2 = program_of(make()), program_of(make())
+        assert p1.signature is not None
+        assert p1.signature == p2.signature
+
+    def test_default_custom_node_still_opts_out(self):
+        from firewheel_tpu.core.node import AudioNode, NodeProcessor
+
+        class OpaqueProc(NodeProcessor):
+            def kernel(self, params, state, inputs, in_mask, info):
+                return inputs, state, in_mask
+
+            def init_state(self):
+                return {}
+
+            def collect_params(self, **kw):
+                return {}
+
+        from firewheel_tpu.core.node import AudioNodeInfo
+
+        class OpaqueNode(AudioNode):
+            debug_name = "opaque"
+
+            def info(self):
+                return AudioNodeInfo(
+                    num_max_supported_inputs=2,
+                    num_max_supported_outputs=2,
+                )
+
+            def activate(self, sample_rate, max_block_frames,
+                         num_inputs, num_outputs):
+                return OpaqueProc(sample_rate, max_block_frames,
+                                  num_inputs, num_outputs)
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        beep = g.add_node(0, 2, BeepTestNode(440.0, -18.0, True))
+        op = g.add_node(2, 2, OpaqueNode())
+        for ch in range(2):
+            g.connect(beep, ch, op, ch)
+            g.connect(op, ch, g.graph_out_node(), ch)
+        assert program_of(g).signature is None
+
+
 class TestProcessorPathMigration:
     def test_live_edit_back_to_warmed_shape_needs_no_new_program(self):
         """Through the public ctx path: add a voice, remove it — the
