@@ -193,10 +193,11 @@ def main():
             "buffers_timed": int(times.size),
             "rss_mb": round(rss_mb(), 1),
             "program_cache": len(fx._PROGRAM_CACHE),
-            "jit_partials": len(
-                stream._processor._program._jit_partial_cache
+            "jit_packed": len(
+                stream._processor._program._jit_packed_cache
             ) if hasattr(stream._processor, "_program") else None,
             "live_arrays": len(jax.live_arrays()),
+            "chain_depth": len(inserted),
             "edits": edits_total,
             "events": events_total,
             "underflows": stream.underflow_count,

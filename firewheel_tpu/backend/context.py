@@ -331,6 +331,10 @@ class FirewheelCtx:
                 time.sleep(0.001)
             else:
                 stalled_since = None
+        if self._active is not None:
+            # pipelined offline pumping keeps one chunk in flight — the
+            # caller's contract is "audio is in the sink when we return"
+            self._active.stream.flush()
 
     @property
     def stream(self) -> Optional[OutputStream]:

@@ -203,6 +203,14 @@ class OutputStream:
         self._in_buf = np.zeros(
             config.buffer_frames * config.num_in_channels, np.float32
         )
+        # Pipelined offline pumping (docs/PERF.md): one whole-chunk
+        # dispatch stays in flight across pumps; its fetch+sink-write
+        # happens right after the NEXT chunk launches, overlapping the
+        # device→host transfer with the device render.  (handle, span,
+        # n_buffers, host_seconds_spent_dispatching).  Realtime streams
+        # never pipeline — their pacing already hides the sync.
+        self._inflight = None
+        self._pipe_buf = np.zeros(0, np.float32)
 
     # -- lifecycle ------------------------------------------------------------
     def play(self):
@@ -234,8 +242,47 @@ class OutputStream:
             )
             self._consumer_thread.start()
 
+    def flush(self) -> None:
+        """Finish the in-flight pipelined chunk, if any: fetch it and
+        write it to the sink.  Safe to call anytime from the engine
+        thread; errors land on ``self.error`` like pump errors."""
+        if self._inflight is None:
+            return
+        try:
+            self._flush_inflight()
+        except Exception as e:
+            log.error("stream flush error: %s", e)
+            self.error = e
+            if self._err is not None:
+                try:
+                    self._err.push(e)
+                except Exception:
+                    pass
+
+    def _flush_inflight(self) -> None:
+        inf, self._inflight = self._inflight, None
+        if inf is not None:
+            self._finish_one(inf)
+
+    def _finish_one(self, inf) -> None:
+        handle, span, n, t_dispatch = inf
+        n_out = self.config.num_out_channels
+        need = span * n_out
+        if self._pipe_buf.size < need:
+            self._pipe_buf = np.zeros(need, np.float32)
+        view = self._pipe_buf[:need]
+        t0 = time.perf_counter()
+        self._processor.finish_interleaved(handle, view, n_out)
+        self.sink.write(view, n_out)
+        # per-buffer host cost: dispatch staging + fetch/interleave (the
+        # overlapped device wait between the two is deliberately absent)
+        self._render_times.append(
+            (t_dispatch + time.perf_counter() - t0) / n
+        )
+
     def stop(self, timeout: float = 10.0):
         self._playing = False
+        self.flush()
         self._stop.set()
         nc = getattr(self, "_native_consumer", None)
         if nc is not None:
@@ -396,6 +443,28 @@ class OutputStream:
                         filled += take
 
                 t_render = time.perf_counter()
+                if not cfg.realtime:
+                    # Pipelined path: launch this chunk, then fetch the
+                    # PREVIOUS one while this one renders.  Input staging
+                    # copies host-side before dispatch, so reusing
+                    # _in_buf next iteration is safe.
+                    handle = self._processor.dispatch_interleaved(
+                        in_view, n_in, span, stream_time_secs, status
+                    )
+                    if handle is not None:
+                        t_dispatch = time.perf_counter() - t_render
+                        prev, self._inflight = self._inflight, None
+                        if prev is not None:
+                            self._finish_one(prev)
+                        self._inflight = (handle, span, n, t_dispatch)
+                        self._frames_rendered += span
+                        rendered += span
+                        buffers_left -= n
+                        continue
+                # Synchronous path (realtime, odd tails, stopping
+                # processor): the sink write below must stay ordered
+                # after any pipelined chunk still in flight.
+                self._flush_inflight()
                 st = self._processor.process_interleaved(
                     in_view,
                     out_view,
@@ -461,6 +530,7 @@ class OutputStream:
     def drain(self) -> None:
         """Finish the processor drop handshake if a stop arrived
         (offline streams with no paced thread)."""
+        self.flush()
         if not self._dropped and self._processor is not None:
             frames = self.config.buffer_frames
             st = self._processor.process_interleaved(

@@ -50,6 +50,20 @@ class ProcessorStatus(enum.Enum):
 
 
 @dataclasses.dataclass
+class _InflightChunk:
+    """Device handles of one launched-but-unfetched chunk dispatch
+    (:meth:`GraphProcessor.dispatch_interleaved`).  ``outs``/``oms`` are
+    device arrays of shape [k, n_go, frames] / [k, n_go]; ``n_go`` is
+    captured because a schedule swap may change the program's port count
+    before the fetch."""
+
+    outs: Any
+    oms: Any
+    k: int
+    n_go: int
+
+
+@dataclasses.dataclass
 class ContextToProcessorMsg:
     """processor.rs:265-268: NewSchedule(package) | Stop."""
 
@@ -723,9 +737,39 @@ class GraphProcessor:
         stream_status,
     ) -> int:
         """Render ``k`` full blocks in one ``lax.scan`` dispatch."""
+        inflight = self._dispatch_chunk(
+            program,
+            input_buffer,
+            num_in_channels,
+            frames_processed,
+            k,
+            stream_time_secs,
+            stream_status,
+        )
+        self._finish_chunk(
+            inflight, output_buffer, num_out_channels, frames_processed
+        )
+        return k * self.max_block_frames
+
+    def _dispatch_chunk(
+        self,
+        program,
+        input_buffer,
+        num_in_channels,
+        frames_processed,
+        k,
+        stream_time_secs,
+        stream_status,
+    ) -> _InflightChunk:
+        """Async half of :meth:`_process_chunk`: stage params, deinterleave
+        graph inputs, and launch the ``k``-block dispatch.  Returns device
+        handles WITHOUT synchronizing — the companion :meth:`_finish_chunk`
+        fetches and interleaves, so a caller may overlap the device render
+        (and the device→host transfer of the *previous* chunk) with host
+        work.  ``self._packed_state`` advances to the in-flight handle
+        immediately: later dispatches chain on it device-side."""
         f = self.max_block_frames
         n_gi = program.num_graph_inputs
-        n_go = program.num_graph_outputs
 
         gi = np.zeros((k, n_gi, f), np.float32)
         im = np.ones((k, n_gi), bool)
@@ -754,10 +798,24 @@ class GraphProcessor:
             status=np.uint32(int(stream_status)),
             blocks=k,
         )
-        outs = np.asarray(outs)
-        oms = np.asarray(oms)
+        return _InflightChunk(outs, oms, k, program.num_graph_outputs)
 
-        for b in range(k):
+    def _finish_chunk(
+        self,
+        inflight: "_InflightChunk",
+        output_buffer,
+        num_out_channels,
+        frames_processed: int = 0,
+    ) -> None:
+        """Sync half: fetch the chunk's device outputs (full arrays — see
+        CLAUDE.md on slice fetches after chained dispatches) and interleave
+        into ``output_buffer`` starting at ``frames_processed``."""
+        f = self.max_block_frames
+        n_go = inflight.n_go
+        outs = np.asarray(inflight.outs)
+        oms = np.asarray(inflight.oms)
+
+        for b in range(inflight.k):
             off = frames_processed + b * f
             out_view = output_buffer[
                 off * num_out_channels : (off + f) * num_out_channels
@@ -767,7 +825,61 @@ class GraphProcessor:
                 interleave_stereo(outs[b, 0], outs[b, 1], out_view, out_mask)
             else:
                 interleave(outs[b], out_view, num_out_channels, out_mask)
-        return k * f
+
+    def dispatch_interleaved(
+        self,
+        input_buffer: np.ndarray,
+        num_in_channels: int,
+        frames: int,
+        stream_time_secs: float,
+        stream_status: StreamStatus = StreamStatus.NONE,
+    ) -> Optional["_InflightChunk"]:
+        """Pipelined render entry: launch ONE whole-chunk dispatch for
+        ``frames`` and return an in-flight handle, or ``None`` when the
+        span cannot ride a single warmed chunk program (odd sizes, chunking
+        disabled, processor stopping) — the caller must then fall back to
+        the synchronous :meth:`process_interleaved`.
+
+        Motivation (round-4 soak): over a high-latency device link the
+        synchronous path serializes [dispatch → sync → fetch] per chunk;
+        fetching chunk *t* while *t+1* renders hides one of the two
+        round-trips (docs/PERF.md "Pipelined offline pumping").  On a
+        co-located host it still overlaps the host-side interleave with
+        the device render.  Callers MUST eventually pass the handle to
+        :meth:`finish_interleaved`, and must preserve sink ordering
+        (finish every earlier handle before synchronous renders)."""
+        if not self._running or self._program is None:
+            return None
+        self.poll_messages()
+        if not self._running or self._program is None:
+            return None
+        program = self._program
+        f = self.max_block_frames
+        k = frames // f
+        if k < 2 or k * f != frames or (k & (k - 1)) != 0:
+            return None
+        if self.chunk_blocks <= 1 or k > self.chunk_blocks:
+            return None
+        if self._strict_sizes and k not in self._warmed_sizes:
+            return None
+        return self._dispatch_chunk(
+            program,
+            input_buffer,
+            num_in_channels,
+            0,
+            k,
+            stream_time_secs,
+            stream_status,
+        )
+
+    def finish_interleaved(
+        self,
+        inflight: "_InflightChunk",
+        output_buffer: np.ndarray,
+        num_out_channels: int,
+    ) -> None:
+        """Fetch + interleave a handle from :meth:`dispatch_interleaved`."""
+        self._finish_chunk(inflight, output_buffer, num_out_channels, 0)
 
     # -- shutdown (processor.rs:251-263) --------------------------------------
     def drop(self) -> None:
