@@ -66,6 +66,7 @@ class StreamConfig:
         chunk_buffers: int = 1,
         warmup_full: bool = False,
         deferred_swap: bool = True,
+        pipeline_depth: int = 1,
     ):
         """``chunk_buffers``: render up to this many stream buffers per
         device dispatch (one ``lax.scan``) — amortizes dispatch overhead on
@@ -77,7 +78,14 @@ class StreamConfig:
         soon as executable — the stream never stalls on an edit's XLA
         compile.  Edits to a previously-seen graph shape install in
         milliseconds via the cross-program compile cache.  Turn off for
-        the reference's strict install-next-buffer semantics."""
+        the reference's strict install-next-buffer semantics.
+
+        ``pipeline_depth``: offline pumping keeps up to this many whole
+        chunks in flight, fetching chunk *t* only after chunk *t+depth*
+        launches — device→host egress overlaps device render (and, on
+        RPC transports, queues work behind the link's latency).  ``0``
+        restores strictly synchronous dispatch; realtime streams always
+        run synchronously."""
         self.sample_rate = sample_rate
         self.num_out_channels = num_out_channels
         self.num_in_channels = num_in_channels
@@ -94,6 +102,7 @@ class StreamConfig:
         #: GraphProcessor.warmup)
         self.warmup_full = bool(warmup_full)
         self.deferred_swap = bool(deferred_swap)
+        self.pipeline_depth = max(0, int(pipeline_depth))
 
 
 class ArraySink:
@@ -203,13 +212,14 @@ class OutputStream:
         self._in_buf = np.zeros(
             config.buffer_frames * config.num_in_channels, np.float32
         )
-        # Pipelined offline pumping (docs/PERF.md): one whole-chunk
-        # dispatch stays in flight across pumps; its fetch+sink-write
-        # happens right after the NEXT chunk launches, overlapping the
-        # device→host transfer with the device render.  (handle, span,
-        # n_buffers, host_seconds_spent_dispatching).  Realtime streams
-        # never pipeline — their pacing already hides the sync.
-        self._inflight = None
+        # Pipelined offline pumping (docs/PERF.md): up to
+        # config.pipeline_depth whole-chunk dispatches stay in flight
+        # across pumps; a chunk's fetch+sink-write happens only after a
+        # later chunk launches, overlapping the device→host transfer
+        # with the device render.  Entries: (handle, span, n_buffers,
+        # host_seconds_spent_dispatching), oldest first.  Realtime
+        # streams never pipeline — their pacing already hides the sync.
+        self._inflight_q: list = []
         self._pipe_buf = np.zeros(0, np.float32)
 
     # -- lifecycle ------------------------------------------------------------
@@ -243,10 +253,10 @@ class OutputStream:
             self._consumer_thread.start()
 
     def flush(self) -> None:
-        """Finish the in-flight pipelined chunk, if any: fetch it and
-        write it to the sink.  Safe to call anytime from the engine
-        thread; errors land on ``self.error`` like pump errors."""
-        if self._inflight is None:
+        """Finish every in-flight pipelined chunk, if any: fetch them and
+        write them to the sink in order.  Safe to call anytime from the
+        engine thread; errors land on ``self.error`` like pump errors."""
+        if not self._inflight_q:
             return
         try:
             self._flush_inflight()
@@ -260,9 +270,8 @@ class OutputStream:
                     pass
 
     def _flush_inflight(self) -> None:
-        inf, self._inflight = self._inflight, None
-        if inf is not None:
-            self._finish_one(inf)
+        while self._inflight_q:
+            self._finish_one(self._inflight_q.pop(0))
 
     def _finish_one(self, inf) -> None:
         handle, span, n, t_dispatch = inf
@@ -443,20 +452,22 @@ class OutputStream:
                         filled += take
 
                 t_render = time.perf_counter()
-                if not cfg.realtime:
-                    # Pipelined path: launch this chunk, then fetch the
-                    # PREVIOUS one while this one renders.  Input staging
-                    # copies host-side before dispatch, so reusing
-                    # _in_buf next iteration is safe.
+                if not cfg.realtime and cfg.pipeline_depth > 0:
+                    # Pipelined path: launch this chunk, then fetch
+                    # chunks older than the pipeline depth while newer
+                    # ones render.  Input staging copies host-side
+                    # before dispatch, so reusing _in_buf next
+                    # iteration is safe.
                     handle = self._processor.dispatch_interleaved(
                         in_view, n_in, span, stream_time_secs, status
                     )
                     if handle is not None:
                         t_dispatch = time.perf_counter() - t_render
-                        prev, self._inflight = self._inflight, None
-                        if prev is not None:
-                            self._finish_one(prev)
-                        self._inflight = (handle, span, n, t_dispatch)
+                        self._inflight_q.append(
+                            (handle, span, n, t_dispatch)
+                        )
+                        while len(self._inflight_q) > cfg.pipeline_depth:
+                            self._finish_one(self._inflight_q.pop(0))
                         self._frames_rendered += span
                         rendered += span
                         buffers_left -= n

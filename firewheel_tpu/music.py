@@ -136,6 +136,7 @@ class MusicPlayer:
         self._stingers: list[SamplerNode] = []
         self.stinger_ids: list[int] = []
         self._stinger_ends = [-1, -1]  # stream sample each lane ends
+        self._stinger_starts = [-1, -1]  # stream sample each lane fires
         for j in range(2):
             st = SamplerNode(100.0)
             stid = graph.add_node(0, n_ch, st)
@@ -288,6 +289,7 @@ class MusicPlayer:
             _pct_for_amp(float(db_to_gain(np.float32(gain_db))))
         )
         st.play(at_sample=at)
+        self._stinger_starts[lane] = at
         self._stinger_ends[lane] = at + self._stream_len(clip)
 
     def _mark_cut(self, d: _Deck, at: int, end: int | None = None):
@@ -458,14 +460,22 @@ class MusicPlayer:
 
     def stop(self, *, fade_secs: float = 0.0, now: int | None = None):
         """Fade out (or hard-pause) the current track, clear the queue,
-        and drop any STAGED stinger (one waiting host-side for its grid
-        boundary) — a stinger already sounding is device-scheduled on its
-        own lane and plays out."""
+        and drop any stinger that has not yet FIRED — staged host-side
+        for its grid boundary, or already device-scheduled on a free
+        lane (the second lane made quantized stingers device-schedule
+        immediately, so stop() must cancel those too) — while a stinger
+        already sounding plays out on its own lane."""
         at = self._now(now)
         self.update(now=at)
         self._cancel_all_scheduled()
         self._loop_reader = None
         self._pending_stinger = None
+        for j, st in enumerate(self._stingers):
+            if self._stinger_starts[j] > at:
+                st.cancel_scheduled()
+                st.stop()
+                self._stinger_starts[j] = -1
+                self._stinger_ends[j] = -1
         if self._current is None:
             # nothing is current, but decks may not be silent: a cancelled
             # armed transition goes idle now, and a deck still draining an

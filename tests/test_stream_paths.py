@@ -210,6 +210,33 @@ def test_chunked_input_silence_mask_per_block():
             assert (blk == 0).all(), f"block {i}"
 
 
+def test_pipeline_depths_render_identically():
+    """Pipelined offline pumping (depth 1 and deeper) must be bit-exact
+    with the synchronous path (depth 0), including the flush of chunks
+    still in flight when render_offline returns."""
+    ref = None
+    for depth in (0, 1, 3):
+        cx = FirewheelCtx()
+        g = cx.graph_mut()
+        beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+        g.connect(beep, 0, g.graph_out_node(), 0)
+        g.connect(beep, 1, g.graph_out_node(), 1)
+        sink = ArraySink()
+        cx.activate(
+            StreamConfig(SR, 2, buffer_frames=128, chunk_buffers=16,
+                         pipeline_depth=depth),
+            sink=sink,
+        )
+        cx.render_offline(0.7)  # 262.5 buffers: chunks + odd tail
+        cx.deactivate()
+        audio = sink.audio(2)
+        assert audio.shape[1] >= int(0.7 * SR)
+        if ref is None:
+            ref = audio
+        else:
+            np.testing.assert_array_equal(audio, ref)
+
+
 def test_offline_pump_dispatches_whole_chunks():
     """Regression (round-4 soak): update()'s render-ahead bound clamped
     explicit max_pump_buffers to PUMP_MAX_BUFFERS (8), so with
