@@ -119,11 +119,17 @@ def main():
     ap.add_argument("--window", type=float, default=60.0)
     ap.add_argument("--edit-period", type=float, default=60.0)
     ap.add_argument("--out", default="/tmp/soak_onchip.jsonl")
-    ap.add_argument("--pump-secs", type=float, default=2.0,
-                    help="audio seconds rendered per pump slice")
-    ap.add_argument("--chunk-buffers", type=int, default=64,
-                    help="stream buffers per device dispatch (amortizes "
-                         "the ~30 ms tunnel RTT; 64 x 128 = 0.17 s/dispatch)")
+    ap.add_argument("--pump-secs", type=float, default=2.048,
+                    help="audio seconds rendered per pump slice; keep it an "
+                         "EXACT chunk multiple (3 x 256 x 128 / 48000) -- an "
+                         "odd tail decomposes into single-buffer dispatches "
+                         "(only {1, chunk} are warmed), which on a ~30 ms-RTT "
+                         "tunnel costs more than the whole chunked slice")
+    ap.add_argument("--chunk-buffers", type=int, default=256,
+                    help="stream buffers per device dispatch (the dispatch "
+                         "RPC is ~66 ms regardless of size -- bigger chunks "
+                         "amortize it; 256 x 128 = 0.68 s/dispatch, ~10x rt "
+                         "with depth-1 pipelined fetch)")
     args = ap.parse_args()
 
     import firewheel_tpu as fw
