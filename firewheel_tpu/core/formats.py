@@ -3,9 +3,10 @@
 Reference scope: "Support for loading a wide variety of audio formats (using
 Symphonia)" (``DESIGN_DOC.md:32``; the reference never wired a decoder).
 The Symphonia analog here is a *registry*: built-in decoders for the formats
-the environment can read without third-party code (WAV incl. IEEE-float,
-AIFF, AU), and :func:`register_format` for plugging any external decoder
-(ffmpeg wrapper, miniaudio binding, a network codec, ...).
+the environment can read without third-party code (WAV incl. IEEE-float and
+the IMA/MS ADPCM game-asset flavors — ``utils/adpcm.py`` — AIFF, AU, FLAC —
+``core/flac.py``), and :func:`register_format` for plugging any external
+decoder (ffmpeg wrapper, miniaudio binding, a network codec, ...).
 
 ``load_audio(path)`` → :class:`SampleResource` ready for the sampler.
 """
