@@ -24,6 +24,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRCS = [
     os.path.join(_NATIVE_DIR, "ringbuf.cpp"),
     os.path.join(_NATIVE_DIR, "consumer.cpp"),
+    os.path.join(_NATIVE_DIR, "lpc.cpp"),
 ]
 _SO = os.path.join(_NATIVE_DIR, "libfwnative.so")
 
@@ -95,6 +96,16 @@ def _load_native():
             lib.consumer_take_underflow.argtypes = [ctypes.c_void_p]
             lib.consumer_last_late_ns.restype = ctypes.c_int64
             lib.consumer_last_late_ns.argtypes = [ctypes.c_void_p]
+            lib.flac_lpc.restype = None
+            lib.flac_lpc.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
         except Exception as e:  # pragma: no cover - toolchain-dependent
             log.warning("native ring buffer unavailable (%s); using fallback", e)

@@ -366,6 +366,14 @@ class OutputStream:
         Realtime mode renders only as far ahead as the ring has space
         (backpressure = lookahead depth); offline mode is bounded only by
         ``max_buffers`` and the configured duration.
+
+        Offline pipelining (``pipeline_depth > 0``) may hold up to
+        ``depth`` dispatched chunks in flight between pumps; the sink
+        therefore lags ``frames_rendered`` by up to
+        ``depth × chunk_buffers × buffer_frames`` frames mid-stream.
+        A fixed-duration render auto-flushes when it ``finished``;
+        open-ended callers get the tail from ``flush()``/``drain()``/
+        ``stop()``.
         """
         if self._out_ring is not None:
             # forward natively-paced frames to the sink (off the RT path)
@@ -383,6 +391,11 @@ class OutputStream:
         self._pumping = True
         try:
             rendered = self._pump_locked(max_buffers)
+            if self._inflight_q and self.finished:
+                # the last frames of a fixed-duration render were just
+                # dispatched — deliver them so "pump until finished then
+                # read the sink" holds without an explicit drain()
+                self._flush_inflight()
             # Background-compile one step of any staged schedule AFTER
             # filling the ring (maximal lookahead absorbs the compile
             # pause); the swap happens inside once size-1 is executable.

@@ -332,11 +332,50 @@ def _undo_fixed(order: int, warm: np.ndarray, resid: np.ndarray) -> np.ndarray:
     return x
 
 
+def _native_lpc():
+    """The shared C++ kernel (backend/native/lpc.cpp), or None without a
+    toolchain.  Lazy + cached: the import reaches into the backend layer
+    only for its .so loader, no engine objects."""
+    global _NATIVE_LPC
+    if _NATIVE_LPC is _UNSET:
+        try:
+            from ..backend.ring_buffer import _load_native
+
+            _NATIVE_LPC = _load_native() or None
+        except Exception:  # pragma: no cover - toolchain-dependent
+            _NATIVE_LPC = None
+    return _NATIVE_LPC
+
+
+_UNSET = object()
+_NATIVE_LPC: "object" = _UNSET
+
+
 def _undo_lpc(warm: np.ndarray, coeffs: list[int], shift: int,
               resid: np.ndarray) -> np.ndarray:
-    """x[i] = r[i] + (Σ c_j · x[i-1-j]) >> shift — exact integer math
-    (Python ints; FLAC's products can exceed 64 bits at 32-bit depths)."""
+    """x[i] = r[i] + (Σ c_j · x[i-1-j]) >> shift — exact int64 math
+    (spec bounds: |c| ≤ 2^14, order ≤ 32, |x| ≤ 2^32 ⇒ |Σ| ≤ 2^51).
+    The recurrence is sequential; the native kernel runs it at C speed,
+    the Python loop below is the no-toolchain fallback."""
     o = len(coeffs)
+    lib = _native_lpc()
+    if lib is not None and o > 0:
+        import ctypes
+
+        warm64 = np.ascontiguousarray(warm, np.int64)
+        c32 = np.ascontiguousarray(coeffs, np.int32)
+        r64 = np.ascontiguousarray(resid, np.int64)
+        out = np.empty(r64.size, np.int64)
+        lib.flac_lpc(
+            warm64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            o,
+            c32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(shift),
+            r64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            r64.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
     hist = [int(v) for v in warm]
     out = np.empty(resid.size, np.int64)
     rl = resid.tolist()
@@ -624,6 +663,12 @@ class FlacStreamReader:
         out = np.zeros((self.num_channels, n), np.float32)
         if n <= 0 or start >= self.len_frames:
             return out
+        if start < 0:
+            # pre-roll: positions before frame 0 are zeros at the correct
+            # offsets (matches WavStreamReader), not a time-shifted read
+            if start + n > 0:
+                out[:, -start:] = self.read(0, start + n)
+            return out
         # find the nearest indexed frame at or before `start`
         i = bisect.bisect_right(self._idx_samples, start) - 1
         sample, off = self._idx_samples[i], self._idx_offsets[i]
@@ -646,8 +691,3 @@ class FlacStreamReader:
                 )
             sample, off = nxt_sample, nxt_off
         return out
-
-
-def _load_flac(path):
-    audio, rate = decode_flac(path)
-    return audio, rate

@@ -375,6 +375,21 @@ class ScheduleProgram:
                 renum[b] = len(renum)
             return renum[b]
 
+        grenum: dict = {}
+
+        def canon_group(gk):
+            # pooling groups CONSECUTIVE nodes with EQUAL group_key values
+            # (_pooling_plan), so the signature must capture the value-
+            # equality classes — not just eligibility — or two programs
+            # with different partitions (hence different packed layouts)
+            # would alias in the donor compile cache.  First-use
+            # renumbering keeps equal-structure programs cache-equal.
+            if gk is None:
+                return None
+            if gk not in grenum:
+                grenum[gk] = len(grenum)
+            return grenum[gk]
+
         entries = []
         for sn in self.schedule.schedule:
             proc = self._procs.get(node_key(sn.id))
@@ -384,6 +399,16 @@ class ScheduleProgram:
                 sk = proc.signature_key()
                 if sk is None:
                     return None
+                try:
+                    # with pooling off the plan never reads group_key —
+                    # don't let it fragment the cache
+                    cg = (
+                        canon_group(proc.group_key())
+                        if self._group_nodes
+                        else None
+                    )
+                except TypeError:  # unhashable group_key opts the program out
+                    return None
                 entry = (
                     type(proc).__name__,
                     proc.num_inputs,
@@ -391,11 +416,7 @@ class ScheduleProgram:
                     proc.sample_rate,
                     proc.max_block_frames,
                     sk,
-                    # pooling eligibility is structural: a poolable and a
-                    # non-poolable node with equal signature_keys trace
-                    # different plans (vmapped vs per-node), so they must
-                    # not alias in the donor cache
-                    proc.group_key() is not None,
+                    cg,
                 )
             ins = tuple(
                 ("clear",)

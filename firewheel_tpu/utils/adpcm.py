@@ -99,6 +99,13 @@ def _ima_core(nibbles: np.ndarray, pred0: np.ndarray, idx0: np.ndarray):
     return out
 
 
+def _div256(q: np.ndarray) -> np.ndarray:
+    """``q / 256`` truncating toward zero — the MS spec's C integer
+    division.  ``>> 8`` would floor, yielding a predictor 1 low whenever
+    the weighted history is negative and not a multiple of 256."""
+    return np.where(q >= 0, q >> 8, -((-q) >> 8))
+
+
 def _ms_core(nibbles, coef1, coef2, delta0, s1_0, s2_0):
     """Decode MS nibbles ``[B, S]`` given per-block coeffs / initial
     delta / history ``[B]`` → int16 samples ``[B, S]``."""
@@ -112,7 +119,7 @@ def _ms_core(nibbles, coef1, coef2, delta0, s1_0, s2_0):
     for s in range(S):
         n = nibbles[:, s].astype(np.int64)
         signed = np.where(n >= 8, n - 16, n)
-        pred = (s1 * c1 + s2 * c2) >> 8
+        pred = _div256(s1 * c1 + s2 * c2)
         sample = np.clip(pred + signed * delta, -32768, 32767)
         out[:, s] = sample
         s2, s1 = s1, sample
@@ -122,16 +129,31 @@ def _ms_core(nibbles, coef1, coef2, delta0, s1_0, s2_0):
 
 # -- WAV block-layout decoders ---------------------------------------------------
 
+def _pad_tail(raw, block_align, header_bytes, frames_of_data_bytes):
+    """Zero-pad a truncated final block to ``block_align`` and return
+    ``(raw, tail_frames)`` — how many frames that partial block really
+    holds (0 when the payload is whole blocks, or the tail is shorter
+    than its header and is dropped)."""
+    rem = raw.size % block_align
+    if not rem:
+        return raw, 0
+    if rem < header_bytes:
+        return raw[: raw.size - rem], 0
+    tail_frames = frames_of_data_bytes(rem - header_bytes)
+    pad = np.zeros(block_align - rem, np.uint8)
+    return np.concatenate([raw, pad]), tail_frames
+
 def decode_ima_blocks(
     payload: bytes | np.ndarray, channels: int, block_align: int
 ) -> np.ndarray:
-    """Decode whole IMA-ADPCM blocks → int16 ``[channels, frames]``.
+    """Decode IMA-ADPCM blocks → int16 ``[channels, frames]``.
 
-    ``payload`` must be a multiple of ``block_align`` bytes (trim the data
-    chunk's tail block before calling if it is short — writers pad)."""
+    A short final block (RIFF allows a truncated tail; the ``fact`` chunk
+    gives the true frame count) decodes to exactly the frames its bytes
+    hold — ``1 + whole-4·ch-byte-groups × 8``."""
     raw = np.frombuffer(bytes(payload), np.uint8)
-    if raw.size % block_align:
-        raw = raw[: raw.size - raw.size % block_align]
+    raw, tail_frames = _pad_tail(raw, block_align, 4 * channels,
+                                 lambda b: 1 + b // (4 * channels) * 8)
     n_blocks = raw.size // block_align
     if n_blocks == 0:
         return np.zeros((channels, 0), np.int16)
@@ -165,16 +187,20 @@ def decode_ima_blocks(
     )
     out[:, :, 1:] = dec.reshape(n_blocks, channels, -1)
     # [channels, total_frames]
-    return out.transpose(1, 0, 2).reshape(channels, n_blocks * spb)
+    full = out.transpose(1, 0, 2).reshape(channels, n_blocks * spb)
+    if tail_frames:
+        full = full[:, : (n_blocks - 1) * spb + tail_frames]
+    return full
 
 
 def decode_ms_blocks(
     payload: bytes | np.ndarray, channels: int, block_align: int
 ) -> np.ndarray:
-    """Decode whole MS-ADPCM blocks → int16 ``[channels, frames]``."""
+    """Decode MS-ADPCM blocks → int16 ``[channels, frames]``; a short
+    final block decodes to ``2 + data-bytes × 2 / ch`` frames."""
     raw = np.frombuffer(bytes(payload), np.uint8)
-    if raw.size % block_align:
-        raw = raw[: raw.size - raw.size % block_align]
+    raw, tail_frames = _pad_tail(raw, block_align, 7 * channels,
+                                 lambda b: 2 + b * 2 // channels)
     n_blocks = raw.size // block_align
     if n_blocks == 0:
         return np.zeros((channels, 0), np.int16)
@@ -219,7 +245,10 @@ def decode_ms_blocks(
     out[:, :, 0] = s2_0.astype(np.int16)
     out[:, :, 1] = s1_0.astype(np.int16)
     out[:, :, 2:] = dec
-    return out.transpose(1, 0, 2).reshape(ch, n_blocks * spb)
+    full = out.transpose(1, 0, 2).reshape(ch, n_blocks * spb)
+    if tail_frames:
+        full = full[:, : (n_blocks - 1) * spb + tail_frames]
+    return full
 
 
 # -- encoders -------------------------------------------------------------------
@@ -309,7 +338,7 @@ def encode_ms(
     delta0 = delta.copy()
     nibbles = np.empty((n_blocks, ch, spb - 2), np.uint8)
     for s in range(2, spb):
-        predv = (s1 * c1 + s2 * c2) >> 8
+        predv = _div256(s1 * c1 + s2 * c2)
         err = x[:, :, s].astype(np.int64) - predv
         n = np.clip((err + (np.where(err < 0, -delta, delta) >> 1))
                     // np.maximum(delta, 1), -8, 7)

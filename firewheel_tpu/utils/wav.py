@@ -3,6 +3,7 @@ plus a seekable windowed reader for disk streaming."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -177,15 +178,25 @@ class WavStreamReader:
             # restarts its predictor, so random access is exact)
             from . import adpcm as _adpcm
 
+            data_size = min(data_size, os.path.getsize(path) - data_off)
             n_blocks = data_size // block_align
+            rem = data_size % block_align
             if fmt_code == 0x11:
                 spb = _adpcm.ima_samples_per_block(block_align, ch)
                 self._decode = _adpcm.decode_ima_blocks
+                hdr = 4 * ch
+                tail = (
+                    1 + (rem - hdr) // (4 * ch) * 8 if rem >= hdr else 0
+                )
             else:
                 spb = _adpcm.ms_samples_per_block(block_align, ch)
                 self._decode = _adpcm.decode_ms_blocks
+                hdr = 7 * ch
+                tail = 2 + (rem - hdr) * 2 // ch if rem >= hdr else 0
             self._adpcm = (block_align, spb)
-            self.len_frames = n_blocks * spb
+            # a truncated final block (RIFF allows it) still counts the
+            # frames its bytes hold; the decoders pad + trim it exactly
+            self.len_frames = n_blocks * spb + tail
             if fact_frames is not None:
                 self.len_frames = min(self.len_frames, fact_frames)
             self._mm = np.memmap(
@@ -193,7 +204,7 @@ class WavStreamReader:
                 dtype=np.uint8,
                 mode="r",
                 offset=data_off,
-                shape=(n_blocks * block_align,),
+                shape=(n_blocks * block_align + (rem if tail else 0),),
             )
             return
         else:

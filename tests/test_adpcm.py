@@ -204,3 +204,124 @@ class TestWavContainer:
         cx.deactivate()
         out = sink.audio(2)[:, : SR // 4]
         assert snr_db(sig[:, : SR // 4], out) > 24.0
+
+
+class TestMsTruncatingDivision:
+    """The MS predictor is ``(s1·c1 + s2·c2) / 256`` with C integer
+    division (truncation toward zero).  ``>> 8`` floors, which is 1 low
+    whenever the weighted history is negative and not a multiple of 256
+    — coefficient pairs 3–6 hit this constantly (pairs 0–2 are multiples
+    of 256, so round-trips with the in-tree encoder can't catch it)."""
+
+    def test_decode_matches_scalar_spec_reference(self):
+        ch, block_align = 1, 15  # spb = 2 + 8*2 = 18
+        coeff_idx = 5  # [460, -208]: not multiples of 256
+        s2, s1, delta = 1, -3, 16
+        rng = np.random.default_rng(9)
+        nibbles = rng.integers(0, 16, 16).tolist()
+        # q = 460·(-3) + (-208)·1 = -1588: floor -7, trunc -6 — sample 0
+        # separates the two conventions immediately
+        blk = bytearray()
+        blk.append(coeff_idx)
+        blk += struct.pack("<hhh", delta, s1, s2)
+        for i in range(0, 16, 2):
+            blk.append((nibbles[i] << 4) | nibbles[i + 1])
+        assert len(blk) == block_align
+
+        def scalar_ref():
+            c1, c2 = 460, -208
+            _s1, _s2, d = s1, s2, delta
+            out = [s2, s1]
+            for n in nibbles:
+                signed = n - 16 if n >= 8 else n
+                q = _s1 * c1 + _s2 * c2
+                pred = -((-q) // 256) if q < 0 else q // 256
+                smp = max(-32768, min(32767, pred + signed * d))
+                out.append(smp)
+                _s2, _s1 = _s1, smp
+                d = max((int(adpcm.MS_ADAPT[n]) * d) // 256, 16)
+            return np.asarray(out, np.int16)
+
+        dec = adpcm.decode_ms_blocks(bytes(blk), ch, block_align)
+        np.testing.assert_array_equal(dec[0], scalar_ref())
+
+
+class TestTruncatedTailBlock:
+    """RIFF allows a truncated final ADPCM block; its bytes still decode
+    to real frames (review r4: the tail was silently dropped, cutting up
+    to spb−1 frames off the end of third-party files)."""
+
+    def test_ima_partial_tail_decodes(self):
+        sig = tone(1200, ch=1)
+        payload, frames = adpcm.encode_ima(sig[0] * 32767, block_align=256)
+        spb = adpcm.ima_samples_per_block(256, 1)  # 505
+        full = adpcm.decode_ima_blocks(payload, 1, 256)
+        # keep block 0 + header + 2 payload groups of block 1
+        cut = payload[: 256 + 4 + 8]
+        dec = adpcm.decode_ima_blocks(cut, 1, 256)
+        assert dec.shape[1] == spb + 1 + 2 * 8
+        np.testing.assert_array_equal(dec, full[:, : dec.shape[1]])
+        # a tail shorter than its header is dropped
+        dec2 = adpcm.decode_ima_blocks(payload[: 256 + 3], 1, 256)
+        assert dec2.shape[1] == spb
+
+    def test_ms_partial_tail_decodes(self):
+        sig = tone(1200, ch=1)
+        payload, frames = adpcm.encode_ms(sig[0] * 32767, block_align=256)
+        spb = adpcm.ms_samples_per_block(256, 1)  # 500
+        full = adpcm.decode_ms_blocks(payload, 1, 256)
+        cut = payload[: 256 + 7 + 5]  # header + 5 data bytes = 10 frames
+        dec = adpcm.decode_ms_blocks(cut, 1, 256)
+        assert dec.shape[1] == spb + 2 + 10
+        np.testing.assert_array_equal(dec, full[:, : dec.shape[1]])
+
+    def _truncated_wav(self, tmp_path, dtype):
+        """write_wav output with the data chunk surgically truncated
+        mid-final-block and sizes/fact rewritten (what a spec-legal
+        third-party writer produces)."""
+        sig = tone(1600, ch=1)
+        p = str(tmp_path / f"trunc_{dtype}.wav")
+        write_wav(p, sig, SR, dtype=dtype)
+        data = bytearray(open(p, "rb").read())
+        # walk chunks to the data chunk
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = bytes(data[pos : pos + 4])
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if cid == b"data":
+                break
+            pos += 8 + size + (size & 1)
+        assert cid == b"data"
+        block_align = struct.unpack("<H", data[32:34])[0]
+        hdr = 4 if dtype == "ima" else 7
+        cut = size - block_align + hdr + 8  # tail: header + 8 data bytes
+        data[pos + 4 : pos + 8] = struct.pack("<I", cut)
+        del data[pos + 8 + cut :]
+        data[4:8] = struct.pack("<I", len(data) - 8)
+        out = str(tmp_path / f"trunc_{dtype}_cut.wav")
+        open(out, "wb").write(bytes(data))
+        if dtype == "ima":
+            spb = adpcm.ima_samples_per_block(block_align, 1)
+            tail = 1 + 8 // 4 * 8
+        else:
+            spb = adpcm.ms_samples_per_block(block_align, 1)
+            tail = 2 + 8 * 2
+        n_blocks = cut // block_align
+        return out, p, n_blocks * spb + tail
+
+    @pytest.mark.parametrize("dtype", ["ima", "ms"])
+    def test_truncated_wav_reads_tail_frames(self, tmp_path, dtype):
+        cut_path, full_path, want = self._truncated_wav(tmp_path, dtype)
+        full_audio, _ = read_wav(full_path)
+        audio, sr = read_wav(cut_path)
+        # the original fact chunk survives and may clamp below the block
+        # capacity; the decoded prefix must match the full file exactly
+        assert audio.shape[1] == min(want, full_audio.shape[1])
+        np.testing.assert_array_equal(
+            audio, full_audio[:, : audio.shape[1]]
+        )
+        r = WavStreamReader(cut_path)
+        assert r.len_frames == audio.shape[1]
+        np.testing.assert_allclose(
+            r.read(0, r.len_frames), audio, atol=0, rtol=0
+        )

@@ -235,6 +235,50 @@ def test_stream_reader_matches_full_decode(tmp_path):
     assert np.all(r.read(SR, 16) == 0)
 
 
+def test_stream_reader_negative_start_preroll(tmp_path):
+    """Pre-roll reads (negative start) yield leading zeros at the correct
+    positions — matching WavStreamReader — not audio resolved from the
+    frame index's newest entry (review r4: bisect on a negative start
+    wrapped to the frontier once the index had grown)."""
+    audio = make_audio(SR // 4)
+    path = str(tmp_path / "clip.flac")
+    encode_flac(audio, SR, block_size=1024, path=path)
+    full, _ = decode_flac(path)
+    r = FlacStreamReader(path, cache_frames=4)
+    # grow the frame index first, so bisect has something to wrap into
+    r.read(0, 5000)
+    got = r.read(-100, 5000)
+    assert np.all(got[:, :100] == 0)
+    np.testing.assert_array_equal(got[:, 100:], full[:, : 5000 - 100])
+    # fully-before-zero reads are all zeros
+    assert np.all(r.read(-300, 200) == 0)
+
+
+def test_native_lpc_matches_python_fallback():
+    """backend/native/lpc.cpp and the pure-Python loop are bit-identical
+    on a stable LPC recurrence (the native kernel is the hot decode path;
+    the Python loop is the no-toolchain reference)."""
+    from firewheel_tpu.core import flac as flac_mod
+
+    lib = flac_mod._native_lpc()
+    if lib is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    warm = rng.integers(-30000, 30000, 8)
+    coeffs = [1024, 512, 512, 256, 256, 128, 128, 64]  # Σ < 2^12 (stable)
+    resid = rng.integers(-(1 << 10), 1 << 10, 4096)
+    nat = flac_mod._undo_lpc(np.asarray(warm), coeffs, 12, np.asarray(resid))
+    saved = flac_mod._NATIVE_LPC
+    try:
+        flac_mod._NATIVE_LPC = None
+        py = flac_mod._undo_lpc(
+            np.asarray(warm), coeffs, 12, np.asarray(resid)
+        )
+    finally:
+        flac_mod._NATIVE_LPC = saved
+    np.testing.assert_array_equal(nat, py)
+
+
 class _RangeHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         body = self.server.files.get(self.path)

@@ -308,3 +308,57 @@ class TestProcessorPathMigration:
         cx.deactivate()
         a = sink.audio(2)
         assert np.abs(a).max() > 0.01
+
+
+class TestGroupPartitionStructural:
+    """The pooling plan groups CONSECUTIVE nodes with EQUAL group_key
+    VALUES — so two programs with identical signature_keys but different
+    partitions (pooled pair vs per-node pair) trace different packed
+    layouts and must not alias in the donor cache (review r4: the
+    signature encoded only `group_key() is not None`)."""
+
+    def _tagged_chain(self, tags):
+        from firewheel_tpu.nodes import BeepTestNode, VolumeNode
+
+        class TaggedVolumeNode(VolumeNode):
+            def __init__(self, tag):
+                super().__init__(80.0)
+                self._tag = tag
+
+            def activate(self, *a, **kw):
+                proc = super().activate(*a, **kw)
+                tag = self._tag
+                base = proc.group_key()
+                proc.group_key = lambda: ("tagged", base, tag)
+                proc.signature_key = lambda: ("tagged", base)
+                return proc
+
+        g = AudioGraph(AudioGraphConfig(0, 2))
+        prev = g.add_node(0, 2, BeepTestNode(220.0, -18.0, True))
+        for t in tags:
+            v = g.add_node(2, 2, TaggedVolumeNode(t))
+            for ch in range(2):
+                g.connect(prev, ch, v, ch)
+            prev = v
+        for ch in range(2):
+            g.connect(prev, ch, g.graph_out_node(), ch)
+        return g
+
+    def test_partition_splits_the_signature(self):
+        p_pooled = program_of(self._tagged_chain(["a", "a"]))
+        p_split = program_of(self._tagged_chain(["a", "b"]))
+        assert p_pooled.signature is not None
+        assert p_split.signature is not None
+        assert p_pooled.signature != p_split.signature
+        # canonical renumbering: equal structure = equal signature,
+        # independent of the tag values themselves
+        assert program_of(
+            self._tagged_chain(["z", "z"])
+        ).signature == p_pooled.signature
+        assert program_of(
+            self._tagged_chain(["p", "q"])
+        ).signature == p_split.signature
+        # both plans render the same audio (same params everywhere)
+        o1, _ = packed_render(p_pooled)
+        o2, _ = packed_render(p_split)
+        np.testing.assert_allclose(o1, o2, atol=2e-6)

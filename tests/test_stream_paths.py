@@ -265,3 +265,37 @@ def test_offline_pump_dispatches_whole_chunks():
     audio = sink.audio(2)
     assert audio.shape[1] >= SR
     assert np.abs(audio).max() > 0.2
+
+
+def test_pump_until_finished_flushes_pipeline():
+    """A fixed-duration caller pumping until ``finished`` and reading the
+    sink WITHOUT stop()/drain() must see every frame: the final pump
+    auto-flushes in-flight pipelined chunks (review r4: the tail chunk
+    sat in _inflight_q until an explicit drain)."""
+    outs = []
+    for depth in (0, 2):
+        cx = FirewheelCtx()
+        g = cx.graph_mut()
+        beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+        g.connect(beep, 0, g.graph_out_node(), 0)
+        g.connect(beep, 1, g.graph_out_node(), 1)
+        from firewheel_tpu import ArraySink
+
+        sink = ArraySink()
+        cx.activate(
+            StreamConfig(SR, 2, buffer_frames=128, chunk_buffers=16,
+                         pipeline_depth=depth),
+            sink=sink,
+            duration_secs=0.5,
+        )
+        st = cx.stream
+        for _ in range(10_000):
+            if st.finished:
+                break
+            st.pump()
+        assert st.finished
+        audio = sink.audio(2)  # no stop()/drain()/flush()
+        assert audio.shape[1] == int(0.5 * SR)
+        outs.append(audio)
+        cx.deactivate()
+    np.testing.assert_array_equal(outs[0], outs[1])
