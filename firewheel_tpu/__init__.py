@@ -62,8 +62,11 @@ from .core import (
     Keyframe,
     ParamAutomator,
     load_audio,
+    open_stream_reader,
     register_format,
+    register_stream_reader,
     supported_formats,
+    supported_stream_formats,
     AudioNodeInfo,
     BlockInfo,
     NodeEvent,
@@ -142,6 +145,9 @@ __all__ = [
     "decode_flac",
     "encode_flac",
     "load_audio",
+    "open_stream_reader",
+    "register_stream_reader",
+    "supported_stream_formats",
     "register_format",
     "supported_formats",
     "AudioGraph",

@@ -40,7 +40,14 @@ from .sample_resource import (SampleResource, pcm_f32_to_i16,
 from .automation import AutomationCurve, Keyframe, ParamAutomator
 from .events import NodeEvent, diff_counters
 from .flac import FlacStreamReader, decode_flac
-from .formats import load_audio, register_format, supported_formats
+from .formats import (
+    load_audio,
+    open_stream_reader,
+    register_format,
+    register_stream_reader,
+    supported_formats,
+    supported_stream_formats,
+)
 from . import interleave
 
 __all__ = [

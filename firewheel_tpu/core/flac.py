@@ -691,3 +691,10 @@ class FlacStreamReader:
                 )
             sample, off = nxt_sample, nxt_off
         return out
+
+    def close(self):
+        """Drop the decoded-frame cache and the byte-source reference
+        (an underlying SegmentCache/HttpByteSource should be closed by
+        its owner; a path-backed mmap is released here)."""
+        self._lru.clear()
+        self._read = None

@@ -9,6 +9,19 @@ the IMA/MS ADPCM game-asset flavors â€” ``utils/adpcm.py`` â€” AIFF, AU, FLAC â€
 decoder (ffmpeg wrapper, miniaudio binding, a network codec, ...).
 
 ``load_audio(path)`` â†’ :class:`SampleResource` ready for the sampler.
+
+Compressed formats: FLAC decodes in-tree (pure NumPy, ``core/flac.py``);
+MP3 binds the system codec pair libmpg123/libmp3lame through ``ctypes``
+(``utils/mp3.py``) and registers only when the library is present, and
+Ogg Vorbis binds libvorbisfile/libvorbisenc the same way
+(``utils/vorbis.py``) â€” so the practical game-audio cases (compressed
+music beds) load with zero third-party Python code.
+
+A parallel registry serves *streaming*: :func:`open_stream_reader(path)`
+returns a windowed reader (the ``num_channels / sample_rate /
+len_frames / read(start, n)`` protocol consumed by
+:class:`StreamingSamplerNode` and :class:`MusicPlayer`) without loading
+the whole file; :func:`register_stream_reader` extends it.
 """
 
 from __future__ import annotations
@@ -20,10 +33,20 @@ import numpy as np
 
 from .sample_resource import SampleResource
 
-__all__ = ["load_audio", "register_format", "supported_formats"]
+__all__ = [
+    "load_audio",
+    "register_format",
+    "supported_formats",
+    "open_stream_reader",
+    "register_stream_reader",
+    "supported_stream_formats",
+]
 
 # ext (lowercase, with dot) â†’ loader(path) -> (f32[ch, frames], sample_rate)
 _LOADERS: dict[str, Callable] = {}
+
+# ext â†’ reader_factory(path) -> stream-reader protocol object
+_STREAM_READERS: dict[str, Callable] = {}
 
 
 def register_format(extensions, loader: Callable) -> None:
@@ -39,6 +62,39 @@ def register_format(extensions, loader: Callable) -> None:
 
 def supported_formats() -> list[str]:
     return sorted(_LOADERS)
+
+
+def register_stream_reader(extensions, factory: Callable) -> None:
+    """Register ``factory(path) -> reader`` for the given extension(s),
+    where ``reader`` satisfies the windowed stream protocol
+    (``num_channels``, ``sample_rate``, ``len_frames``,
+    ``read(start_frame, num_frames) -> f32[ch, n]`` with zero-padding
+    outside ``[0, len_frames)``, and ``close()``)."""
+    if isinstance(extensions, str):
+        extensions = [extensions]
+    for ext in extensions:
+        _STREAM_READERS[
+            ext.lower() if ext.startswith(".") else "." + ext.lower()
+        ] = factory
+
+
+def supported_stream_formats() -> list[str]:
+    return sorted(_STREAM_READERS)
+
+
+def open_stream_reader(path: str):
+    """Open ``path`` for windowed streaming (no full decode, no device
+    upload) â†’ a stream-reader for :class:`StreamingSamplerNode` /
+    :class:`MusicPlayer` decks."""
+    ext = os.path.splitext(path)[1].lower()
+    factory = _STREAM_READERS.get(ext)
+    if factory is None:
+        raise ValueError(
+            f"no stream reader registered for {ext!r}; supported: "
+            f"{supported_stream_formats()} (register_stream_reader to "
+            "extend, or load_audio for whole-file decode)"
+        )
+    return factory(path)
 
 
 def load_audio(path: str, device: bool = True):
@@ -152,3 +208,72 @@ def _load_flac(path):
 
 
 register_format([".flac"], _load_flac)
+
+
+def _load_mp3(path):
+    from ..utils.mp3 import decode_mp3
+
+    return decode_mp3(path)
+
+
+def _load_vorbis(path):
+    from ..utils.vorbis import decode_vorbis
+
+    return decode_vorbis(path)
+
+
+try:  # MP3 rides the system libmpg123; skip the ext when it's absent
+    from ..utils.mp3 import available as _mp3_available
+
+    if _mp3_available()["decode"]:
+        register_format([".mp3"], _load_mp3)
+except Exception:  # pragma: no cover - optional system dependency
+    pass
+
+try:  # Ogg Vorbis rides the system libvorbisfile
+    from ..utils.vorbis import available as _vorbis_available
+
+    if _vorbis_available()["decode"]:
+        register_format([".ogg", ".oga"], _load_vorbis)
+except Exception:  # pragma: no cover - optional system dependency
+    pass
+
+
+# -- built-in stream readers ---------------------------------------------------
+
+def _open_wav_stream(path):
+    from ..utils.wav import WavStreamReader
+
+    return WavStreamReader(path)
+
+
+def _open_flac_stream(path):
+    from .flac import FlacStreamReader
+
+    return FlacStreamReader(path)
+
+
+def _open_mp3_stream(path):
+    from ..utils.mp3 import Mp3StreamReader
+
+    return Mp3StreamReader(path)
+
+
+def _open_vorbis_stream(path):
+    from ..utils.vorbis import VorbisStreamReader
+
+    return VorbisStreamReader(path)
+
+
+register_stream_reader([".wav", ".wave"], _open_wav_stream)
+register_stream_reader([".flac"], _open_flac_stream)
+try:
+    if _mp3_available()["decode"]:
+        register_stream_reader([".mp3"], _open_mp3_stream)
+except Exception:  # pragma: no cover
+    pass
+try:
+    if _vorbis_available()["decode"]:
+        register_stream_reader([".ogg", ".oga"], _open_vorbis_stream)
+except Exception:  # pragma: no cover
+    pass

@@ -246,3 +246,10 @@ class WavStreamReader:
                     chunk = chunk.astype(np.float32) * self._scale
             out[:, lead : lead + (end - start)] = chunk
         return out
+
+    def close(self):
+        """Release the memory-map (reads after close raise)."""
+        mm = getattr(self, "_mm", None)
+        if mm is not None:
+            # np.memmap frees the map when the last reference dies
+            self._mm = None

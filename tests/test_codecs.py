@@ -1,0 +1,217 @@
+"""MP3 and Ogg Vorbis codec bindings (system libraries via ctypes) and
+the stream-reader registry (DESIGN_DOC.md:32-33 "loading a wide variety
+of audio formats (using Symphonia)" — Symphonia's MP3/OGG slice).
+
+Lossy codecs can't be golden-tested bit-exactly; the contract tested
+here is the one the framework relies on:
+
+* exact frame counts (gapless — a music loop must not grow or shrink),
+* high-correlation reconstruction of band-limited content,
+* sample-exact windowed reads (the stream reader must return the same
+  samples as the whole-file decode at every offset, or StreamingSampler
+  prefetch windows would glitch at span boundaries),
+* zero-padding outside [0, len_frames) matching WavStreamReader.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from firewheel_tpu.core.formats import (
+    load_audio,
+    open_stream_reader,
+    register_stream_reader,
+    supported_formats,
+    supported_stream_formats,
+)
+from firewheel_tpu.utils import mp3, vorbis
+
+SR = 44100
+
+
+def make_tone(frames, channels=2):
+    t = np.arange(frames, dtype=np.float64) / SR
+    return np.stack([
+        (0.4 * np.sin(2 * np.pi * 220.0 * (c + 1) * t)).astype(np.float32)
+        for c in range(channels)
+    ])
+
+
+def correlation(a, b):
+    return float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+
+
+mp3_ok = mp3.available()
+vorbis_ok = vorbis.available()
+needs_mp3 = pytest.mark.skipif(
+    not (mp3_ok["decode"] and mp3_ok["encode"]),
+    reason="system libmpg123/libmp3lame unavailable",
+)
+needs_vorbis = pytest.mark.skipif(
+    not (vorbis_ok["decode"] and vorbis_ok["encode"]),
+    reason="system libvorbis unavailable",
+)
+
+
+@needs_mp3
+class TestMp3:
+    def test_roundtrip_stereo_gapless(self, tmp_path):
+        audio = make_tone(SR)
+        p = str(tmp_path / "t.mp3")
+        mp3.encode_mp3(p, audio, SR)
+        dec, rate = mp3.decode_mp3(p)
+        assert rate == SR
+        # LAME tag → mpg123 trims encoder delay+padding: exact length
+        assert dec.shape == audio.shape
+        core = slice(2000, SR - 2000)
+        assert correlation(audio[:, core], dec[:, core]) > 0.999
+
+    def test_roundtrip_mono(self, tmp_path):
+        audio = make_tone(SR // 2, channels=1)
+        p = str(tmp_path / "m.mp3")
+        mp3.encode_mp3(p, audio[0], SR)
+        dec, rate = mp3.decode_mp3(p)
+        assert dec.shape == (1, SR // 2)
+        core = slice(2000, SR // 2 - 2000)
+        assert correlation(audio[:, core], dec[:, core]) > 0.999
+
+    def test_three_channels_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="mono or stereo"):
+            mp3.encode_mp3(str(tmp_path / "x.mp3"),
+                           np.zeros((3, 1024), np.float32), SR)
+
+    def test_stream_reader_matches_full_decode(self, tmp_path):
+        audio = make_tone(SR)
+        p = str(tmp_path / "t.mp3")
+        mp3.encode_mp3(p, audio, SR)
+        dec, _ = mp3.decode_mp3(p)
+        r = mp3.Mp3StreamReader(p)
+        assert (r.num_channels, r.sample_rate) == (2, SR)
+        assert r.len_frames == dec.shape[1]
+        # sequential, then random access (backward seek), then tail
+        for start in (0, 512, 1024, 30000, 7777, r.len_frames - 100):
+            n = 512
+            w = r.read(start, n)
+            end = min(start + n, r.len_frames)
+            np.testing.assert_array_equal(w[:, : end - start],
+                                          dec[:, start:end])
+            assert np.all(w[:, end - start:] == 0.0)
+        r.close()
+
+    def test_stream_reader_padding(self, tmp_path):
+        audio = make_tone(8192)
+        p = str(tmp_path / "t.mp3")
+        mp3.encode_mp3(p, audio, SR)
+        dec, _ = mp3.decode_mp3(p)
+        r = mp3.Mp3StreamReader(p)
+        pre = r.read(-64, 128)
+        assert np.all(pre[:, :64] == 0.0)
+        np.testing.assert_array_equal(pre[:, 64:], dec[:, :64])
+        assert np.all(r.read(r.len_frames + 10, 64) == 0.0)
+        assert pre.shape == (2, 128)
+        r.close()
+
+    def test_load_audio_registry(self, tmp_path):
+        assert ".mp3" in supported_formats()
+        audio = make_tone(SR // 4)
+        p = str(tmp_path / "t.mp3")
+        mp3.encode_mp3(p, audio, SR)
+        res, rate = load_audio(p, device=False)
+        assert rate == SR
+        assert res.len_frames == SR // 4
+
+
+@needs_vorbis
+class TestVorbis:
+    def test_roundtrip_stereo_exact_length(self, tmp_path):
+        audio = make_tone(SR)
+        p = str(tmp_path / "t.ogg")
+        vorbis.encode_vorbis(p, audio, SR)
+        dec, rate = vorbis.decode_vorbis(p)
+        assert rate == SR
+        assert dec.shape == audio.shape  # granulepos-exact, no padding
+        core = slice(2000, SR - 2000)
+        assert correlation(audio[:, core], dec[:, core]) > 0.999
+
+    def test_roundtrip_mono_and_quality(self, tmp_path):
+        audio = make_tone(SR // 2, channels=1)
+        p_lo = str(tmp_path / "lo.ogg")
+        p_hi = str(tmp_path / "hi.ogg")
+        vorbis.encode_vorbis(p_lo, audio[0], SR, quality=0.0)
+        vorbis.encode_vorbis(p_hi, audio[0], SR, quality=0.9)
+        assert os.path.getsize(p_hi) > os.path.getsize(p_lo)
+        dec, _ = vorbis.decode_vorbis(p_hi)
+        assert dec.shape == (1, SR // 2)
+        core = slice(2000, SR // 2 - 2000)
+        assert correlation(audio[:, core], dec[:, core]) > 0.999
+
+    def test_stream_reader_matches_full_decode(self, tmp_path):
+        audio = make_tone(SR)
+        p = str(tmp_path / "t.ogg")
+        vorbis.encode_vorbis(p, audio, SR)
+        dec, _ = vorbis.decode_vorbis(p)
+        r = vorbis.VorbisStreamReader(p)
+        assert (r.num_channels, r.sample_rate) == (2, SR)
+        assert r.len_frames == dec.shape[1]
+        for start in (0, 512, 30000, 7777, r.len_frames - 100):
+            n = 512
+            w = r.read(start, n)
+            end = min(start + n, r.len_frames)
+            np.testing.assert_array_equal(w[:, : end - start],
+                                          dec[:, start:end])
+            assert np.all(w[:, end - start:] == 0.0)
+        pre = r.read(-64, 128)
+        assert np.all(pre[:, :64] == 0.0)
+        np.testing.assert_array_equal(pre[:, 64:], dec[:, :64])
+        r.close()
+
+    def test_load_audio_registry(self, tmp_path):
+        assert ".ogg" in supported_formats()
+        audio = make_tone(SR // 4)
+        p = str(tmp_path / "t.ogg")
+        vorbis.encode_vorbis(p, audio, SR)
+        res, rate = load_audio(p, device=False)
+        assert rate == SR
+        assert res.len_frames == SR // 4
+
+
+class TestStreamReaderRegistry:
+    def test_wav_and_flac_registered(self):
+        regs = supported_stream_formats()
+        assert ".wav" in regs and ".flac" in regs
+
+    def test_open_wav(self, tmp_path):
+        from firewheel_tpu.utils.wav import write_wav
+
+        audio = make_tone(4096)
+        p = str(tmp_path / "t.wav")
+        write_wav(p, audio, SR)
+        r = open_stream_reader(p)
+        assert r.len_frames == 4096
+        np.testing.assert_allclose(r.read(128, 256), audio[:, 128:384],
+                                   atol=2e-4)
+        r.close()
+
+    def test_unknown_extension_message(self):
+        with pytest.raises(ValueError, match="register_stream_reader"):
+            open_stream_reader("x.xyz")
+
+    def test_register_custom(self):
+        class Dummy:
+            num_channels, sample_rate, len_frames = 1, SR, 0
+
+            def __init__(self, path):
+                self.path = path
+
+            def read(self, s, n):
+                return np.zeros((1, n), np.float32)
+
+            def close(self):
+                pass
+
+        register_stream_reader(".dummy", Dummy)
+        r = open_stream_reader("a.DUMMY".lower())
+        assert isinstance(r, Dummy)
+        # extension matching is case-insensitive on the path side
+        assert isinstance(open_stream_reader("b.DuMmY"), Dummy)

@@ -47,7 +47,7 @@ def test_aiff(tmp_path):
 
 
 def test_unknown_format_names_extensions(tmp_path):
-    p = str(tmp_path / "x.mp3")
+    p = str(tmp_path / "x.xyz")
     open(p, "wb").write(b"\xff\xfb")
     with pytest.raises(ValueError, match="no decoder registered"):
         load_audio(p)
