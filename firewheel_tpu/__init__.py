@@ -61,6 +61,7 @@ from .core import (
     decode_flac,
     Keyframe,
     ParamAutomator,
+    as_stream_reader,
     load_audio,
     open_stream_reader,
     register_format,
@@ -144,6 +145,7 @@ __all__ = [
     "FlacStreamReader",
     "decode_flac",
     "encode_flac",
+    "as_stream_reader",
     "load_audio",
     "open_stream_reader",
     "register_stream_reader",

@@ -41,6 +41,7 @@ from .automation import AutomationCurve, Keyframe, ParamAutomator
 from .events import NodeEvent, diff_counters
 from .flac import FlacStreamReader, decode_flac
 from .formats import (
+    as_stream_reader,
     load_audio,
     open_stream_reader,
     register_format,

@@ -40,6 +40,7 @@ __all__ = [
     "open_stream_reader",
     "register_stream_reader",
     "supported_stream_formats",
+    "as_stream_reader",
 ]
 
 # ext (lowercase, with dot) → loader(path) -> (f32[ch, frames], sample_rate)
@@ -95,6 +96,16 @@ def open_stream_reader(path: str):
             "extend, or load_audio for whole-file decode)"
         )
     return factory(path)
+
+
+def as_stream_reader(source):
+    """Coerce ``source`` to a stream reader: a path (str / PathLike)
+    opens through :func:`open_stream_reader`; anything else (already a
+    reader) passes through untouched.  The convenience layer behind
+    ``MusicPlayer.play("bed.mp3")`` / ``StreamingSamplerNode("a.flac")``."""
+    if isinstance(source, (str, os.PathLike)):
+        return open_stream_reader(os.fspath(source))
+    return source
 
 
 def load_audio(path: str, device: bool = True):
@@ -239,6 +250,21 @@ except Exception:  # pragma: no cover - optional system dependency
     pass
 
 
+def _load_opus(path):
+    from ..utils.opus import decode_opus
+
+    return decode_opus(path)
+
+
+try:  # Ogg Opus: in-tree Ogg demux + the system libopus codec
+    from ..utils.opus import available as _opus_available
+
+    if _opus_available()["decode"]:
+        register_format([".opus"], _load_opus)
+except Exception:  # pragma: no cover - optional system dependency
+    pass
+
+
 # -- built-in stream readers ---------------------------------------------------
 
 def _open_wav_stream(path):
@@ -265,8 +291,19 @@ def _open_vorbis_stream(path):
     return VorbisStreamReader(path)
 
 
+def _open_opus_stream(path):
+    from ..utils.opus import OpusStreamReader
+
+    return OpusStreamReader(path)
+
+
 register_stream_reader([".wav", ".wave"], _open_wav_stream)
 register_stream_reader([".flac"], _open_flac_stream)
+try:
+    if _opus_available()["decode"]:
+        register_stream_reader([".opus"], _open_opus_stream)
+except Exception:  # pragma: no cover
+    pass
 try:
     if _mp3_available()["decode"]:
         register_stream_reader([".mp3"], _open_mp3_stream)

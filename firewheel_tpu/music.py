@@ -46,6 +46,7 @@ from .nodes.sampler import SamplerNode
 from .nodes.streaming_sampler import StreamingSamplerNode
 from .nodes.sum import SumNode
 from .nodes.volume import VolumeNode
+from .core.formats import as_stream_reader
 from .core.units import db_to_gain, raw_gain_to_percent_volume
 
 __all__ = ["MusicPlayer"]
@@ -251,9 +252,15 @@ class MusicPlayer:
         """Fire a short musical overlay ON TOP of the current music —
         optionally ``quantize="beat"``/``"bar"`` so it lands on the grid
         (the middleware 'stinger' feature).  ``clip`` is a
-        :class:`SampleResource`; same-shape clips swap without retraces
-        (pad a stinger set to one length for zero-recompile switching).
-        Returns the absolute stream sample the stinger fires at."""
+        :class:`SampleResource` — or a path string, whole-file decoded
+        through ``load_audio`` (stingers are short); same-shape clips
+        swap without retraces (pad a stinger set to one length for
+        zero-recompile switching).  Returns the absolute stream sample
+        the stinger fires at."""
+        if isinstance(clip, str):
+            from .core.formats import load_audio
+
+            clip, _sr = load_audio(clip)
         t = self._now(now)
         at = self._quantize(t, quantize)
         free = [j for j, e in enumerate(self._stinger_ends) if e <= t]
@@ -310,7 +317,10 @@ class MusicPlayer:
         track at that block (fade the old one out instead with
         :meth:`crossfade_to`).  ``loop=True`` re-queues the track
         gaplessly on alternating decks for as long as it stays current
-        (:meth:`update` keeps one iteration scheduled ahead)."""
+        (:meth:`update` keeps one iteration scheduled ahead).  ``reader``
+        may be a path string — any registered stream format opens
+        (``core.formats.open_stream_reader``)."""
+        reader = as_stream_reader(reader)
         at = self._now(now)
         self.update(now=at)  # sync current/tail with the stream clock
         self._pending.clear()
@@ -353,7 +363,9 @@ class MusicPlayer:
         (block-aligned) by default, or overlapped by ``crossfade_secs``
         of equal-power crossfade.  Queue depth is unlimited: the first
         follow-on is armed on the device; deeper entries wait host-side
-        and are promoted a full track ahead by :meth:`update`."""
+        and are promoted a full track ahead by :meth:`update`.
+        ``reader`` may be a path string."""
+        reader = as_stream_reader(reader)
         if now is not None or self._clock is not None:
             self.update(now=now)  # sync current/tail with the stream clock
         if self._current is None:
@@ -410,7 +422,8 @@ class MusicPlayer:
         the transition to the next grid boundary (interactive-music
         quantized transitions; :meth:`set_tempo` defines the grid): the
         incoming track starts ON the grid point and the crossfade runs
-        from it."""
+        from it.  ``reader`` may be a path string."""
+        reader = as_stream_reader(reader)
         t_now = self._now(now)
         at = self._quantize(t_now, quantize)
         self.update(now=t_now)  # sync current/tail with the stream clock

@@ -88,7 +88,9 @@ class StreamingSamplerNode(AudioNode):
         percent_volume: float = 100.0,
         window_secs: float = 2.0,
     ):
-        self._reader = reader
+        from ..core.formats import as_stream_reader
+
+        self._reader = as_stream_reader(reader)
         self._percent_volume = max(float(percent_volume), 0.0)
         self._raw_gain = float(
             percent_volume_to_raw_gain(np.float32(percent_volume))
@@ -112,8 +114,11 @@ class StreamingSamplerNode(AudioNode):
 
     # -- control --------------------------------------------------------------
     def set_reader(self, reader):
-        """Swap the stream source; playback restarts from frame 0."""
-        self._reader = reader
+        """Swap the stream source (a reader, or a path any registered
+        stream format opens); playback restarts from frame 0."""
+        from ..core.formats import as_stream_reader
+
+        self._reader = as_stream_reader(reader)
         self.stop()
 
     def play(self, at_sample: int | None = None):

@@ -1,7 +1,7 @@
 """Utility helpers: WAV IO, schedule visualization, profiling."""
 
 from .wav import read_wav, write_wav
-from . import mp3, vorbis
+from . import mp3, opus, vorbis
 from .net_stream import HttpByteSource, HttpWavStreamReader, SegmentCache
 from .viz import ascii_graph, schedule_table, to_dot, to_html
 from .profiler import annotate, trace
@@ -9,6 +9,7 @@ from .profiler import annotate, trace
 __all__ = [
     "read_wav",
     "mp3",
+    "opus",
     "vorbis",
     "write_wav",
     "HttpByteSource",

@@ -215,3 +215,173 @@ class TestStreamReaderRegistry:
         assert isinstance(r, Dummy)
         # extension matching is case-insensitive on the path side
         assert isinstance(open_stream_reader("b.DuMmY"), Dummy)
+
+
+class TestPathConvenience:
+    """Readers-or-paths: every deck/sampler entry point coerces a path
+    string through the stream registry (``as_stream_reader``)."""
+
+    def _wav(self, tmp_path, freq=440.0, secs=0.5):
+        from firewheel_tpu.utils.wav import write_wav
+
+        n = int(SR * secs)
+        t = np.arange(n) / SR
+        audio = np.stack([np.sin(2 * np.pi * freq * t)] * 2)
+        audio = (audio * 0.5).astype(np.float32)
+        p = str(tmp_path / "clip.wav")
+        write_wav(p, audio, SR)
+        return p, audio
+
+    def test_as_stream_reader_coercion(self, tmp_path):
+        from firewheel_tpu.core.formats import as_stream_reader
+
+        p, audio = self._wav(tmp_path)
+        r = as_stream_reader(p)
+        assert r.len_frames == audio.shape[1]
+        # passthrough: an existing reader is returned untouched
+        assert as_stream_reader(r) is r
+
+    def test_streaming_sampler_accepts_path(self, tmp_path):
+        from firewheel_tpu.nodes.streaming_sampler import StreamingSamplerNode
+
+        p, audio = self._wav(tmp_path)
+        node = StreamingSamplerNode(p)
+        assert node._reader.len_frames == audio.shape[1]
+        node.set_reader(p)
+        assert node._reader.len_frames == audio.shape[1]
+
+    def test_music_player_plays_path(self, tmp_path):
+        from firewheel_tpu import ArraySink, FirewheelCtx, MusicPlayer, StreamConfig
+
+        p, audio = self._wav(tmp_path)
+        cx = FirewheelCtx()
+        player = MusicPlayer(
+            cx.graph_mut(), clock=lambda: cx.stream.frames_rendered
+        )
+        sink = ArraySink()
+        cx.activate(StreamConfig(SR, 2, buffer_frames=512), sink=sink)
+        player.play(p)
+        cx.render_offline(0.25)
+        player.update()
+        cx.deactivate()
+        L = sink.audio(2)[0]
+        assert np.max(np.abs(L)) > 0.3
+
+
+from firewheel_tpu.utils import opus as opus_mod
+
+opus_ok = opus_mod.available()
+needs_opus = pytest.mark.skipif(
+    not (opus_ok["decode"] and opus_ok["encode"]),
+    reason="system libopus unavailable",
+)
+SR48 = 48000
+
+
+def tone48(frames, channels=2):
+    t = np.arange(frames, dtype=np.float64) / SR48
+    return np.stack([
+        (0.4 * np.sin(2 * np.pi * 220.0 * (c + 1) * t)).astype(np.float32)
+        for c in range(channels)
+    ])
+
+
+@needs_opus
+class TestOpus:
+    """Ogg Opus: in-tree Ogg framing + system libopus (utils/opus.py)."""
+
+    def test_roundtrip_stereo_gapless(self, tmp_path):
+        audio = tone48(SR48)
+        p = str(tmp_path / "t.opus")
+        opus_mod.encode_opus(p, audio, SR48, bitrate_kbps=128)
+        dec, rate = opus_mod.decode_opus(p)
+        assert rate == SR48
+        # preskip + final-granule trim → frame-count exact (gapless)
+        assert dec.shape == audio.shape
+        core = slice(2000, SR48 - 2000)
+        assert correlation(audio[:, core], dec[:, core]) > 0.999
+
+    def test_roundtrip_mono_24k(self, tmp_path):
+        audio = tone48(12000, channels=1)
+        p = str(tmp_path / "m.opus")
+        opus_mod.encode_opus(p, audio[0], 24000)
+        dec, rate = opus_mod.decode_opus(p)
+        # Opus reconstructs at 48 kHz: 12000 frames @24k → 24000 @48k
+        assert rate == SR48 and dec.shape == (1, 24000)
+
+    def test_bad_rate_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="8/12/16/24/48"):
+            opus_mod.encode_opus(str(tmp_path / "x.opus"),
+                                 np.zeros((2, 1024), np.float32), 44100)
+
+    def test_stream_forward_reads_bit_exact(self, tmp_path):
+        audio = tone48(SR48)
+        p = str(tmp_path / "t.opus")
+        opus_mod.encode_opus(p, audio, SR48)
+        dec, _ = opus_mod.decode_opus(p)
+        r = opus_mod.OpusStreamReader(p)
+        assert (r.num_channels, r.sample_rate, r.len_frames) == \
+            (2, SR48, SR48)
+        # forward-from-zero, sequential, and gap reads continue the
+        # decoder: identical to the whole-file decode
+        assert np.array_equal(r.read(10_000, 4096), dec[:, 10_000:14_096])
+        assert np.array_equal(r.read(14_096, 4096), dec[:, 14_096:18_192])
+        assert np.array_equal(r.read(30_000, 2048), dec[:, 30_000:32_048])
+        # loop back to 0: reset == fresh decoder → exact (gapless loops)
+        assert np.array_equal(r.read(0, 4096), dec[:, :4096])
+        r.close()
+
+    def test_stream_backward_seek_converged(self, tmp_path):
+        audio = tone48(SR48)
+        p = str(tmp_path / "t.opus")
+        opus_mod.encode_opus(p, audio, SR48)
+        dec, _ = opus_mod.decode_opus(p)
+        r = opus_mod.OpusStreamReader(p)
+        r.read(40_000, 1024)
+        w = r.read(20_000, 4096)  # backward: 640 ms preroll
+        assert np.max(np.abs(w - dec[:, 20_000:24_096])) < 1e-4
+        r.close()
+
+    def test_stream_eof_and_negative_zero_pad(self, tmp_path):
+        audio = tone48(8192)
+        p = str(tmp_path / "s.opus")
+        opus_mod.encode_opus(p, audio, SR48)
+        r = opus_mod.OpusStreamReader(p)
+        tail = r.read(r.len_frames - 64, 256)
+        assert np.all(tail[:, 64:] == 0)
+        head = r.read(-32, 64)
+        assert np.all(head[:, :32] == 0)
+        r.close()
+
+    def test_registry_integration(self, tmp_path):
+        audio = tone48(4800)
+        p = str(tmp_path / "r.opus")
+        opus_mod.encode_opus(p, audio, SR48)
+        assert ".opus" in supported_formats()
+        assert ".opus" in supported_stream_formats()
+        res, rate = load_audio(p, device=False)
+        assert rate == SR48
+        assert np.asarray(res.data).shape == audio.shape
+        rr = open_stream_reader(p)
+        assert rr.len_frames == 4800
+        rr.close()
+
+    def test_ogg_crc_and_spanning_packets(self, tmp_path):
+        """Ogg layer invariants: pages we build carry a valid Ogg CRC,
+        and packets spanning pages (>64 KB of lacing) reassemble."""
+        from firewheel_tpu.utils.opus import _build_page, _ogg_crc, \
+            _parse_packets
+        pkt = bytes(range(256)) * 3  # 768 bytes → 4 lacing segments
+        page = _build_page(7, 0, 960, [pkt], 0x02)
+        body = bytearray(page)
+        import struct as _s
+        crc_stored = _s.unpack("<I", body[22:26])[0]
+        body[22:26] = b"\0\0\0\0"
+        assert _ogg_crc(bytes(body)) == crc_stored
+        pkts, granule = _parse_packets(page)
+        assert pkts == [pkt] and granule == 960
+        # a packet exactly 255*k bytes needs the 0-lacing terminator
+        pkt2 = b"\xab" * 510
+        page2 = _build_page(7, 1, 1920, [pkt2], 0x00)
+        pkts2, _ = _parse_packets(page + page2)
+        assert pkts2 == [pkt, pkt2]
