@@ -11,7 +11,11 @@ bounces the session to ``music_demo.wav``:
 * the main bed LOOPS sample-exactly (its length is deliberately not a
   block multiple);
 * an "outro" crossfades in live, then fades to silence;
-* track completions arrive as device finish events via ``player.poll``.
+* track completions arrive as device finish events via ``player.poll``;
+* tracks are PASSED AS PATHS in three different formats (WAV intro,
+  FLAC bed, OGG/MP3/Opus outro when a system codec is present) — the
+  stream registry (``open_stream_reader``) picks the decoder per
+  extension.
 
 Run:  python examples/music_player.py      (FIREWHEEL_TPU_PLATFORM=cpu
       to force CPU; writes music_demo.wav to the working directory)
@@ -26,7 +30,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from firewheel_tpu import FirewheelCtx, MusicPlayer, StreamConfig, WavSink
-from firewheel_tpu.utils.wav import WavStreamReader
 
 SR = 48000
 
@@ -62,6 +65,24 @@ def main(outdir="."):
     write_track(bed, [110, 165, 220, 277], 0.7)
     write_track(outro, [330, 277, 220, 165], 1.0)
 
+    # re-encode the bed as FLAC (in-tree codec, always available) and
+    # the outro compressed when a system codec is present — the decks
+    # open any registered format by path
+    from firewheel_tpu import load_audio
+    from firewheel_tpu.utils.flac_encode import encode_flac
+    from firewheel_tpu.utils import opus as _opus, vorbis as _vorbis
+
+    bed_audio = np.asarray(load_audio(bed, device=False)[0].data)
+    flac_bed = os.path.join(outdir, "_bed.flac")
+    encode_flac(bed_audio, SR, path=flac_bed)
+    os.remove(bed)
+    bed = flac_bed
+    if _vorbis.available()["encode"]:
+        out_audio = np.asarray(load_audio(outro, device=False)[0].data)
+        _vorbis.encode_vorbis(outro.replace(".wav", ".ogg"), out_audio, SR)
+        os.remove(outro)
+        outro = outro.replace(".wav", ".ogg")
+
     cx = FirewheelCtx()
     player = MusicPlayer(
         cx.graph_mut(), clock=lambda: cx.stream.frames_rendered
@@ -70,21 +91,21 @@ def main(outdir="."):
     cx.activate(StreamConfig(SR, 2, buffer_frames=512),
                 sink=WavSink(out_path, SR, 2))
 
-    player.play(WavStreamReader(intro))
-    player.queue(WavStreamReader(bed), crossfade_secs=0.5)
+    player.play(intro)  # a PATH: WAV via the stream registry
+    player.queue(bed, crossfade_secs=0.5)  # FLAC bed, same API
     finished = []
     for _ in range(8):  # ~2.4 s: intro crossfades into the bed
         cx.render_offline(0.3)
         player.update()
         finished += player.poll(cx.poll_events())
     # switch the bed to a LOOP: re-play it looped (gapless period = len)
-    player.play(WavStreamReader(bed), loop=True)
+    player.play(bed, loop=True)
     for _ in range(6):
         cx.render_offline(0.3)
         player.update()
         finished += player.poll(cx.poll_events())
     # live transition out
-    player.crossfade_to(WavStreamReader(outro), 0.5)
+    player.crossfade_to(outro, 0.5)  # OGG when the codec is present
     for _ in range(4):
         cx.render_offline(0.3)
         player.update()
