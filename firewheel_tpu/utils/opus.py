@@ -290,16 +290,18 @@ def decode_opus(path: str) -> tuple[np.ndarray, int]:
 def encode_opus(path: str, audio: np.ndarray, sample_rate: int,
                 bitrate_kbps: int = 96) -> None:
     """Encode f32 ``[channels, frames]`` (or ``[frames]``) to an Ogg
-    Opus file.  ``sample_rate`` must be an Opus rate (8/12/16/24/48 kHz
-    — resample first otherwise); 20 ms frames, CBR-ish VBR at
-    ``bitrate_kbps``."""
+    Opus file.  Opus encodes at 8/12/16/24/48 kHz; any other
+    ``sample_rate`` is converted to 48 kHz first through the offline
+    polyphase resampler (``utils/resample.py``, ~100 dB).  20 ms
+    frames, VBR at ``bitrate_kbps``."""
     o = _load()
     if o is None:
         raise ValueError("Opus encoding unavailable: libopus.so.0 not found")
     if sample_rate not in (8000, 12000, 16000, 24000, 48000):
-        raise ValueError(
-            f"Opus encodes at 8/12/16/24/48 kHz, not {sample_rate} "
-            "(resample first — nodes/sampler.py resamples on playback)")
+        from .resample import resample
+
+        audio = resample(audio, int(sample_rate), 48000)
+        sample_rate = 48000
     audio = np.atleast_2d(np.ascontiguousarray(audio, np.float32))
     ch, frames = audio.shape
     if ch > 2:
@@ -333,6 +335,7 @@ def encode_opus(path: str, audio: np.ndarray, sample_rate: int,
         seq = 2
         outbuf = ctypes.create_string_buffer(4000)  # RFC 6716 max ~1275*3
         pend_pkts: list[bytes] = []
+        pend_lacing = 0  # Ogg caps a page at 255 lacing segments
         pend_granule = 0
         granule = 0  # raw 48k samples encoded, incl. lookahead delay
         final_granule = preskip + frames * scale
@@ -352,14 +355,22 @@ def encode_opus(path: str, audio: np.ndarray, sample_rate: int,
             if nb < 0:
                 raise ValueError(f"opus_encode_float error {nb}")
             granule += frame * scale
-            pend_pkts.append(outbuf.raw[:nb])
+            pkt = outbuf.raw[:nb]
+            segs = len(pkt) // 255 + 1
+            if pend_pkts and (len(pend_pkts) >= 50 or
+                              pend_lacing + segs > 255):
+                pages.append(_build_page(serial, seq, pend_granule,
+                                         pend_pkts, 0x00))
+                seq += 1
+                pend_pkts = []
+                pend_lacing = 0
+            pend_pkts.append(pkt)
+            pend_lacing += segs
             # the last page's granule trims the padding back to `frames`
             pend_granule = min(granule, final_granule)
-            # ≤ 50 packets/page keeps lacing ≤ ~150 segments
-            if len(pend_pkts) >= 50 or i == n_frames_total - 1:
-                htype = 0x04 if i == n_frames_total - 1 else 0x00
+            if i == n_frames_total - 1:
                 pages.append(_build_page(serial, seq, pend_granule,
-                                         pend_pkts, htype))
+                                         pend_pkts, 0x04))
                 seq += 1
                 pend_pkts = []
         with open(path, "wb") as f:

@@ -309,10 +309,17 @@ class TestOpus:
         # Opus reconstructs at 48 kHz: 12000 frames @24k → 24000 @48k
         assert rate == SR48 and dec.shape == (1, 24000)
 
-    def test_bad_rate_rejected(self, tmp_path):
-        with pytest.raises(ValueError, match="8/12/16/24/48"):
-            opus_mod.encode_opus(str(tmp_path / "x.opus"),
-                                 np.zeros((2, 1024), np.float32), 44100)
+    def test_non_opus_rate_auto_resamples(self, tmp_path):
+        # 44.1 kHz input converts offline to 48 kHz (utils/resample.py)
+        sr_in = 44100
+        t = np.arange(sr_in, dtype=np.float64) / sr_in
+        audio = (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        p = str(tmp_path / "cd.opus")
+        opus_mod.encode_opus(p, audio, sr_in)
+        dec, rate = opus_mod.decode_opus(p)
+        assert rate == SR48 and dec.shape == (1, SR48)  # 1 s either way
+        w = np.abs(np.fft.rfft(dec[0] * np.hanning(SR48)))
+        assert abs(np.argmax(w) * SR48 / SR48 - 440.0) < 2.0
 
     def test_stream_forward_reads_bit_exact(self, tmp_path):
         audio = tone48(SR48)
