@@ -109,6 +109,7 @@ from .backend import (
     available_output_devices,
 )
 from .utils.flac_encode import encode_flac
+from .utils.opus import OpusSink
 from .voice_pool import VoiceHandle, VoicePool
 from .music import MusicPlayer
 from .serving import SessionHandle, SessionServer
@@ -177,6 +178,7 @@ __all__ = [
     "RingBuffer",
     "StreamConfig",
     "WavSink",
+    "OpusSink",
     "available_output_devices",
     "nodes",
     "utils",

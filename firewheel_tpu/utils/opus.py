@@ -29,7 +29,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "decode_opus", "encode_opus", "OpusStreamReader"]
+__all__ = ["available", "decode_opus", "encode_opus", "OpusStreamReader",
+           "OpusStreamWriter", "OpusSink"]
 
 _lock = threading.Lock()
 _opus = None
@@ -205,19 +206,42 @@ def _parse_head(pkt: bytes):
 
 # -- decode ---------------------------------------------------------------
 
+def _source_bytes(source) -> bytes:
+    """Normalize path / bytes / byte-source → the whole Ogg byte stream.
+
+    Opus seeking needs a full packet-duration scan up front (the same
+    reason mpg123_scan exists), and the compressed stream stays resident
+    (~1 MB/min), so a network byte source (``read_range``/``read`` +
+    ``length()`` — e.g. :class:`~firewheel_tpu.utils.net_stream.
+    HttpByteSource`) is fetched once here; PCM still decodes windowed,
+    on demand."""
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        return bytes(source)
+    if isinstance(source, str) or hasattr(source, "__fspath__"):
+        with open(source, "rb") as f:
+            return f.read()
+    read = getattr(source, "read_range", None) or getattr(
+        source, "read", None)
+    length = getattr(source, "length", None)
+    if read is not None and length is not None:
+        return bytes(read(0, int(length())))
+    raise TypeError(
+        f"unsupported Opus byte source {type(source).__name__} (want a "
+        "path, bytes, or read_range/read + length())")
+
+
 class _Decoder:
-    def __init__(self, path: str):
+    def __init__(self, source):
         o = _load()
         if o is None:
             raise ValueError(
                 "Opus decoding unavailable: libopus.so.0 not found "
                 "(install libopus, or register_format an external decoder)")
         self.o = o
-        with open(path, "rb") as f:
-            data = f.read()
+        data = _source_bytes(source)
         self.packets, last_granule = _parse_packets(data)
         if not self.packets:
-            raise ValueError(f"no Ogg packets in {path!r}")
+            raise ValueError(f"no Ogg packets in {source!r}")
         self.channels, self.preskip, self.in_rate, gain_q8 = _parse_head(
             self.packets[0])
         self.gain = float(10.0 ** (gain_q8 / (20.0 * 256.0)))
@@ -267,10 +291,12 @@ class _Decoder:
             pass
 
 
-def decode_opus(path: str) -> tuple[np.ndarray, int]:
-    """Decode a whole Ogg Opus file → ``(f32 [channels, frames], 48000)``
-    (Opus always reconstructs at 48 kHz; pre-skip and end trim applied)."""
-    d = _Decoder(path)
+def decode_opus(source) -> tuple[np.ndarray, int]:
+    """Decode a whole Ogg Opus stream → ``(f32 [channels, frames],
+    48000)`` (Opus always reconstructs at 48 kHz; pre-skip and end trim
+    applied).  ``source``: path, bytes, or a network byte source
+    (``read_range``/``read`` + ``length()``)."""
+    d = _Decoder(source)
     try:
         chunks = [d.decode_packet(p) for p in d.audio]
         if chunks:
@@ -294,89 +320,176 @@ def encode_opus(path: str, audio: np.ndarray, sample_rate: int,
     ``sample_rate`` is converted to 48 kHz first through the offline
     polyphase resampler (``utils/resample.py``, ~100 dB).  20 ms
     frames, VBR at ``bitrate_kbps``."""
-    o = _load()
-    if o is None:
-        raise ValueError("Opus encoding unavailable: libopus.so.0 not found")
     if sample_rate not in (8000, 12000, 16000, 24000, 48000):
         from .resample import resample
 
         audio = resample(audio, int(sample_rate), 48000)
         sample_rate = 48000
     audio = np.atleast_2d(np.ascontiguousarray(audio, np.float32))
-    ch, frames = audio.shape
-    if ch > 2:
-        raise ValueError("family-0 Ogg Opus is mono/stereo only")
-    err = ctypes.c_int(0)
-    enc = o.opus_encoder_create(sample_rate, ch, _OPUS_APPLICATION_AUDIO,
-                                ctypes.byref(err))
-    if not enc or err.value != 0:
-        raise ValueError(f"opus_encoder_create failed ({err.value})")
+    w = OpusStreamWriter(path, sample_rate, audio.shape[0],
+                         bitrate_kbps=bitrate_kbps)
     try:
-        o.opus_encoder_ctl(enc, ctypes.c_int(_OPUS_SET_BITRATE),
+        w.append(audio)
+    finally:
+        w.finish()
+
+
+class OpusStreamWriter:
+    """Incremental Ogg Opus encoder: ``append(f32 [ch, n])`` encodes
+    complete 20 ms frames as they accumulate and writes finished pages
+    straight to disk (an hours-long bounce holds <20 ms of PCM in RAM);
+    ``finish()`` pads the tail frame, flushes the EOS page with the
+    final-granule end trim, and closes the file.  The streaming engine
+    behind :func:`encode_opus` and :class:`OpusSink`."""
+
+    def __init__(self, path: str, sample_rate: int, channels: int,
+                 bitrate_kbps: int = 96):
+        o = _load()
+        if o is None:
+            raise ValueError(
+                "Opus encoding unavailable: libopus.so.0 not found")
+        if sample_rate not in (8000, 12000, 16000, 24000, 48000):
+            raise ValueError(
+                f"OpusStreamWriter needs an Opus rate (8/12/16/24/48 kHz), "
+                f"got {sample_rate} (offline: encode_opus auto-resamples)")
+        if channels > 2:
+            raise ValueError("family-0 Ogg Opus is mono/stereo only")
+        self.o = o
+        self.channels = int(channels)
+        self.sample_rate = int(sample_rate)
+        err = ctypes.c_int(0)
+        self._enc = o.opus_encoder_create(
+            self.sample_rate, self.channels, _OPUS_APPLICATION_AUDIO,
+            ctypes.byref(err))
+        if not self._enc or err.value != 0:
+            raise ValueError(f"opus_encoder_create failed ({err.value})")
+        o.opus_encoder_ctl(self._enc, ctypes.c_int(_OPUS_SET_BITRATE),
                            ctypes.c_int(int(bitrate_kbps) * 1000))
-        o.opus_encoder_ctl(enc, ctypes.c_int(_OPUS_SET_COMPLEXITY),
+        o.opus_encoder_ctl(self._enc, ctypes.c_int(_OPUS_SET_COMPLEXITY),
                            ctypes.c_int(10))
         look = ctypes.c_int(0)
-        o.opus_encoder_ctl(enc, ctypes.c_int(_OPUS_GET_LOOKAHEAD),
+        o.opus_encoder_ctl(self._enc, ctypes.c_int(_OPUS_GET_LOOKAHEAD),
                            ctypes.byref(look))
-        scale = 48000 // sample_rate
-        preskip = int(look.value) * scale  # OpusHead wants 48k units
-        frame = sample_rate // 50  # 20 ms
-
-        head = (b"OpusHead" + struct.pack("<BBHIhB", 1, ch, preskip,
-                                          sample_rate, 0, 0))
+        self._look = int(look.value)
+        self._scale = 48000 // self.sample_rate
+        self._preskip = self._look * self._scale  # OpusHead: 48k units
+        self._frame = self.sample_rate // 50  # 20 ms
+        self._serial = 0x46575055  # "FWPU" — deterministic for tests
+        self._seq = 2
+        self._outbuf = ctypes.create_string_buffer(4000)  # RFC 6716 max
+        self._pend_pkts: list[bytes] = []
+        self._pend_lacing = 0  # Ogg caps a page at 255 lacing segments
+        self._pend_granule = 0
+        self._granule = 0  # raw 48k samples encoded, incl. lookahead
+        self._in_frames = 0  # input frames appended (input rate)
+        self._buf = np.zeros((self.channels, 0), np.float32)
+        self._f = open(path, "wb")
+        head = (b"OpusHead" + struct.pack(
+            "<BBHIhB", 1, self.channels, self._preskip, self.sample_rate,
+            0, 0))
         vendor = b"firewheel_tpu"
-        tags = b"OpusTags" + struct.pack("<I", len(vendor)) + vendor + \
-            struct.pack("<I", 0)
+        tags = (b"OpusTags" + struct.pack("<I", len(vendor)) + vendor +
+                struct.pack("<I", 0))
+        self._f.write(_build_page(self._serial, 0, 0, [head], 0x02))
+        self._f.write(_build_page(self._serial, 1, 0, [tags], 0x00))
 
-        serial = 0x46575055  # "FWPU" — fixed: deterministic for tests
-        pages = [_build_page(serial, 0, 0, [head], 0x02),
-                 _build_page(serial, 1, 0, [tags], 0x00)]
-        seq = 2
-        outbuf = ctypes.create_string_buffer(4000)  # RFC 6716 max ~1275*3
-        pend_pkts: list[bytes] = []
-        pend_lacing = 0  # Ogg caps a page at 255 lacing segments
-        pend_granule = 0
-        granule = 0  # raw 48k samples encoded, incl. lookahead delay
-        final_granule = preskip + frames * scale
-        # the decoder discards `preskip` raw samples up front, so the
-        # stream must carry frames + lookahead worth of input: feed
-        # trailing zero frames until the raw total covers final_granule
-        n_frames_total = -(-(frames + int(look.value)) // frame)
-        for i in range(n_frames_total):
-            start = i * frame
-            blk = audio[:, start:start + frame]
-            if blk.shape[1] < frame:  # zero-pad the tail frame
-                blk = np.pad(blk, ((0, 0), (0, frame - blk.shape[1])))
-            inter = np.ascontiguousarray(blk.T.reshape(-1))
-            nb = o.opus_encode_float(
-                enc, inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                frame, outbuf, len(outbuf))
-            if nb < 0:
-                raise ValueError(f"opus_encode_float error {nb}")
-            granule += frame * scale
-            pkt = outbuf.raw[:nb]
-            segs = len(pkt) // 255 + 1
-            if pend_pkts and (len(pend_pkts) >= 50 or
-                              pend_lacing + segs > 255):
-                pages.append(_build_page(serial, seq, pend_granule,
-                                         pend_pkts, 0x00))
-                seq += 1
-                pend_pkts = []
-                pend_lacing = 0
-            pend_pkts.append(pkt)
-            pend_lacing += segs
-            # the last page's granule trims the padding back to `frames`
-            pend_granule = min(granule, final_granule)
-            if i == n_frames_total - 1:
-                pages.append(_build_page(serial, seq, pend_granule,
-                                         pend_pkts, 0x04))
-                seq += 1
-                pend_pkts = []
-        with open(path, "wb") as f:
-            f.write(b"".join(pages))
-    finally:
-        o.opus_encoder_destroy(enc)
+    def _flush_page(self, htype: int, granule: int) -> None:
+        self._f.write(_build_page(self._serial, self._seq, granule,
+                                  self._pend_pkts, htype))
+        self._seq += 1
+        self._pend_pkts = []
+        self._pend_lacing = 0
+
+    def _encode_frame(self, blk: np.ndarray, final_granule=None) -> None:
+        o = self.o
+        inter = np.ascontiguousarray(blk.T.reshape(-1), np.float32)
+        nb = o.opus_encode_float(
+            self._enc, inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._frame, self._outbuf, len(self._outbuf))
+        if nb < 0:
+            raise ValueError(f"opus_encode_float error {nb}")
+        self._granule += self._frame * self._scale
+        pkt = self._outbuf.raw[:nb]
+        segs = len(pkt) // 255 + 1
+        if self._pend_pkts and (len(self._pend_pkts) >= 50 or
+                                self._pend_lacing + segs > 255):
+            self._flush_page(0x00, self._pend_granule)
+        self._pend_pkts.append(pkt)
+        self._pend_lacing += segs
+        # the final page's granule trims padding back to the true length
+        self._pend_granule = (self._granule if final_granule is None
+                              else min(self._granule, final_granule))
+
+    def append(self, audio: np.ndarray) -> None:
+        """Queue f32 ``[channels, n]`` (or ``[n]``); complete 20 ms
+        frames encode immediately, the remainder waits for more."""
+        audio = np.atleast_2d(np.asarray(audio, np.float32))
+        self._in_frames += audio.shape[1]
+        self._buf = np.concatenate([self._buf, audio], axis=1)
+        n_full = self._buf.shape[1] // self._frame
+        for i in range(n_full):
+            self._encode_frame(
+                self._buf[:, i * self._frame:(i + 1) * self._frame])
+        self._buf = self._buf[:, n_full * self._frame:]
+
+    def finish(self) -> None:
+        """Pad the tail, emit the EOS page (end-trimmed to exactly the
+        appended length), close the file.  Idempotent."""
+        if self._f.closed:
+            return
+        try:
+            final_granule = self._preskip + self._in_frames * self._scale
+            # the decoder discards `preskip` raw samples up front: feed
+            # trailing zeros until the raw total covers final_granule
+            tail = self._buf.shape[1]
+            need = tail + self._look
+            n_frames = max(-(-need // self._frame), 1)
+            blk = np.pad(self._buf,
+                         ((0, 0), (0, n_frames * self._frame - tail)))
+            for i in range(n_frames):
+                self._encode_frame(
+                    blk[:, i * self._frame:(i + 1) * self._frame],
+                    final_granule=final_granule)
+            self._flush_page(0x04, self._pend_granule)
+            self._f.close()
+        finally:
+            if self._enc:
+                self.o.opus_encoder_destroy(self._enc)
+                self._enc = None
+
+    close = finish
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            if getattr(self, "_enc", None):
+                self.o.opus_encoder_destroy(self._enc)
+                self._enc = None
+        except Exception:
+            pass
+
+
+class OpusSink:
+    """Engine sink (the ``write(interleaved, num_channels)`` protocol of
+    ``ArraySink``/``WavSink``) that bounces the stream to an Ogg Opus
+    file incrementally — compressed session exports with <20 ms of PCM
+    resident.  The stream's rate must be an Opus rate (48 kHz streams
+    are the norm)."""
+
+    def __init__(self, path: str, sample_rate: int, num_channels: int,
+                 bitrate_kbps: int = 96):
+        self._w = OpusStreamWriter(path, sample_rate, num_channels,
+                                   bitrate_kbps=bitrate_kbps)
+        self.path = path
+        self.num_channels = int(num_channels)
+
+    def write(self, interleaved: np.ndarray, num_channels: int) -> None:
+        flat = np.asarray(interleaved, np.float32)
+        frames = len(flat) // num_channels
+        self._w.append(flat[: frames * num_channels]
+                       .reshape(frames, num_channels).T)
+
+    def close(self) -> None:
+        self._w.finish()
 
 
 # -- streaming ------------------------------------------------------------
@@ -393,9 +506,9 @@ class OpusStreamReader:
     (Opus is stateful; only decoding from 0 is guaranteed exact).  Reads
     outside ``[0, len_frames)`` zero-pad."""
 
-    def __init__(self, path: str):
-        self.path = path
-        self._d = _Decoder(path)
+    def __init__(self, source):
+        self.source = source
+        self._d = _Decoder(source)
         self.num_channels = self._d.channels
         self.sample_rate = 48000
         self.len_frames = self._d.len_frames

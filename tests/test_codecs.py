@@ -392,3 +392,72 @@ class TestOpus:
         page2 = _build_page(7, 1, 1920, [pkt2], 0x00)
         pkts2, _ = _parse_packets(page + page2)
         assert pkts2 == [pkt, pkt2]
+
+    def test_byte_sources(self, tmp_path):
+        """decode_opus / OpusStreamReader accept bytes and network-style
+        byte sources (read_range + length), like FlacStreamReader."""
+        audio = tone48(24000)
+        p = str(tmp_path / "b.opus")
+        opus_mod.encode_opus(p, audio, SR48)
+        blob = open(p, "rb").read()
+        ref, _ = opus_mod.decode_opus(p)
+        dec, rate = opus_mod.decode_opus(blob)
+        assert rate == SR48 and np.array_equal(dec, ref)
+
+        class FakeSource:  # the HttpByteSource protocol
+            def __init__(self, data):
+                self.data, self.calls = data, 0
+
+            def length(self):
+                return len(self.data)
+
+            def read_range(self, off, size):
+                self.calls += 1
+                return self.data[off:off + size]
+
+        src = FakeSource(blob)
+        r = opus_mod.OpusStreamReader(src)
+        assert src.calls == 1  # one fetch: the scan needs the whole file
+        assert np.array_equal(r.read(1000, 2048), ref[:, 1000:3048])
+        r.close()
+
+    def test_stream_writer_matches_whole_encode(self, tmp_path):
+        """Incremental OpusStreamWriter (ragged appends) produces the
+        byte-identical file to the one-shot encode_opus — same frames in,
+        same encoder state, same pages out."""
+        audio = tone48(20000)
+        p1 = str(tmp_path / "whole.opus")
+        p2 = str(tmp_path / "inc.opus")
+        opus_mod.encode_opus(p1, audio, SR48)
+        w = opus_mod.OpusStreamWriter(p2, SR48, 2)
+        for a, b in ((0, 1), (1, 777), (777, 5000), (5000, 20000)):
+            w.append(audio[:, a:b])
+        w.finish()
+        w.finish()  # idempotent
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_opus_sink_bounces_engine_stream(self, tmp_path):
+        """OpusSink plugs into the engine like WavSink: a rendered tone
+        bounces to a playable .opus with the exact stream length."""
+        from firewheel_tpu import FirewheelCtx, StreamConfig
+        from firewheel_tpu.nodes import BeepTestNode
+
+        p = str(tmp_path / "bounce.opus")
+        sink = opus_mod.OpusSink(p, SR48, 2)
+        cx = FirewheelCtx()
+        g = cx.graph_mut()
+        beep = g.add_node(0, 2, BeepTestNode(440.0, -12.0, True))
+        g.connect(beep, 0, g.graph_out_node(), 0)
+        g.connect(beep, 1, g.graph_out_node(), 1)
+        cx.activate(StreamConfig(SR48, 2, buffer_frames=512), sink=sink)
+        cx.render_offline(0.5)
+        cx.deactivate()
+        sink.close()
+        dec, rate = opus_mod.decode_opus(p)
+        assert rate == SR48
+        assert dec.shape[0] == 2 and dec.shape[1] % 512 == 0
+        assert dec.shape[1] >= int(0.5 * SR48)
+        seg = dec[0, 4000:16000]
+        w = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = np.argmax(w) * SR48 / len(seg)
+        assert abs(f - 440.0) < 5.0
