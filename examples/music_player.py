@@ -70,14 +70,16 @@ def main(outdir="."):
     # open any registered format by path
     from firewheel_tpu import load_audio
     from firewheel_tpu.utils.flac_encode import encode_flac
-    from firewheel_tpu.utils import opus as _opus, vorbis as _vorbis
+    from firewheel_tpu.utils import vorbis as _vorbis
 
     bed_audio = np.asarray(load_audio(bed, device=False)[0].data)
     flac_bed = os.path.join(outdir, "_bed.flac")
     encode_flac(bed_audio, SR, path=flac_bed)
     os.remove(bed)
     bed = flac_bed
-    if _vorbis.available()["encode"]:
+    # playing the .ogg back needs the decoder too (libvorbisfile is a
+    # separate package from libvorbisenc on Debian-family systems)
+    if _vorbis.available()["encode"] and _vorbis.available()["decode"]:
         out_audio = np.asarray(load_audio(outro, device=False)[0].data)
         _vorbis.encode_vorbis(outro.replace(".wav", ".ogg"), out_audio, SR)
         os.remove(outro)

@@ -41,6 +41,7 @@ __all__ = [
     "register_stream_reader",
     "supported_stream_formats",
     "as_stream_reader",
+    "read_window",
 ]
 
 # ext (lowercase, with dot) → loader(path) -> (f32[ch, frames], sample_rate)
@@ -96,6 +97,32 @@ def open_stream_reader(path: str):
             "extend, or load_audio for whole-file decode)"
         )
     return factory(path)
+
+
+def read_window(len_frames: int, num_channels: int, start_frame: int,
+                num_frames: int, decode) -> np.ndarray:
+    """The stream-reader protocol's windowing contract, implemented once.
+
+    Wraps ``decode(start, count) -> f32 [num_channels, got<=count]``
+    (called only with an in-range span) with the shared edge handling:
+    ``num_frames <= 0`` and starts at/after EOF return silence; negative
+    starts pre-roll — leading zeros at the correct positions, not
+    time-shifted audio; EOF-short decodes zero-pad the tail.  Matches
+    ``WavStreamReader`` semantics; every built-in codec reader routes
+    through here so the contract can't drift between them."""
+    start = int(start_frame)
+    n = int(num_frames)
+    out = np.zeros((num_channels, n), np.float32)
+    if n <= 0 or start >= len_frames:
+        return out
+    a = max(start, 0)
+    end = min(start + n, len_frames)
+    if end <= a:
+        return out
+    got = decode(a, end - a)
+    g = min(got.shape[1], end - a)
+    out[:, a - start:a - start + g] = got[:, :g]
+    return out
 
 
 def as_stream_reader(source):

@@ -257,7 +257,7 @@ class MusicPlayer:
         swap without retraces (pad a stinger set to one length for
         zero-recompile switching).  Returns the absolute stream sample
         the stinger fires at."""
-        if isinstance(clip, str):
+        if isinstance(clip, str) or hasattr(clip, "__fspath__"):
             from .core.formats import load_audio
 
             clip, _sr = load_audio(clip)

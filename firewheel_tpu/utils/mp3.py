@@ -312,24 +312,19 @@ class Mp3StreamReader:
         self._pos = 0
 
     def read(self, start_frame: int, num_frames: int) -> np.ndarray:
-        start = int(start_frame)
-        n = int(num_frames)
-        ch = self.num_channels
-        out = np.zeros((ch, n), np.float32)
-        if n <= 0 or start >= self.len_frames:
-            return out
-        if start < 0:
-            if start + n > 0:
-                out[:, -start:] = self.read(0, start + n)
-            return out
-        end = min(start + n, self.len_frames)
-        if self._pos != start:
-            self._h.seek(start)
-        flat = self._h.read_frames(end - start)
-        got = flat.size // ch
-        self._pos = start + got
-        out[:, :got] = flat[: got * ch].reshape(got, ch).T
-        return out
+        from ..core.formats import read_window
+
+        def decode(start: int, count: int) -> np.ndarray:
+            ch = self.num_channels
+            if self._pos != start:
+                self._h.seek(start)
+            flat = self._h.read_frames(count)
+            got = flat.size // ch
+            self._pos = start + got
+            return flat[: got * ch].reshape(got, ch).T
+
+        return read_window(self.len_frames, self.num_channels,
+                           start_frame, num_frames, decode)
 
     def close(self):
         self._h.close()

@@ -148,8 +148,9 @@ def _build_page(serial: int, seq: int, granule: int, packets: list[bytes],
 
 
 def _iter_pages(data: bytes):
-    """Yield ``(granule, header_type, [segment lacing sizes], body_off)``
-    per page; tolerant scan (resyncs on the capture pattern)."""
+    """Yield ``(granule, header_type, serial, [segment lacing sizes],
+    body_off)`` per page; tolerant scan (resyncs on the capture
+    pattern)."""
     off = 0
     n = len(data)
     while off < n:
@@ -165,17 +166,28 @@ def _iter_pages(data: bytes):
         body_len = sum(lacing)
         if seg_end + body_len > n:
             return
-        yield granule, htype, list(lacing), seg_end
+        yield granule, htype, _serial, list(lacing), seg_end
         off = seg_end + body_len
 
 
 def _parse_packets(data: bytes):
     """Assemble Ogg packets (handling page-spanning continuation) →
-    ``(packets: list[bytes], last_granule: int)``."""
+    ``(packets: list[bytes], last_granule: int)``.
+
+    Follows ONE logical stream: the serial of the first page.  Pages of
+    other serials (multiplexed streams) are skipped, and parsing stops
+    at our stream's EOS page — a chained file (``cat a.opus b.opus``)
+    decodes its first link instead of feeding the second link's
+    OpusHead to the codec as audio and corrupting the end-trim."""
     packets: list[bytes] = []
     partial = b""
     last_granule = 0
-    for granule, _htype, lacing, body_off in _iter_pages(data):
+    serial = None
+    for granule, htype, page_serial, lacing, body_off in _iter_pages(data):
+        if serial is None:
+            serial = page_serial
+        elif page_serial != serial:
+            continue
         pos = body_off
         for i, seg in enumerate(lacing):
             partial += data[pos:pos + seg]
@@ -185,6 +197,8 @@ def _parse_packets(data: bytes):
                 partial = b""
         if granule >= 0 and lacing and lacing[-1] < 255:
             last_granule = granule
+        if htype & 0x04:  # our stream's EOS — ignore chained links
+            break
     return packets, last_granule
 
 
@@ -497,13 +511,15 @@ class OpusSink:
 class OpusStreamReader:
     """Windowed Ogg Opus access for :class:`StreamingSamplerNode` /
     :class:`MusicPlayer`: compressed packets stay resident (~1 MB/min),
-    PCM decodes on demand.  Sequential and forward reads continue the
-    decoder and are **bit-exact** vs the whole-file decode (the deck hot
-    path, including gapless loop-backs to 0: resetting at the start
-    equals a fresh decode).  A backward mid-file seek resets the decoder
-    and pre-rolls 640 ms (8× the RFC 7845 §4.4 minimum — see _PREROLL's
-    measured convergence) — sample-aligned and converged below audibility
-    (Opus is stateful; only decoding from 0 is guaranteed exact).  Reads
+    PCM decodes on demand.  Sequential reads (and forward gaps within
+    the preroll) continue the decoder and are **bit-exact** vs the
+    whole-file decode (the deck hot path, including gapless loop-backs
+    to 0: resetting at the start equals a fresh decode).  A backward
+    mid-file seek — or a forward jump past 640 ms, which would otherwise
+    decode every intermediate packet — resets the decoder and pre-rolls
+    640 ms (8× the RFC 7845 §4.4 minimum — see _PREROLL's measured
+    convergence) — sample-aligned and converged below audibility (Opus
+    is stateful; only decoding from 0 is guaranteed exact).  Reads
     outside ``[0, len_frames)`` zero-pad."""
 
     def __init__(self, source):
@@ -530,32 +546,37 @@ class OpusStreamReader:
         self._carry_pos = self._pos
 
     def read(self, start_frame: int, num_frames: int) -> np.ndarray:
-        start = int(start_frame)
-        n = int(num_frames)
+        from ..core.formats import read_window
+
+        return read_window(self.len_frames, self.num_channels,
+                           start_frame, num_frames, self._decode_span)
+
+    def _decode_span(self, start: int, count: int) -> np.ndarray:
         ch = self.num_channels
-        out = np.zeros((ch, n), np.float32)
-        if n <= 0 or start >= self.len_frames:
-            return out
-        if start < 0:
-            if start + n > 0:
-                out[:, -start:] = self.read(0, start + n)
-            return out
         d = self._d
         raw_start = start + d.preskip
-        raw_end = min(start + n, self.len_frames) + d.preskip
+        raw_end = start + count + d.preskip
+        frontier = self._carry_pos + self._carry.shape[1]
         if raw_start < self._carry_pos:
             # backward: reset + RFC preroll (sample-aligned; bit-exact
             # when the preroll window reaches the file start, e.g. a
             # loop back to 0 — converged-to-inaudible otherwise)
+            self._seek(raw_start)
+        elif raw_start - frontier > _PREROLL:
+            # far forward jump (a seek, or another deck sharing this
+            # reader rewound us): reset + preroll like a backward seek
+            # instead of decoding every intermediate packet — a shared
+            # looping deck would otherwise re-decode the whole file from
+            # ~0 to the playhead on every loop arming
             self._seek(raw_start)
         pieces = []
         pos = self._carry_pos
         if self._carry.shape[1]:
             pieces.append(self._carry)
         cur_end = pos + (pieces[0].shape[1] if pieces else 0)
-        # forward gaps decode through (stateful codec: continuing the
-        # decoder is what keeps sequential reads bit-exact); pieces
-        # wholly before the target are dropped to bound memory
+        # short forward gaps (≤ _PREROLL) decode through (stateful
+        # codec: continuing the decoder is what keeps sequential reads
+        # bit-exact); pieces wholly before the target drop to bound memory
         while cur_end < raw_end and self._pkt < len(d.audio):
             pcm = d.decode_packet(d.audio[self._pkt])
             self._pkt += 1
@@ -572,13 +593,14 @@ class OpusStreamReader:
             seg = pcm[:, a:b]
             if d.gain != 1.0:
                 seg = seg * np.float32(d.gain)
-            out[:, : b - a] = seg
+        else:
+            seg = np.zeros((ch, 0), np.float32)
         # keep the tail from the requested START (windows often re-read
         # overlapping spans) and advance the carry origin
         keep_from = max(a, 0)
         self._carry = np.ascontiguousarray(pcm[:, keep_from:])
         self._carry_pos = pos + keep_from
-        return out
+        return seg
 
     def close(self):
         self._d.close()

@@ -72,12 +72,18 @@ def resample(audio: np.ndarray, sr_in: int, sr_out: int,
     h, half = _design_bank(L, M, rolloff)
     taps = h.shape[1]
     n_out = -(-n * L // M)  # ceil
-    idx = np.arange(n_out, dtype=np.int64)
-    base = idx * M // L  # input integer position per output sample
-    phase = (idx * M % L).astype(np.int64)
-    # gather [n_out, taps] input windows (edge-padded), weight per phase
     pad = half + 1
     padded = np.pad(audio, ((0, 0), (pad, pad)), mode="constant")
-    cols = base[:, None] + np.arange(taps)[None, :] + (pad - (half - 1))
-    windows = padded[:, cols]  # [ch, n_out, taps]
-    return np.einsum("cnt,nt->cn", windows, h[phase]).astype(np.float32)
+    out = np.empty((ch, n_out), np.float32)
+    # blocked over output samples: the [ch, B, taps] window gather is
+    # the peak allocation (a whole-signal gather would be taps× the
+    # signal size — ~12 GB for a 3-minute stereo 44.1→48 k bake)
+    B = max(1, (1 << 24) // (ch * taps))  # ≈64 MB f32 of windows
+    koff = np.arange(taps, dtype=np.int64)[None, :] + (pad - (half - 1))
+    for s in range(0, n_out, B):
+        idx = np.arange(s, min(s + B, n_out), dtype=np.int64)
+        base = idx * M // L  # input integer position per output sample
+        phase = (idx * M % L).astype(np.int64)
+        windows = padded[:, base[:, None] + koff]  # [ch, B, taps]
+        out[:, s:s + len(idx)] = np.einsum("cnt,nt->cn", windows, h[phase])
+    return out

@@ -185,8 +185,10 @@ class _Handle:
             )
             if r == 0:
                 break
-            if r < 0:  # hole in the stream — resync and continue
+            if r == -3:  # OV_HOLE: transient gap — resync and continue
                 continue
+            if r < 0:  # OV_EBADLINK/OV_EINVAL etc. repeat forever —
+                raise ValueError(f"ov_read_float error {r}")  # don't spin
             for c in range(self.channels):
                 out[c, got:got + r] = np.ctypeslib.as_array(pcm[c], (r,))
             got += r
@@ -343,24 +345,17 @@ class VorbisStreamReader:
         self._pos = 0
 
     def read(self, start_frame: int, num_frames: int) -> np.ndarray:
-        start = int(start_frame)
-        n = int(num_frames)
-        ch = self.num_channels
-        out = np.zeros((ch, n), np.float32)
-        if n <= 0 or start >= self.len_frames:
-            return out
-        if start < 0:
-            if start + n > 0:
-                out[:, -start:] = self.read(0, start + n)
-            return out
-        end = min(start + n, self.len_frames)
-        if self._pos != start:
-            self._h.seek(start)
-        got = self._h.read_frames(end - start)
-        g = got.shape[1]
-        self._pos = start + g
-        out[:, :g] = got
-        return out
+        from ..core.formats import read_window
+
+        def decode(start: int, count: int) -> np.ndarray:
+            if self._pos != start:
+                self._h.seek(start)
+            got = self._h.read_frames(count)
+            self._pos = start + got.shape[1]
+            return got
+
+        return read_window(self.len_frames, self.num_channels,
+                           start_frame, num_frames, decode)
 
     def close(self):
         self._h.close()

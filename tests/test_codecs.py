@@ -461,3 +461,48 @@ class TestOpus:
         w = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
         f = np.argmax(w) * SR48 / len(seg)
         assert abs(f - 440.0) < 5.0
+
+
+    def test_chained_stream_decodes_first_link(self, tmp_path):
+        """`cat a.opus b.opus` (chained Ogg) decodes link A exactly —
+        the second link's OpusHead must not reach the codec as audio,
+        and the end-trim must come from A's EOS granule, not B's
+        restarted timeline."""
+        a = tone48(9000)
+        b = tone48(30000)
+        pa = str(tmp_path / "a.opus")
+        pb = str(tmp_path / "b.opus")
+        opus_mod.encode_opus(pa, a, SR48)
+        opus_mod.encode_opus(pb, b, SR48)
+        ref, _ = opus_mod.decode_opus(pa)
+        chained = open(pa, "rb").read() + open(pb, "rb").read()
+        dec, rate = opus_mod.decode_opus(chained)
+        assert rate == SR48 and np.array_equal(dec, ref)
+
+    def test_forward_jump_prerolls_instead_of_decoding_through(
+            self, tmp_path):
+        """A forward jump past the preroll resets + pre-rolls (bounded
+        work per read) instead of decoding every intermediate packet —
+        the shared-reader looping-deck hot path — and still converges
+        below audibility vs the whole-file decode."""
+        audio = tone48(20 * SR48 // 10)  # 2 s
+        p = str(tmp_path / "j.opus")
+        opus_mod.encode_opus(p, audio, SR48)
+        ref, _ = opus_mod.decode_opus(p)
+        r = opus_mod.OpusStreamReader(p)
+        r.read(0, 2048)  # decoder parked near the start
+        calls = {"n": 0}
+        orig = r._d.decode_packet
+
+        def counting(pkt):
+            calls["n"] += 1
+            return orig(pkt)
+
+        r._d.decode_packet = counting
+        target = 80000  # far past _PREROLL (30720)
+        win = r.read(target, 4096)
+        # bounded: preroll + window ≈ 35k raw samples ≈ 37 packets of
+        # 960; decoding through would be ~83 packets from sample ~2k
+        assert calls["n"] < 50, calls["n"]
+        assert np.max(np.abs(win - ref[:, target:target + 4096])) < 1e-3
+        r.close()

@@ -333,3 +333,22 @@ def test_stinger_second_lane_overlaps_sample_accurately():
     # C fires exactly on the bar (sample-accurate despite staging)
     assert abs(L[at_c - 8] - 0.1) < 2e-2
     assert abs(L[at_c + 8] - 0.35) < 2e-2
+
+
+def test_stinger_accepts_pathlike(tmp_path):
+    """stinger(Path(...)) decodes like stinger('x.wav') — the path
+    convenience is PathLike-consistent with play/queue/crossfade_to."""
+    import pathlib
+
+    from firewheel_tpu.utils.wav import write_wav
+
+    cx, player, sink = build()
+    p = tmp_path / "hit.wav"
+    write_wav(str(p), np.full((2, 512), 0.4, np.float32), SR)
+    player.play(const_reader(0.3, SR))
+    cx.render_offline(0.1)
+    at = player.stinger(pathlib.Path(p))
+    cx.render_offline(0.2)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+    assert abs(L[at + 100] - 0.7) < 1e-2

@@ -73,3 +73,17 @@ def test_antialiasing_on_downsample():
     x = sine(20000.0, 48000)
     y = resample(x, 48000, 16000)[0]
     assert np.max(np.abs(y[500:-500])) < 1e-4
+
+
+def test_blocked_path_matches_single_block():
+    """Outputs crossing the internal block boundary (B ≈ 2^24/(ch·taps))
+    are seamless — the blocked gather is pure indexing, so a long
+    resample must equal the concatenation-free math at every sample."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 300_000)).astype(np.float32)
+    y = resample(x, 44100, 48000)  # n_out ≈ 326k > mono block ≈ 246k
+    assert y.shape == (1, -(-300_000 * 160 // 147))
+    # re-run on a shifted window: block edges move, samples must not
+    z = resample(x[:, :200_000], 44100, 48000)
+    n = min(z.shape[1], y.shape[1]) - 200  # tail differs (edge padding)
+    np.testing.assert_allclose(y[:, :n], z[:, :n], atol=2e-6)
