@@ -9,6 +9,7 @@ from .volume import VolumeNode
 from .sum import SumNode
 from .hard_clip import HardClipNode
 from .channel import MonoToStereoNode, StereoToMonoNode
+from .granular import GranularSamplerNode
 from .sampler import LoopRange, SamplerNode
 from .pan import StereoPanNode
 from .pitch_shift import PitchShiftNode
@@ -29,6 +30,7 @@ from .eq import EQBand, ParametricEQNode
 from .mod_effects import ModDelayNode, TremoloNode
 
 __all__ = [
+    "GranularSamplerNode",
     "LoopRange",
     "SamplerNode",
     "StereoPanNode",
