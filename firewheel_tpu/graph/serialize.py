@@ -86,6 +86,12 @@ _SCALAR_ATTRS: dict[str, list[str]] = {
         "quality", "poolable", "_percent_volume", "_raw_gain", "_rate",
         "_attack_secs", "_release_secs",
     ],
+    # structural grain config + live tempo/pitch; transient control
+    # state (playing/seek/play seqs) is excluded per the module contract
+    "GranularSamplerNode": [
+        "grain_frames", "overlap", "align",
+        "_percent_volume", "_raw_gain", "_tempo", "_pitch_rate",
+    ],
     "StreamingSamplerNode": [
         "_percent_volume", "_raw_gain", "_window_secs", "_rate",
     ],
@@ -207,6 +213,12 @@ def save_graph(graph: AudioGraph, path: str) -> None:
             loop = node._loop
             if loop is not None:
                 extra["loop"] = [loop.start_secs, loop.end_secs, loop.full]
+        if cls_name == "GranularSamplerNode":
+            smp = node._sample
+            if smp is not None:
+                arrays[f"{key}:sample"] = np.asarray(smp.data)
+                extra["sample_rate"] = smp.sample_rate
+                extra["has_sample"] = True
         if cls_name == "StreamingSamplerNode":
             reader = node._reader
             reader_path = getattr(reader, "path", None)
@@ -299,6 +311,11 @@ def load_graph(path: str) -> "tuple[AudioGraph, dict]":
                 node.set_loop_range(
                     LoopRange.FULL if full else LoopRange.range_secs(s, e)
                 )
+        if row["cls"] == "GranularSamplerNode" and extra.get("has_sample"):
+            node.set_sample(SampleResource(
+                np.array(data[f"{row['key']}:sample"]),
+                sample_rate=extra.get("sample_rate"),
+            ))
         if row["cls"] == "ParametricEQNode":
             from ..nodes.eq import EQBand
 

@@ -193,6 +193,44 @@ def test_kitchen_sink_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_granular_sampler_roundtrip(tmp_path):
+    """Granular config (structural grain params + live tempo/pitch +
+    clip) round-trips; transient control state (playing/seek) does not
+    (module contract) — both sides re-play and render bit-identically."""
+    from firewheel_tpu.nodes import GranularSamplerNode
+
+    g = AudioGraph(AudioGraphConfig(0, 2))
+    node = GranularSamplerNode(
+        percent_volume=80.0, grain_frames=1024, overlap=4, align=True
+    )
+    clip = RNG.standard_normal((2, 5000)).astype(np.float32) * 0.2
+    node.set_sample(SampleResource(clip, sample_rate=44100.0))
+    node.set_tempo(0.8)
+    node.set_pitch_semitones(3.0)
+    gid = g.add_node(0, 2, node)
+    for c in range(2):
+        g.connect(gid, c, g.graph_out_node(), c)
+
+    path = str(tmp_path / "gran.npz")
+    save_graph(g, path)
+    g2, idmap = load_graph(path)
+    n2 = None
+    for e in g2.nodes():
+        if type(e.weight.node).__name__ == "GranularSamplerNode":
+            n2 = e.weight.node
+    assert n2 is not None
+    assert n2.grain_frames == 1024 and n2.overlap == 4 and n2.align is True
+    assert n2._tempo == node._tempo and n2._pitch_rate == node._pitch_rate
+    assert n2._sample is not None and n2._sample.sample_rate == 44100.0
+    assert not n2.is_playing()  # transient state excluded
+
+    node.play()
+    n2.play()
+    a = render(g)
+    b = render(g2)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_unknown_node_class_fails_loudly(tmp_path):
     from firewheel_tpu.core.node import (
         AudioNode, AudioNodeInfo, NodeProcessor,
