@@ -379,8 +379,10 @@ def main():
     served = None
     # generous guard: the serve leg is half the BASELINE story (shipped
     # audio, not just device-resident audio) — only drop it if the sweep
-    # overshot so badly that the driver is at risk of timing us out
-    if time.time() - t_start < 900:
+    # overshot so badly (cold server compile cache: first compile of the
+    # headline program has measured 9+ min through the tunnel) that the
+    # driver is at risk of timing the whole run out
+    if time.time() - t_start < 1200:
         try:
             # egress-bound: the small config measures the same shipped-
             # audio number as the headline config at a fraction of the

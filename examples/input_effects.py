@@ -11,7 +11,12 @@ accelerator.  The demo feed is a 500 Hz + 9 kHz two-tone so the
 lowpass's work is visible in the output spectrum.
 
 Run:  python examples/input_effects.py [out.wav]
+      python examples/input_effects.py --mic   # real capture device
       FIREWHEEL_TPU_PLATFORM=cpu forces the CPU backend.
+
+``--mic`` swaps the synthetic feed for a real OS capture device
+(``SoundDeviceSource``, needs sounddevice) and streams it through the
+same insert chain in realtime to the OS speakers — live monitoring.
 """
 
 import os
@@ -30,7 +35,9 @@ from firewheel_tpu import (
 from firewheel_tpu.nodes import EchoNode, FilterNode, FilterType, HardClipNode
 
 SR = 48000
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/input_effects.wav"
+MIC = "--mic" in sys.argv[1:]
+_pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = _pos_args[0] if _pos_args else "/tmp/input_effects.wav"
 
 
 def main():
@@ -45,6 +52,41 @@ def main():
         g.connect(filt, c, echo, c)
         g.connect(echo, c, clip, c)
         g.connect(clip, c, go, c)
+
+    if MIC:
+        # live monitoring: real capture device → insert chain → speakers
+        from firewheel_tpu.backend.os_audio import (
+            SoundDeviceSink,
+            SoundDeviceSource,
+            os_audio_available,
+        )
+
+        if not os_audio_available():
+            sys.exit("--mic needs the optional sounddevice package")
+        src = SoundDeviceSource(SR, num_channels=2)
+        sink = SoundDeviceSink(SR, 2)
+        cx.activate(
+            StreamConfig(SR, 2, num_in_channels=2, realtime=True),
+            sink=sink,
+            input_source=src,
+        )
+        import time
+
+        print("monitoring live input for 10 s (ctrl-c to stop)...")
+        try:
+            end = time.time() + 10.0
+            while time.time() < end:
+                cx.update()
+                time.sleep(0.015)
+        finally:
+            cx.deactivate()
+            src.close()
+            sink.close()
+            print(
+                f"capture starves: {src.starve_count}, "
+                f"overflows: {src.overflow_count}"
+            )
+        return
 
     pos = [0]
 

@@ -1,4 +1,5 @@
-"""OS audio output sink: play rendered audio on a real device.
+"""OS audio I/O: play rendered audio on, and capture live input from, a
+real device.
 
 Closes the reference's last behavioral gap — ``firewheel-cpal`` plays to an
 OS device via cpal (``crates/firewheel-cpal/src/lib.rs:207-229``); here a
@@ -8,6 +9,14 @@ this is just another sink for :meth:`FirewheelCtx.activate`
 (``backend/context.py``), fed by the same ring-buffer pacing that feeds
 :class:`~firewheel_tpu.backend.stream.ArraySink` / ``WavSink``.
 
+:class:`SoundDeviceSource` is the capture mirror (BEYOND the reference —
+its cpal backend is output-only): a PortAudio input callback fills the
+same SPSC ring shape from the other side, and the object is directly
+usable as the engine's ``input_source`` callable
+(``backend/stream.py:456-465``), feeding the graph's input node with live
+microphone/line-in audio — voice-chat FX chains, live monitoring through
+the mastering bus, karaoke.
+
 Design (mirrors the cpal DataCallback split, lib.rs:378-449):
 
 * ``write()`` is called on the engine thread with interleaved f32 frames;
@@ -16,6 +25,10 @@ Design (mirrors the cpal DataCallback split, lib.rs:378-449):
   ring plays silence and increments ``underflow_count`` — the engine's
   pacing (lookahead buffers) keeps the ring ahead, exactly like the cpal
   stream clock + underflow heuristic (lib.rs:386-419).
+* Capture side, same discipline mirrored: the input callback pushes, the
+  engine pops; a dry ring yields silence + ``starve_count``, a full ring
+  (engine stalled) drops the newest buffer + ``overflow_count`` — both
+  RT-safe, neither blocks the audio thread.
 
 ``sounddevice`` is an optional dependency: importing this module without it
 works; constructing the sink raises a clear error, and
@@ -29,7 +42,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["os_audio_available", "SoundDeviceSink"]
+__all__ = ["os_audio_available", "SoundDeviceSink", "SoundDeviceSource"]
 
 
 def _load_sounddevice():
@@ -182,6 +195,104 @@ class SoundDeviceSink:
                     )
                 with self._space:
                     self._space.wait(timeout=0.1)
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        try:
+            self._stream.stop()
+            self._stream.close()
+        except Exception:
+            pass
+
+
+class SoundDeviceSource:
+    """Live OS input capture, usable directly as the engine's
+    ``input_source`` (beyond the reference: firewheel-cpal is
+    output-only).
+
+    ::
+
+        src = SoundDeviceSource(sample_rate=48000, num_channels=1)
+        cx.activate(StreamConfig(48000, 2, num_in_channels=1,
+                                 realtime=True),
+                    sink=sink, input_source=src)
+        ...
+        cx.deactivate(); src.close()
+
+    The engine pulls ``src(frames)`` on its render thread; the PortAudio
+    callback pushes captured frames from the audio thread.  A dry ring
+    (capture behind the engine clock — startup, device hiccup) returns
+    the captured prefix zero-padded and bumps ``starve_count``; a full
+    ring (engine stalled) drops the newest callback buffer and bumps
+    ``overflow_count``.  ``latency_frames()`` reports the ring's current
+    backlog — the capture-side contribution to end-to-end latency.
+
+    ``buffer_secs`` sizes the jitter ring (default 0.5 s).
+    """
+
+    def __init__(
+        self,
+        sample_rate: int = 48000,
+        num_channels: int = 1,
+        buffer_secs: float = 0.5,
+        device=None,
+        _sd=None,
+    ):
+        sd = _sd if _sd is not None else _load_sounddevice()
+        if sd is None:
+            raise RuntimeError(
+                "SoundDeviceSource needs the optional 'sounddevice' "
+                "package (PortAudio bindings); it is not installed. Feed "
+                "the graph via a custom input_source callable instead, or "
+                "install sounddevice where OS audio capture is wanted."
+            )
+        self.sample_rate = int(sample_rate)
+        self.num_channels = int(num_channels)
+        self.starve_count = 0
+        self.overflow_count = 0
+        self._ring = _SPSCRing(
+            max(1, int(buffer_secs * sample_rate)) * num_channels
+        )
+        self._closed = False
+        self._started = False  # set by the first callback delivery
+
+        def callback(indata, frames, time_info, status):
+            flat = np.asarray(indata, np.float32).reshape(-1)
+            pushed = self._ring.push(flat)
+            if pushed:
+                self._started = True
+            if pushed < len(flat):
+                # engine stalled: drop the tail, never block the audio
+                # thread (the sink's write() blocks engine-side instead —
+                # capture has no engine-side thread to lean on)
+                self.overflow_count += 1
+
+        self._stream = sd.InputStream(
+            samplerate=self.sample_rate,
+            channels=self.num_channels,
+            dtype="float32",
+            device=device,
+            callback=callback,
+        )
+        self._stream.start()
+
+    # -- engine-side input_source protocol -------------------------------------
+    def __call__(self, frames: int) -> np.ndarray:
+        """Return ``frames`` interleaved f32 frames (zero-padded when the
+        ring is dry).  Engine render thread only."""
+        out = np.zeros(int(frames) * self.num_channels, np.float32)
+        got = self._ring.pop_into(out)
+        if got < len(out) and self._started and not self._closed:
+            # pre-capture silence (stream warmup) is expected; starved
+            # reads count only once real input has started flowing
+            self.starve_count += 1
+        return out
+
+    def latency_frames(self) -> int:
+        """Frames currently buffered between capture and the engine."""
+        return self._ring.available_read() // self.num_channels
 
     def close(self):
         if self._closed:
