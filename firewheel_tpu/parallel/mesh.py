@@ -110,9 +110,18 @@ class BatchRenderer:
         sample_resource.rs:338-340).  A serving fleet that fetches
         rendered audio to the host halves its device→host bytes; the
         conversion fuses into the chunk program on the XLA lowering and
-        runs as one extra cached dispatch on the hybrid lowering."""
+        runs as one extra cached dispatch on the hybrid lowering.
+        ``"adpcm4"`` goes further: on-device IMA ADPCM at 4 bits/sample
+        (``ops/adpcm_device.py``), returning ``uint8[B, block_align]``
+        — one standard independently-decodable multi-channel IMA block
+        per instance per chunk (decode with
+        :func:`~firewheel_tpu.ops.adpcm_device.decode_ima_chunk`), 4×
+        fewer shipped bytes than pcm16 on an egress-bound attach.
+        Bit-exact vs the host codec
+        (:func:`~firewheel_tpu.utils.adpcm.encode_ima`); requires
+        ``num_blocks * max_block_frames`` divisible by 8."""
         assert lowering in ("xla", "hybrid"), lowering
-        assert output_format in ("f32", "pcm16"), output_format
+        assert output_format in ("f32", "pcm16", "adpcm4"), output_format
         self.program = program
         self.batch = int(batch)
         self.mesh = mesh
@@ -339,7 +348,13 @@ class BatchRenderer:
         """Restore a fleet checkpoint → ``(state, meta)``; this process
         reads its own shard file and lifts it straight to its addressable
         devices (bit-exact resume, validated in tests/test_multiprocess.py
-        and tests/test_checkpoint.py)."""
+        and tests/test_checkpoint.py).  The checkpoint may have been
+        written by a DIFFERENT process count / mesh size (fleet
+        elasticity): per-slot state re-slices on load
+        (``checkpoint.load_sharded_local(global_batch=...)``) as long as
+        the global batch matches — validated in
+        tests/test_fleet_resume.py (dp=8 → dp=4 and → 2-process
+        dp=2×2)."""
         from ..checkpoint import _local_slice, load_sharded_local
 
         template = jax.tree.map(_local_slice, self.program.init_state())
@@ -348,7 +363,8 @@ class BatchRenderer:
             lambda x: np.broadcast_to(np.asarray(x), (per,) + np.shape(x)),
             template,
         )
-        local, meta = load_sharded_local(path, template)
+        local, meta = load_sharded_local(path, template,
+                                         global_batch=self.batch)
         if meta.get("batch") != self.batch:
             raise ValueError(
                 f"batch mismatch: checkpoint {meta.get('batch')} vs "
@@ -417,6 +433,21 @@ class BatchRenderer:
                 # [B,K,No,F] → interleaved int16 [B,K,F,No], fused into
                 # the same compiled program (zero extra dispatches)
                 return pcm_f32_to_i16(jnp.swapaxes(out, -1, -2)), om, st
+        elif self.output_format == "adpcm4":
+            inner = vchunk
+
+            def vchunk(*args):
+                out, om, st = inner(*args)
+                # [B,K,No,F] → int16 frames [B,K·F,No] → one on-device
+                # IMA ADPCM block per instance (uint8 [B, block_align]),
+                # in the same compiled program
+                from ..ops.adpcm_device import encode_ima_chunk
+
+                b, k, no, f = out.shape
+                pcm = pcm_f32_to_i16(
+                    jnp.swapaxes(out, -1, -2)
+                ).reshape(b, k * f, no)
+                return encode_ima_chunk(pcm), om, st
 
         # _ResilientJit (not plain jax.jit): the mesh path gets the same
         # deferred-error sync + retry escalation as every single-chip
@@ -439,7 +470,9 @@ class BatchRenderer:
         ``graph_in``: ``f32[B, K, Ni, F]`` (zeros if None).
         Returns ``(out [B, K, No, F], out_mask [B, K, No], state')`` —
         with ``output_format="pcm16"``, ``out`` is ``int16[B, K, F, No]``
-        (interleaved PCM frames).
+        (interleaved PCM frames); with ``"adpcm4"`` it is
+        ``uint8[B, block_align]`` (one IMA ADPCM block per instance —
+        ``ops/adpcm_device.py``).
         """
         f = self.program.max_block_frames
         ni = self.program.num_graph_inputs
@@ -479,19 +512,31 @@ class BatchRenderer:
                 self._chunk_cache[("hybrid", k)] = hy
             out, om, st = hy.render_chunk(params, state, graph_in, in_mask,
                                           start_sample)
-            if self.output_format == "pcm16":
-                conv = self._chunk_cache.get("pcm16")
+            if self.output_format != "f32":
+                conv = self._chunk_cache.get(("convert", self.output_format))
                 if conv is None:
+                    if self.output_format == "pcm16":
+                        def _cv(o):
+                            return pcm_f32_to_i16(jnp.swapaxes(o, -1, -2))
+                    else:  # adpcm4
+                        def _cv(o):
+                            from ..ops.adpcm_device import encode_ima_chunk
+
+                            b, kk, no, f = o.shape
+                            pcm = pcm_f32_to_i16(
+                                jnp.swapaxes(o, -1, -2)
+                            ).reshape(b, kk * f, no)
+                            return encode_ima_chunk(pcm)
                     conv = _ResilientJit(
-                        lambda o: pcm_f32_to_i16(jnp.swapaxes(o, -1, -2)),
-                        "pcm16_convert",
+                        _cv,
+                        f"{self.output_format}_convert",
                         **(
                             {"out_shardings": self._batched_sharding}
                             if self._batched_sharding is not None
                             else {}
                         ),
                     )
-                    self._chunk_cache["pcm16"] = conv
+                    self._chunk_cache[("convert", self.output_format)] = conv
                 out = conv(out)
             return out, om, st
         fn = self._chunk_cache.get(k)
