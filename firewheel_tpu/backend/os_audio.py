@@ -27,8 +27,8 @@ Design (mirrors the cpal DataCallback split, lib.rs:378-449):
   stream clock + underflow heuristic (lib.rs:386-419).
 * Capture side, same discipline mirrored: the input callback pushes, the
   engine pops; a dry ring yields silence + ``starve_count``, a full ring
-  (engine stalled) drops the newest buffer + ``overflow_count`` — both
-  RT-safe, neither blocks the audio thread.
+  (engine stalled) drops the tail of the callback buffer (whole frames)
+  + ``overflow_count`` — both RT-safe, neither blocks the audio thread.
 
 ``sounddevice`` is an optional dependency: importing this module without it
 works; constructing the sink raises a clear error, and
@@ -225,8 +225,11 @@ class SoundDeviceSource:
     callback pushes captured frames from the audio thread.  A dry ring
     (capture behind the engine clock — startup, device hiccup) returns
     the captured prefix zero-padded and bumps ``starve_count``; a full
-    ring (engine stalled) drops the newest callback buffer and bumps
-    ``overflow_count``.  ``latency_frames()`` reports the ring's current
+    ring (engine stalled) keeps the frame-aligned prefix of the callback
+    buffer that still fits and drops its TAIL (whole frames — capacity
+    is a multiple of ``num_channels``, so channel alignment is
+    preserved), bumping ``overflow_count`` once per partially-or-fully
+    dropped buffer.  ``latency_frames()`` reports the ring's current
     backlog — the capture-side contribution to end-to-end latency.
 
     ``buffer_secs`` sizes the jitter ring (default 0.5 s).

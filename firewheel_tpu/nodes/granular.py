@@ -342,8 +342,14 @@ class GranularSamplerProcessor(NodeProcessor):
         tempo = params["tempo"]
         pitch = params["pitch"]
         k = jnp.arange(F, dtype=jnp.int32)
-        kf = k.astype(jnp.float32)
-        src0 = src_int.astype(jnp.float32) + src_frac
+
+        # Positions are carried as (int32 base, small f32 offset) pairs —
+        # NEVER as absolute float32: for clips past 2^24 frames (~5.8 min
+        # at 48 kHz) absolute f32 positions quantize to ≥2-sample steps,
+        # detuning late playback (round-4 advisor).  The source cursor's
+        # base is exact; offsets stay ≤ ~(L+F)·pitch, well inside f32's
+        # exact-integer range.
+        sb = src_int.astype(jnp.int32)  # source cursor base (exact)
 
         # ---- spawn schedule: new grains at local frames where
         # (phase + k) ≡ 0 (mod P); static bound S spawns per block
@@ -352,12 +358,16 @@ class GranularSamplerProcessor(NodeProcessor):
         ph = phase.astype(jnp.int32)
         t0 = jnp.where(ph == 0, 0, P - ph)
         t_j = t0 + P * jnp.arange(S, dtype=jnp.int32)  # [S]
-        src_at_t = src0 + t_j.astype(jnp.float32) * tempo  # [S]
+        # spawn anchors RELATIVE to sb (small: ≤ src_frac + F·tempo)
+        rel_at_t = src_frac + t_j.astype(jnp.float32) * tempo  # [S]
+        # gate: sb + rel < sample_len.  (sample_len - sb) as f32 rounds
+        # only when huge (>2^24), where the gate is trivially true.
+        room = (jnp.int32(sample_len) - sb).astype(jnp.float32)
         spawned = (
             (t_j < F)
             & playing
             & ~muted
-            & (src_at_t < jnp.float32(sample_len))
+            & (rel_at_t < room)
         )  # [S]
 
         # ---- SOLA alignment: nudge each spawn's anchor (bounded lag)
@@ -374,17 +384,17 @@ class GranularSamplerProcessor(NodeProcessor):
             mono = jnp.mean(sample, axis=0)
             ci = jnp.arange(C, dtype=jnp.int32)
             prev_slot = jax.lax.rem(slot + jnp.uint32(A - 1), jnp.uint32(A))
-            prev_anchor = (
-                ring_int[prev_slot].astype(jnp.float32)
-                + ring_frac[prev_slot]
-            )
+            # previous anchor as (base, offset) — each tracked anchor
+            # carries its own exact integer base
+            prev_base = ring_int[prev_slot].astype(jnp.int32)
+            prev_rel = ring_frac[prev_slot]
             prev_alive = ages[prev_slot] < L
             anchors_s = []
             for j in range(S):
-                naive = src_at_t[j]
-                target = prev_anchor + jnp.float32(P) * pitch
-                ti = jnp.floor(target).astype(jnp.int32)
-                ni = jnp.floor(naive).astype(jnp.int32)
+                naive_rel = rel_at_t[j]  # base sb
+                target_rel = prev_rel + jnp.float32(P) * pitch
+                ti = prev_base + jnp.floor(target_rel).astype(jnp.int32)
+                ni = sb + jnp.floor(naive_rel).astype(jnp.int32)
                 seg_t = mono[jnp.clip(ti + ci, 0, sample_len - 1)]
                 cand = mono[jnp.clip(
                     ni + lags[:, None] + ci[None, :], 0, sample_len - 1
@@ -399,23 +409,44 @@ class GranularSamplerProcessor(NodeProcessor):
                 )
                 best = lags[jnp.argmax(score)].astype(jnp.float32)
                 use = prev_alive & spawned[j]
-                anchor_j = jnp.maximum(
-                    naive + jnp.where(use, best, 0.0), 0.0
+                # clamp the ABSOLUTE anchor at 0: −sb as f32 is exact
+                # whenever the clamp can bind (best ≥ −D, so it binds
+                # only while sb ≤ D ≪ 2^24)
+                anchor_rel_j = jnp.maximum(
+                    naive_rel + jnp.where(use, best, 0.0),
+                    -sb.astype(jnp.float32),
                 )
-                anchors_s.append(anchor_j)
-                prev_anchor = jnp.where(spawned[j], anchor_j, prev_anchor)
+                anchors_s.append(anchor_rel_j)
+                # chain the normalized decomposition (matches the ring
+                # install, so same-block and next-block SOLA targets see
+                # identical f32 values)
+                a_off_j = jnp.floor(anchor_rel_j)
+                prev_base = jnp.where(
+                    spawned[j], sb + a_off_j.astype(jnp.int32), prev_base
+                )
+                prev_rel = jnp.where(
+                    spawned[j], anchor_rel_j - a_off_j, prev_rel
+                )
                 prev_alive = prev_alive | spawned[j]
-            spawn_anchor = jnp.stack(anchors_s)  # [S]
+            spawn_rel = jnp.stack(anchors_s)  # [S], base sb
         else:
-            spawn_anchor = src_at_t
+            spawn_rel = rel_at_t
 
         # ---- grain tensor: ring grains (ages advance with k) + spawns
         ring_age = ages[:, None] + k[None, :]  # [A, F]
         spawn_age = k[None, :] - t_j[:, None]  # [S, F]
         age = jnp.concatenate([ring_age, spawn_age], axis=0)  # [G, F]
-        anchor = jnp.concatenate(
-            [ring_int.astype(jnp.float32) + ring_frac, spawn_anchor]
+        # per-grain (int base, f32 frac∈[0,1)): spawns normalize to the
+        # SAME decomposition their ring slot will carry, so a grain's
+        # f32 position arithmetic is identical in its spawn block and
+        # every later block (floor/subtract are exact in f32)
+        spawn_off = jnp.floor(spawn_rel)
+        spawn_base = sb + spawn_off.astype(jnp.int32)
+        spawn_frac = spawn_rel - spawn_off
+        base = jnp.concatenate(
+            [ring_int.astype(jnp.int32), spawn_base]
         )  # [G]
+        rel = jnp.concatenate([ring_frac, spawn_frac])  # [G]
         live = jnp.concatenate(
             [jnp.ones((A,), bool), spawned]
         )[:, None] & (age >= 0) & (age < L)  # [G, F]
@@ -423,11 +454,13 @@ class GranularSamplerProcessor(NodeProcessor):
         agef = age.astype(jnp.float32)
         # periodic Hann over grain age: COLA with constant A/2 at hop P
         w = 0.5 * (1.0 - jnp.cos((2.0 * np.pi / L) * agef))
-        pos = anchor[:, None] + agef * pitch  # [G, F] source positions
-        pos_int = jnp.floor(pos)
-        frac = pos - pos_int
-        idx = pos_int.astype(jnp.int32)
-        in_range = (pos >= 0.0) & (idx < sample_len)
+        # source positions as base + small offset: the offset stays
+        # ≤ |rel| + (L+F)·pitch, exact in f32 at any clip length
+        pos_rel = rel[:, None] + agef * pitch  # [G, F]
+        off = jnp.floor(pos_rel)
+        frac = pos_rel - off
+        idx = base[:, None] + off.astype(jnp.int32)
+        in_range = (idx >= 0) & (idx < sample_len)
         idx0 = jnp.clip(idx, 0, sample_len - 1)
         idx1 = jnp.clip(idx + 1, 0, sample_len - 1)
         weight = jnp.where(live & in_range, w, 0.0)  # [G, F]
@@ -447,12 +480,13 @@ class GranularSamplerProcessor(NodeProcessor):
             s_j = jax.lax.rem(slot + jnp.uint32(j), jnp.uint32(A))
             hit = (arange_a == s_j) & spawned[j]
             new_ages = jnp.where(hit, F - t_j[j], new_ages)
-            a_int = jnp.floor(spawn_anchor[j])
+            a_off = jnp.floor(spawn_rel[j])
+            a_int = sb + a_off.astype(jnp.int32)  # exact absolute anchor
             new_ring_int = jnp.where(
-                hit, jnp.maximum(a_int, 0.0).astype(jnp.uint32), new_ring_int
+                hit, jnp.maximum(a_int, 0).astype(jnp.uint32), new_ring_int
             )
             new_ring_frac = jnp.where(
-                hit, spawn_anchor[j] - a_int, new_ring_frac
+                hit, spawn_rel[j] - a_off, new_ring_frac
             )
         n_spawned = jnp.sum(spawned.astype(jnp.uint32))
         new_slot = jax.lax.rem(slot + n_spawned, jnp.uint32(A))
@@ -469,7 +503,8 @@ class GranularSamplerProcessor(NodeProcessor):
 
         # one-shot finish: the cursor passed the clip AND the grain tail
         # has fully rung out (the tail carries the clip's final audio)
-        src_past = new_src_int.astype(jnp.float32) >= jnp.float32(sample_len)
+        # — integer compare (f32 rounding of a >2^24 cursor could flip it)
+        src_past = new_src_int >= jnp.uint32(sample_len)
         finished = playing & src_past & jnp.all(new_ages >= L)
         new_ended = jnp.where(advancing & finished, True, ended)
         new_finish_count = state["finish_count"] + jnp.where(

@@ -42,13 +42,17 @@ __all__ = ["SessionServer", "SessionHandle"]
 
 
 def _snap_dict(d: dict) -> dict:
-    """One-level copy of a node's ``__dict__``: containers (scheduled-
-    command lists etc.) are copied so later mutation can't alias the
-    snapshot; everything else — scalars, ndarrays, SampleResources,
-    readers — is kept by reference (configure callbacks REPLACE such
-    attributes, they don't mutate them in place)."""
+    """Snapshot a node's ``__dict__``: container attributes (scheduled-
+    command lists etc.) are DEEP-copied — they are tiny control state,
+    and a configure callback that mutates something *nested inside* one
+    (an entry of a saved list/dict) must not alias into other sessions'
+    snapshots (round-4 advisor: a one-level copy silently reintroduced
+    the cross-session leakage the snapshots exist to prevent).
+    Everything else — scalars, ndarrays, SampleResources, readers — is
+    kept by reference (configure callbacks REPLACE such attributes, they
+    don't mutate them in place)."""
     return {
-        k: (copy.copy(v) if isinstance(v, (list, dict, set, bytearray))
+        k: (copy.deepcopy(v) if isinstance(v, (list, dict, set, bytearray))
             else v)
         for k, v in d.items()
     }
@@ -322,7 +326,11 @@ class SessionServer:
 
     def restore_checkpoint(self, path: str):
         """Resume a saved fleet on a FRESHLY constructed server (same
-        template program, capacity, and mesh) → ``{slot: SessionHandle}``
+        template program and capacity; the MESH AND PROCESS COUNT may
+        differ — per-slot state/params re-slice on load, so a dp=8
+        fleet's checkpoint restores onto dp=4 or a 2-process dp=2×2
+        fleet bit-exactly, tests/test_fleet_resume.py)
+        → ``{slot: SessionHandle}``
         for every session that was live at save time (the application
         re-associates its clients by slot).  The resumed render is
         bit-exact: params and recurrent state restore shard-by-shard, and
@@ -344,7 +352,8 @@ class SessionServer:
                 f"server {self.capacity}"
             )
         template = jax.tree.map(_local_slice, self._params)
-        local, _ = load_sharded_local(_os.path.join(path, "params"), template)
+        local, _ = load_sharded_local(_os.path.join(path, "params"), template,
+                                      global_batch=self.capacity)
         self._params = self._br._lift_local(local)
         self._state = state
         # restored state carries device-side command sequence numbers a

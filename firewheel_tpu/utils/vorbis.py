@@ -36,10 +36,14 @@ _vf = _venc = _vorbis = _ogg = None
 _probed = False
 
 # Opaque library structs are only ever passed by pointer; generous
-# fixed-size buffers stand in for their storage (real sizeof on x86-64:
-# OggVorbis_File ~944, ogg_stream_state ~408, vorbis_dsp_state ~160,
-# vorbis_block ~192, vorbis_info ~48, vorbis_comment ~32).
-_OVFILE_SIZE = 2048
+# fixed-size buffers stand in for their storage (real sizeof on the
+# x86-64 build this was probed against: OggVorbis_File ~944,
+# ogg_stream_state ~408, vorbis_dsp_state ~160, vorbis_block ~192,
+# vorbis_info ~48, vorbis_comment ~32).  ASSUMPTION: a distro/arch
+# build whose struct exceeded the buffer would corrupt the heap
+# silently rather than fail cleanly — hence a uniform ≥4× margin over
+# every measured sizeof (round-4 advisor).
+_OVFILE_SIZE = 4096
 _OPAQUE_SIZE = 4096
 
 

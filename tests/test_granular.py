@@ -46,16 +46,22 @@ def ref_granular(sample, L, A, tempo, pitch, n_frames, seek=0, block=F):
     while g * P < n_frames:
         t = g * P
         b, t_local = t // block, t % block
-        src0 = np.float32(np.float32(src_int[b]) + src_frac[b])
-        anchor = np.float32(src0 + np.float32(t_local) * tempo32)
-        if anchor < n:  # the cursor is still inside the clip
+        # the kernel carries positions as (exact int base, small f32
+        # offset) pairs — never absolute f32 (round-5 precision fix):
+        # anchor = src_int + rel0, normalized to (a_int, fr0∈[0,1))
+        rel0 = np.float32(src_frac[b] + np.float32(t_local) * tempo32)
+        a_off = np.float32(np.floor(rel0))
+        a_int = int(src_int[b]) + int(a_off)
+        fr0 = np.float32(rel0 - a_off)
+        if rel0 < np.float32(n - src_int[b]):  # cursor inside the clip
             ages = np.arange(L)
             ks = t + ages
             m = ks < n_frames
             w = 0.5 * (1.0 - np.cos(2.0 * np.pi * ages / L))
-            pos = anchor + ages.astype(np.float32) * pitch32
-            p0 = np.floor(pos).astype(int)
-            fr = pos - p0
+            pos_rel = fr0 + ages.astype(np.float32) * pitch32
+            off = np.floor(pos_rel)
+            fr = pos_rel - off
+            p0 = a_int + off.astype(int)
             valid = p0 < n
             p0c = np.clip(p0, 0, n - 1)
             p1c = np.clip(p0 + 1, 0, n - 1)
@@ -281,3 +287,29 @@ def test_full_stack_engine_render():
     assert abs(f - 330.0) < 6.0, f
     tail = L_out[55000:]  # ~1.15 s: finished, silent
     assert np.max(np.abs(tail)) == 0.0
+
+
+def test_long_clip_precision_past_2pow24():
+    """Round-4 advisor regression: absolute-f32 grain positions quantize
+    to >=2-sample steps past 2^24 frames (~5.8 min at 48 kHz), detuning
+    late playback.  Positions now ride (exact int base, small f32
+    offset) pairs, so the neutral identity must hold verbatim even when
+    playing at a seek position beyond 2^24."""
+    L, A = 512, 4
+    pos0 = 2**24 + 1237  # odd offset: absolute f32 cannot represent it
+    n = pos0 + 20000
+    clip = np.zeros((1, n), np.float32)
+    # signal only where the test reads (cheap to build, gathers hit it)
+    seg = RNG.standard_normal(20000).astype(np.float32)
+    clip[0, pos0:] = seg
+    node = make_node(clip, L, A, align=False)
+    node.set_playhead(pos0 / SR)
+    node.play()
+    n_blocks = 40
+    out, _, _ = drive(node, n_blocks, ch_out=1)
+    warm = L - L // A
+    np.testing.assert_allclose(
+        out[0, warm:n_blocks * F],
+        seg[warm:n_blocks * F],
+        atol=2e-5, rtol=0,
+    )
