@@ -136,28 +136,93 @@ def save_sharded_checkpoint(
         os.replace(tmp, os.path.join(path, _META_FILE))
 
 
-def load_sharded_local(path: str, local_template):
+def load_sharded_local(path: str, local_template, *,
+                       global_batch: int | None = None):
     """Load this process's shard back → ``(local_state, meta)``.
 
     ``local_template``: a pytree with the *local* (per-process) structure
     and shapes — e.g. ``jax.tree.map(_local_slice, renderer.init_state())``.
     The caller lifts the result onto devices
     (``jax.make_array_from_process_local_data`` for multi-host meshes).
+
+    **Resharding** (fleet elasticity, SERVING.md): when the checkpoint
+    was written by a DIFFERENT number of processes, pass
+    ``global_batch`` (the leading-axis extent every leaf shares — the
+    fleet's batch/capacity).  Each new process then reads exactly the
+    old rank files overlapping its slice of ``[0, global_batch)``,
+    concatenates, and re-slices — no process ever materializes the
+    global array, so restores stay O(per-host state) in both
+    directions (grow or shrink).  Without ``global_batch`` a
+    process-count mismatch raises, as before.
     """
     from flax import serialization
 
     rank = jax.process_index()
-    with open(os.path.join(path, f"state.rank{rank}.msgpack"), "rb") as f:
-        local = serialization.from_bytes(_to_host(local_template), f.read())
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
-    if meta.get("process_count") != jax.process_count():
-        raise ValueError(
-            f"fleet size mismatch: checkpoint has "
-            f"{meta.get('process_count')} processes, this fleet has "
-            f"{jax.process_count()} (resharding requires equal counts)"
-        )
+    old_count = meta.get("process_count")
+    new_count = jax.process_count()
+    if old_count != new_count:
+        if global_batch is None:
+            raise ValueError(
+                f"fleet size mismatch: checkpoint has {old_count} "
+                f"processes, this fleet has {new_count} (pass "
+                "global_batch= to reshard)"
+            )
+        return _load_resharded(path, local_template, meta,
+                               int(global_batch)), meta
+    with open(os.path.join(path, f"state.rank{rank}.msgpack"), "rb") as f:
+        local = serialization.from_bytes(_to_host(local_template), f.read())
     return local, meta
+
+
+def _load_resharded(path: str, local_template, meta: dict,
+                    global_batch: int):
+    """Rebuild this process's ``[global_batch/Q]`` slice from a
+    checkpoint written by ``P ≠ Q`` processes (each old rank file holds
+    a contiguous ``[global_batch/P]`` slice of every leaf's leading
+    axis)."""
+    from flax import serialization
+
+    P = int(meta["process_count"])
+    Q = jax.process_count()
+    r = jax.process_index()
+    if global_batch % P or global_batch % Q:
+        raise ValueError(
+            f"global_batch {global_batch} must divide by both the "
+            f"checkpoint's process count ({P}) and this fleet's ({Q})"
+        )
+    old_per = global_batch // P
+    new_per = global_batch // Q
+    host_template = _to_host(local_template)
+    leaves = jax.tree.leaves(host_template)
+    for leaf in leaves:
+        if np.shape(leaf)[:1] != (new_per,):
+            raise ValueError(
+                "resharded restore needs every leaf batched on the "
+                f"leading axis with extent {new_per}; got shape "
+                f"{np.shape(leaf)}"
+            )
+    # the per-rank template: same per-instance shapes, old_per-leading
+    old_template = jax.tree.map(
+        lambda x: np.broadcast_to(
+            np.asarray(x)[:1], (old_per,) + np.shape(x)[1:]
+        ).copy(),
+        host_template,
+    )
+    start, end = r * new_per, (r + 1) * new_per
+    parts = []
+    for k in range(start // old_per, (end - 1) // old_per + 1):
+        with open(os.path.join(path, f"state.rank{k}.msgpack"), "rb") as f:
+            old_local = serialization.from_bytes(old_template, f.read())
+        lo = max(start - k * old_per, 0)
+        hi = min(end - k * old_per, old_per)
+        parts.append(jax.tree.map(
+            lambda x, lo=lo, hi=hi: np.asarray(x)[lo:hi], old_local
+        ))
+    if len(parts) == 1:
+        return parts[0]
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *parts)
 
 
 def save_checkpoint(path: str, processor, extra_meta: dict | None = None) -> None:

@@ -111,7 +111,7 @@ from firewheel_tpu.parallel import make_mesh
 SR, F, K = 48000, 64, 2
 
 
-def make_server():
+def make_server(dp=4):
     g = AudioGraph(AudioGraphConfig(0, 2))
     tone = BeepTestNode(440.0, -12.0, True)
     vol = VolumeNode(0.0)
@@ -133,7 +133,7 @@ def make_server():
     pkg = g.compile(SR, F)
     prog = ScheduleProgram(pkg.schedule, dict(pkg.new_node_processors), SR)
     srv = SessionServer(prog, capacity=8, chunk_blocks=K,
-                        mesh=make_mesh({"dp": 4}), axis="dp")
+                        mesh=make_mesh({"dp": dp}), axis="dp")
     return srv, {"tone": tone, "vol": vol, "sfx": sfx}
 """
 
@@ -183,3 +183,139 @@ def test_two_process_session_server_kill_and_resume(tmp_path):
     _run_phase(b, _free_port(), work, repo)   # fresh fleet resumes
     for rank in (0, 1):
         assert open(tmp_path / f"ok{rank}").read() == f"PHASE_B_RANK{rank}_OK"
+
+
+# ---------------------------------------------------------------------------
+# Resharded restore (round-4 verdict #5): the SAME checkpoint, written by a
+# single-process dp=8 fleet, restores bit-exactly onto (a) a single-process
+# dp=4 fleet and (b) a TWO-process dp=2x2 fleet — per-slot state/params
+# re-slice on load (checkpoint._load_resharded), no process materializes
+# the global array.
+# ---------------------------------------------------------------------------
+
+_SAVE_8 = r"""
+import os, sys
+work = sys.argv[1]
+os.environ["FIREWHEEL_TPU_PLATFORM"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.getcwd())
+
+import numpy as np
+from fleet_common import make_server, SR, F, K
+
+srv, n = make_server(dp=8)
+ha = srv.connect(lambda: (n["vol"].set_percent_volume(100.0),
+                          n["sfx"].play()))
+hb = srv.connect(lambda: n["vol"].set_percent_volume(37.0))
+srv.render(); srv.render()
+ck = os.path.join(work, "fleet_ck8")
+srv.save_checkpoint(ck)
+
+truth = {}
+for c in range(2):
+    truth[f"c{c}"] = np.asarray(srv.render())  # single process: global
+np.savez(os.path.join(work, "truth8.npz"), **truth)
+print("SAVE8_OK", flush=True)
+"""
+
+_RESTORE_DP4_1P = r"""
+import os, sys
+work = sys.argv[1]
+os.environ["FIREWHEEL_TPU_PLATFORM"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.getcwd())
+
+import numpy as np
+from fleet_common import make_server, SR, F, K
+
+srv, n = make_server(dp=4)   # SMALLER mesh, same process count (1)
+handles = srv.restore_checkpoint(os.path.join(work, "fleet_ck8"))
+assert set(handles) == {0, 1} and srv.occupancy == 2
+assert srv.sample == 2 * K * F
+truth = np.load(os.path.join(work, "truth8.npz"))
+for c in range(2):
+    np.testing.assert_array_equal(np.asarray(srv.render()),
+                                  truth[f"c{c}"])
+assert srv.poll_events() == {}
+with open(os.path.join(work, "ok_dp4"), "w") as f:
+    f.write("DP4_OK")
+print("DP4_OK", flush=True)
+"""
+
+_RESTORE_2P = r"""
+import os, sys
+rank = int(sys.argv[1]); port = sys.argv[2]; work = sys.argv[3]
+os.environ["FIREWHEEL_TPU_PLATFORM"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.getcwd())
+from firewheel_tpu.parallel.distributed import initialize_multihost
+initialize_multihost(f"localhost:{port}", 2, rank)
+
+import numpy as np
+from fleet_common import make_server, SR, F, K
+
+srv, n = make_server(dp=4)   # 2 processes x 2 devices: RESHARD from P=1
+handles = srv.restore_checkpoint(os.path.join(work, "fleet_ck8"))
+assert set(handles) == {0, 1} and srv.occupancy == 2
+assert srv.sample == 2 * K * F
+truth = np.load(os.path.join(work, "truth8.npz"))
+for c in range(2):
+    out = srv.render()
+    for s in out.addressable_shards:
+        g0 = s.index[0].start or 0
+        want = truth[f"c{c}"][g0 : g0 + s.data.shape[0]]
+        np.testing.assert_array_equal(np.asarray(s.data), want)
+assert srv.poll_events() == {}
+# the restored session is still controllable on the resharded fleet
+handles[0].update(lambda: n["sfx"].play())
+srv.render(); srv.render()
+ev = srv.poll_events()
+if rank == 0:   # slots 0/1 are process 0's instances
+    assert handles[0] in ev and ev[handles[0]][0].count == 1, ev
+else:
+    assert ev == {}
+with open(os.path.join(work, f"ok2p{rank}"), "w") as f:
+    f.write(f"2P_RANK{rank}_OK")
+print(f"2P_RANK{rank}_OK", flush=True)
+"""
+
+
+def _run_single(script_path, work, repo, timeout=240):
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = f"{repo}:{work}"
+    p = subprocess.Popen(
+        [sys.executable, str(script_path), work],
+        env=env, cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        stdout, _ = p.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        pytest.fail("single-process fleet child timed out")
+    assert p.returncode == 0, f"child failed:\n{stdout[-2500:]}"
+
+
+def test_resharded_fleet_restore(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = str(tmp_path)
+    (tmp_path / "fleet_common.py").write_text(_COMMON)
+    (tmp_path / "save8.py").write_text(_SAVE_8)
+    (tmp_path / "dp4.py").write_text(_RESTORE_DP4_1P)
+    (tmp_path / "two.py").write_text(_RESTORE_2P)
+
+    _run_single(tmp_path / "save8.py", work, repo)   # dp=8, 1 process
+    _run_single(tmp_path / "dp4.py", work, repo)     # dp=4, 1 process
+    _run_phase(tmp_path / "two.py", _free_port(), work, repo)  # dp=2x2
+    assert open(tmp_path / "ok_dp4").read() == "DP4_OK"
+    for rank in (0, 1):
+        assert open(tmp_path / f"ok2p{rank}").read() == f"2P_RANK{rank}_OK"
