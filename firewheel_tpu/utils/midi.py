@@ -26,12 +26,24 @@ Mapping (classic sampler semantics):
 
 Scope: note on/off, tempo map (set-tempo metas, PPQ and SMPTE
 divisions), program changes (selectable per-instrument), formats 0/1/2,
-running status.  Controllers/pitch-bend/aftertouch are parsed past, not
-interpreted — game jukebox scope, not a DAW.
+running status — plus the musical-minimum controllers
+(``/root/reference/DESIGN_DOC.md:42``'s "custom sampler/synthesizer
+reading a MIDI file" promise):
+
+* **pitch bend** (±``bend range`` semitones, default ±2, RPN 0
+  honored) — a rate multiplier on the channel's voices, applied at
+  note-on exactly and to sounding notes at ``update()`` cadence;
+* **CC 7 (channel volume) / CC 11 (expression)** — per-channel gain,
+  GM curve ``40·log10(v/127)`` dB each (amplitude ∝ (v/127)²),
+  0 dB until the channel's first event.
+
+Aftertouch and the remaining controllers stay parsed-past (game
+jukebox scope, not a DAW).
 """
 
 from __future__ import annotations
 
+import bisect
 import math
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -45,6 +57,23 @@ __all__ = [
 ]
 
 _DEFAULT_US_PER_QN = 500_000  # 120 bpm, the SMF default
+
+
+def _cc_db(value: int) -> float:
+    """GM volume/expression curve: amplitude ∝ (v/127)², i.e.
+    ``40·log10(v/127)`` dB (MMA GM Developer Guidelines); CC 0 floors
+    at the curve's v=1 point (−84 dB — inaudible, not −inf, so a later
+    CC ramp-up recovers cleanly)."""
+    return 40.0 * math.log10(max(int(value), 1) / 127.0)
+
+
+def _curve_at(curve, t: float, default: float = 0.0) -> float:
+    """Latest value of a sorted ``[(secs, value), ...]`` piecewise-
+    constant curve at time ``t`` (``default`` before the first event)."""
+    if not curve:
+        return default
+    i = bisect.bisect_right(curve, (t, float("inf")))
+    return curve[i - 1][1] if i else default
 
 
 @dataclass(frozen=True)
@@ -68,6 +97,14 @@ class MidiSong:
     tempo_changes: "list[tuple[float, float]]"  # (secs, bpm)
     format: int
     num_tracks: int
+    #: pitch-bend curve, (secs, channel, semitones) sorted by secs —
+    #: already scaled by the channel's bend range (RPN 0; default ±2 st)
+    bend_changes: "list[tuple[float, int, float]]" = field(
+        default_factory=list)
+    #: volume/expression curve, (secs, channel, controller, value) with
+    #: controller ∈ {7, 11}, sorted by secs
+    cc_changes: "list[tuple[float, int, int, int]]" = field(
+        default_factory=list)
 
 
 class _Reader:
@@ -221,14 +258,18 @@ def parse_midi(src) -> MidiSong:
         tempo_changes = []
 
     # pass 2: pair note on/off per track (FIFO per channel+note), track
-    # program changes chronologically
+    # program changes chronologically; gather bend/CC events for the
+    # global (cross-track — channels are global in SMF) control walk
     notes: "list[MidiNote]" = []
+    ctrl_raw: "list[tuple[int, int, int, int, int]]" = []  # tick,ch,kind,d0,d1
     for ti, events in enumerate(tracks):
         open_notes: "dict[tuple[int, int], list]" = {}
         program = [0] * 16
         end_tick = events[-1][0] if events else 0
         for tick, status, d in events:
             kind, ch = status & 0xF0, status & 0x0F
+            if kind in (0xB0, 0xE0):
+                ctrl_raw.append((tick, ch, kind, d[0], d[1]))
             if kind == 0xC0:
                 program[ch] = d[0]
             elif kind == 0x90 and d[1] > 0:  # note on
@@ -255,7 +296,35 @@ def parse_midi(src) -> MidiSong:
     duration = max(
         (n.time_secs + n.duration_secs for n in notes), default=0.0
     )
-    return MidiSong(notes, duration, tpq, tempo_changes, fmt, ntrks)
+
+    # pass 3: the control walk — chronological across tracks, with the
+    # per-channel RPN state machine for bend range (RPN 0,0 = pitch bend
+    # sensitivity: data MSB semitones + LSB cents; MMA GM default ±2)
+    bend_changes: "list[tuple[float, int, float]]" = []
+    cc_changes: "list[tuple[float, int, int, int]]" = []
+    bend_range = [2.0] * 16
+    rpn = [(0x7F, 0x7F)] * 16  # null RPN
+    # stable sort on tick ONLY: same-tick events keep file order (an
+    # RPN select must stay ahead of its data entry at the same tick)
+    for tick, ch, kind, d0, d1 in sorted(ctrl_raw, key=lambda e: e[0]):
+        if kind == 0xE0:
+            value = ((d1 << 7) | d0) - 8192  # -8192..8191
+            bend_changes.append(
+                (to_secs(tick), ch, value / 8192.0 * bend_range[ch])
+            )
+        elif d0 == 101:  # RPN MSB
+            rpn[ch] = (d1, rpn[ch][1])
+        elif d0 == 100:  # RPN LSB
+            rpn[ch] = (rpn[ch][0], d1)
+        elif d0 == 6 and rpn[ch] == (0, 0):  # data entry MSB: semitones
+            bend_range[ch] = float(d1) + (bend_range[ch] % 1.0)
+        elif d0 == 38 and rpn[ch] == (0, 0):  # data entry LSB: cents
+            bend_range[ch] = float(int(bend_range[ch])) + d1 / 100.0
+        elif d0 in (7, 11):
+            cc_changes.append((to_secs(tick), ch, d0, d1))
+
+    return MidiSong(notes, duration, tpq, tempo_changes, fmt, ntrks,
+                    bend_changes, cc_changes)
 
 
 @dataclass
@@ -354,8 +423,23 @@ class MidiSequencer:
         self._sr = float(sr) if sr else 48000.0
         self._start_sample: Optional[int] = None
         self._next = 0  # index of the first unscheduled note
-        self._handles: "list[tuple[object, int]]" = []
+        #: (handle, end_sample, channel, base_semitones, base_gain_db) —
+        #: base values EXCLUDE bend/CC so live control recomputes cleanly
+        self._handles: "list[tuple]" = []
         self._end_sample = 0
+        # per-channel piecewise-constant control curves (song seconds)
+        self._bend_curve: "dict[int, list[tuple[float, float]]]" = {}
+        for secs, ch, semis in song.bend_changes:
+            self._bend_curve.setdefault(ch, []).append((secs, semis))
+        self._gain_curve: "dict[int, list[tuple[float, float]]]" = {}
+        vol: "dict[int, int]" = {}
+        expr: "dict[int, int]" = {}
+        for secs, ch, cc, val in song.cc_changes:
+            (vol if cc == 7 else expr)[ch] = val
+            db = _cc_db(vol.get(ch, 127)) + _cc_db(expr.get(ch, 127))
+            self._gain_curve.setdefault(ch, []).append((secs, db))
+        self._ctrl_channels = set(self._bend_curve) | set(self._gain_curve)
+        self._applied: "dict[int, tuple[float, float]]" = {}
 
     # -- control ----------------------------------------------------------------
     def start(self, at_sample: Optional[int] = None) -> None:
@@ -370,12 +454,13 @@ class MidiSequencer:
         self._next = 0
         self._end_sample = self._start_sample
         self.skipped_notes = self.dropped_notes = 0
+        self._applied = {}
 
     def stop(self) -> None:
         """Cancel unscheduled notes and stop sounding sustained ones."""
         self._next = len(self.song.notes)
         now = int(self._clock())
-        for h, _ in self._handles:
+        for h, *_ in self._handles:
             if h.alive:
                 h.stop(at_sample=now)
         self._handles.clear()
@@ -420,13 +505,18 @@ class MidiSequencer:
             if inst is None:
                 self.skipped_notes += 1
                 continue
-            rate = 2.0 ** (
-                (n.note + self.transpose - inst.root_note) / 12.0
-            )
+            # pitch bend / CC7·CC11 at the note's OWN song time (exact
+            # even with look-ahead scheduling); base values kept bend-
+            # free so live control below recomputes from them
+            base_semi = n.note + self.transpose - inst.root_note
+            base_db = (self.gain_db + inst.gain_db
+                       + inst.velocity_db(n.velocity))
+            bend = _curve_at(self._bend_curve.get(n.channel), n.time_secs)
+            cc_db = _curve_at(self._gain_curve.get(n.channel), n.time_secs)
+            rate = 2.0 ** ((base_semi + bend) / 12.0)
             h = self.pool.play(
                 inst.clip,
-                gain_db=self.gain_db + inst.gain_db
-                + inst.velocity_db(n.velocity),
+                gain_db=base_db + cc_db,
                 pan=inst.pan,
                 rate=rate,
                 loop=inst.sustain,
@@ -449,11 +539,30 @@ class MidiSequencer:
                 self._end_sample = max(
                     self._end_sample, max(when, now) + ring
                 )
-            self._handles.append((h, note_end))
+            self._handles.append((h, note_end, n.channel, base_semi,
+                                  base_db))
+        # live control: apply bend/CC changes to SOUNDING notes at
+        # update() cadence (chunk-granular — note-ons above are the
+        # sample-exact path; a DAW would automate per-sample, a jukebox
+        # tracks the curve between game frames)
+        if self._ctrl_channels:
+            t_song = max(
+                (now - self._start_sample) / self._sr * self.speed, 0.0
+            )
+            for ch in self._ctrl_channels:
+                bend = _curve_at(self._bend_curve.get(ch), t_song)
+                cc_db = _curve_at(self._gain_curve.get(ch), t_song)
+                if self._applied.get(ch, (0.0, 0.0)) == (bend, cc_db):
+                    continue  # neutral/unchanged: no per-voice traffic
+                self._applied[ch] = (bend, cc_db)
+                for h, _e, hch, bsemi, bdb in self._handles:
+                    if hch == ch and h.alive:
+                        h.set_rate(2.0 ** ((bsemi + bend) / 12.0))
+                        h.set_gain_db(bdb + cc_db)
         # drop dead handles so long songs don't accumulate them
         if len(self._handles) > 4 * self.pool.num_voices:
             self._handles = [
-                (h, e) for h, e in self._handles
-                if e > now and h.alive
+                t for t in self._handles
+                if t[1] > now and t[0].alive
             ]
         return self.playing

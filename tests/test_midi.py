@@ -308,3 +308,183 @@ def test_end_to_end_render():
     assert peak(L[second : second + 2048]) == pytest.approx(
         523.25, abs=30
     )
+
+
+# -- pitch bend + CC7/CC11 (round-4 verdict #7) --------------------------------
+
+def bend(ch, value14):
+    """Pitch bend, value14 in 0..16383 (8192 = center)."""
+    return bytes([0xE0 | ch, value14 & 0x7F, (value14 >> 7) & 0x7F])
+
+
+def cc(ch, num, val):
+    return bytes([0xB0 | ch, num, val])
+
+
+def test_parse_pitch_bend_default_and_rpn_range():
+    body = [
+        (0, bend(0, 8192 + 4096)),        # +0.5 of the default ±2 range
+        (480, cc(0, 101, 0)), (0, cc(0, 100, 0)), (0, cc(0, 6, 12)),
+        (0, bend(0, 8192 + 4096)),        # same wheel, now ±12 → +6 st
+        (480, bend(1, 0)),                # full down on ch1, default ±2
+        (0, on(0, 60, 100)), (480, off(0, 60)),
+    ]
+    song = parse_midi(smf([track(body)], fmt=0))
+    assert len(song.bend_changes) == 3
+    t0, ch0, s0 = song.bend_changes[0]
+    assert (t0, ch0) == (0.0, 0) and s0 == pytest.approx(1.0)
+    t1, ch1, s1 = song.bend_changes[1]
+    assert (t1, ch1) == (pytest.approx(0.5), 0)
+    assert s1 == pytest.approx(6.0)
+    t2, ch2, s2 = song.bend_changes[2]
+    assert ch2 == 1 and s2 == pytest.approx(-2.0)
+
+
+def test_parse_cc_volume_and_expression():
+    body = [
+        (0, cc(2, 7, 100)),
+        (480, cc(2, 11, 64)),
+        (0, cc(2, 1, 33)),                # mod wheel: parsed past
+        (0, on(2, 60, 100)), (480, off(2, 60)),
+    ]
+    song = parse_midi(smf([track(body)], fmt=0))
+    assert song.cc_changes == [
+        (0.0, 2, 7, 100), (pytest.approx(0.5), 2, 11, 64)
+    ]
+
+
+class LiveFakePool:
+    """FakePool whose handles record live set_rate/set_gain_db calls."""
+
+    num_voices = 8
+    sample_rate = SR
+
+    def __init__(self):
+        self.calls = []
+        self.live = []  # (handle_index, "rate"|"gain", value)
+        self._clock = None
+
+    def play(self, clip, **kw):
+        idx = len(self.calls)
+        self.calls.append((clip, kw))
+        rec = self.live
+
+        class H:
+            alive = True
+
+            def stop(self_h, at_sample=None):
+                pass
+
+            def set_rate(self_h, rate):
+                rec.append((idx, "rate", rate))
+
+            def set_gain_db(self_h, db):
+                rec.append((idx, "gain", db))
+
+        return H()
+
+
+def _song_with_ctrl(notes, bends=(), ccs=()):
+    return MidiSong(
+        notes=list(notes), duration_secs=2.0, ticks_per_quarter=480,
+        tempo_changes=[(0.0, 120.0)], format=0, num_tracks=1,
+        bend_changes=list(bends), cc_changes=list(ccs),
+    )
+
+
+def test_bend_and_cc_apply_at_note_on():
+    pool = LiveFakePool()
+    clip = SampleResource(np.ones((1, 64), np.float32), sample_rate=SR)
+    song = _song_with_ctrl(
+        [MidiNote(0.5, 0.25, 72, 127, 0, 0, 0)],
+        bends=[(0.25, 0, 2.0)],           # +2 st before the note
+        ccs=[(0.0, 0, 7, 64)],            # channel volume 64
+    )
+    seq = MidiSequencer(
+        pool, song, {0: Instrument(clip, root_note=60)},
+        clock=lambda: 0, horizon_secs=10.0,
+    )
+    seq.start(at_sample=0)
+    seq.update()
+    _, kw = pool.calls[0]
+    assert kw["rate"] == pytest.approx(2.0 ** (14.0 / 12.0))
+    assert kw["gain_db"] == pytest.approx(40 * math.log10(64 / 127))
+
+
+def test_live_bend_updates_sounding_notes():
+    """A bend event DURING a sounding note re-rates it at update()
+    cadence; an unaffected channel's voice is untouched."""
+    pool = LiveFakePool()
+    clip = SampleResource(np.ones((1, 64), np.float32), sample_rate=SR)
+    song = _song_with_ctrl(
+        [MidiNote(0.0, 1.5, 60, 127, 0, 0, 0),
+         MidiNote(0.0, 1.5, 60, 127, 3, 0, 0)],
+        bends=[(0.5, 0, 1.0)],            # ch0 bends +1 st at 0.5 s
+        ccs=[(0.75, 0, 11, 64)],          # then expression drops
+    )
+    t = [0]
+    seq = MidiSequencer(
+        pool, song,
+        {0: Instrument(clip, sustain=True),
+         3: Instrument(clip, sustain=True)},
+        clock=lambda: t[0], horizon_secs=0.2,
+    )
+    seq.start(at_sample=0)
+    seq.update()
+    assert len(pool.calls) == 2 and pool.live == []
+    t[0] = int(0.5 * SR)                  # bend now in force
+    seq.update()
+    assert ("rate" in [x[1] for x in pool.live])
+    rates = [(i, v) for i, k, v in pool.live if k == "rate"]
+    assert rates[0][0] == 0               # only the ch0 voice (call 0)
+    assert rates[0][1] == pytest.approx(2.0 ** (1.0 / 12.0))
+    assert all(i == 0 for i, _ in rates)
+    n_live = len(pool.live)
+    seq.update()                          # unchanged controls: no spam
+    assert len(pool.live) == n_live
+    t[0] = int(0.75 * SR)                 # expression change
+    seq.update()
+    gains = [(i, v) for i, k, v in pool.live[n_live:] if k == "gain"]
+    assert gains and gains[0][1] == pytest.approx(40 * math.log10(64 / 127))
+
+
+def test_end_to_end_bent_note_lands_on_frequency():
+    """GOLDEN (round-4 verdict #7): a note played under a +6 st bend
+    (RPN range 12) must sound at root · 2^(6/12)."""
+    cx = FirewheelCtx(AudioGraphConfig(0, 2))
+    pool = VoicePool(cx.graph, num_voices=4, max_clip_frames=8192,
+                     declick_secs=0.0)
+    sink = ArraySink()
+    cx.activate(
+        StreamConfig(SR, 2, buffer_frames=F, deferred_swap=False),
+        sink=sink,
+    )
+    n = 8192
+    tt = np.arange(n) / SR
+    c4 = SampleResource(
+        (0.5 * np.sin(2 * np.pi * 261.63 * tt))
+        .astype(np.float32)[None, :],
+        sample_rate=SR,
+    )
+    data = smf([track([
+        (0, cc(0, 101, 0)), (0, cc(0, 100, 0)), (0, cc(0, 6, 12)),
+        (0, bend(0, 8192 + 4096)),                 # +6 st
+        (0, on(0, 60, 127)), (480, off(0, 60)),
+    ])])
+    song = parse_midi(data)
+    assert song.bend_changes[-1][2] == pytest.approx(6.0)
+    seq = MidiSequencer(
+        pool, song, {0: Instrument(c4, root_note=60)},
+        clock=lambda: cx.stream.frames_rendered, horizon_secs=10.0,
+    )
+    start = 2 * F
+    seq.start(at_sample=start)
+    assert seq.update() is True
+    cx.render_offline(0.5)
+    cx.deactivate()
+    L = sink.audio(2)[0]
+
+    seg = L[start : start + 4096]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1 / SR)[int(np.argmax(spec))]
+    assert f == pytest.approx(261.63 * 2 ** 0.5, abs=15)
