@@ -25,6 +25,7 @@ _SRCS = [
     os.path.join(_NATIVE_DIR, "ringbuf.cpp"),
     os.path.join(_NATIVE_DIR, "consumer.cpp"),
     os.path.join(_NATIVE_DIR, "lpc.cpp"),
+    os.path.join(_NATIVE_DIR, "crc.cpp"),
 ]
 _SO = os.path.join(_NATIVE_DIR, "libfwnative.so")
 

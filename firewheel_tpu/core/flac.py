@@ -72,7 +72,38 @@ _CRC8_TBL = _crc_table(0x07, 8)
 _CRC16_TBL = _crc_table(0x8005, 16)
 
 
+def _native_crc():
+    """The shared C++ CRC kernels (backend/native/crc.cpp), or None
+    without a toolchain — lazy + cached like :func:`_native_lpc`.  The
+    Python table loops below cost ~5 ms per 8 kB frame, a quarter of the
+    whole encode budget (round-5 profile, docs/FORMATS.md)."""
+    global _NATIVE_CRC
+    if _NATIVE_CRC is _CRC_UNSET:
+        try:
+            from ..backend.ring_buffer import _load_native
+
+            lib = _load_native()
+            if lib is not None:
+                import ctypes
+
+                for fn in (lib.flac_crc8, lib.flac_crc16):
+                    fn.restype = ctypes.c_uint32
+                    fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                   ctypes.c_uint32]
+            _NATIVE_CRC = lib or None
+        except Exception:  # pragma: no cover - toolchain-dependent
+            _NATIVE_CRC = None
+    return _NATIVE_CRC
+
+
+_CRC_UNSET = object()
+_NATIVE_CRC: "object" = _CRC_UNSET
+
+
 def crc8(data: bytes, init: int = 0) -> int:
+    lib = _native_crc()
+    if lib is not None:
+        return int(lib.flac_crc8(bytes(data), len(data), init))
     c = init
     for b in data:
         c = int(_CRC8_TBL[(c ^ b) & 0xFF])
@@ -80,6 +111,9 @@ def crc8(data: bytes, init: int = 0) -> int:
 
 
 def crc16(data: bytes, init: int = 0) -> int:
+    lib = _native_crc()
+    if lib is not None:
+        return int(lib.flac_crc16(bytes(data), len(data), init))
     c = init
     tbl = _CRC16_TBL
     for b in data:

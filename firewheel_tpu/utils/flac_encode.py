@@ -50,6 +50,31 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)  # q zeros then a one
 
+    def write_bits(self, bits: np.ndarray):
+        """Append a bool bit array (MSB-first stream order) in one
+        vectorized `packbits` — the per-sample Rice/verbatim loops were
+        the whole encoder cost (round-5 measurement: 2.8× realtime;
+        vectorized: see docs/FORMATS.md)."""
+        if self._n:
+            pre = np.array(
+                [(self._acc >> (self._n - 1 - i)) & 1
+                 for i in range(self._n)], bool
+            )
+            bits = np.concatenate([pre, np.asarray(bits, bool)])
+            self._acc = 0
+            self._n = 0
+        else:
+            bits = np.asarray(bits, bool)
+        nbytes = bits.size // 8
+        if nbytes:
+            self.buf.extend(np.packbits(bits[: 8 * nbytes]).tobytes())
+        rem = bits[8 * nbytes:]
+        self._n = int(rem.size)
+        acc = 0
+        for b in rem.tolist():
+            acc = (acc << 1) | int(b)
+        self._acc = acc
+
     def align(self):
         if self._n:
             self.write(0, 8 - self._n)
@@ -57,6 +82,35 @@ class _BitWriter:
     def bytes(self) -> bytes:
         assert self._n == 0
         return bytes(self.buf)
+
+
+def _pack_rice_bits(u: np.ndarray, k: int) -> np.ndarray:
+    """Rice-code zigzag values ``u`` with parameter ``k`` → bool bit
+    array (unary ``q`` zeros + 1, then the k low bits), fully
+    vectorized: the terminating-1 positions land by fancy index, each
+    of the k low-bit planes by one more."""
+    q = (u >> np.int64(k)).astype(np.int64)
+    nbits = q + 1 + k
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    total = int(ends[-1]) if u.size else 0
+    bits = np.zeros(total, bool)
+    one_pos = starts + q
+    bits[one_pos] = True
+    for j in range(k):
+        bits[one_pos + 1 + j] = ((u >> np.int64(k - 1 - j)) & 1).astype(bool)
+    return bits
+
+
+def _pack_fixed_width_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """Two's-complement fixed-width codes → bool bit array, one plane
+    per bit (verbatim subframes, escaped residual partitions, warmup
+    samples)."""
+    n = vals.size
+    bits = np.zeros(n * width, bool)
+    for j in range(width):
+        bits[j::width] = ((vals >> np.int64(width - 1 - j)) & 1).astype(bool)
+    return bits
 
 
 def _utf8_number(n: int) -> bytes:
@@ -96,18 +150,43 @@ def _zigzag(r: np.ndarray) -> np.ndarray:
 
 def _best_rice_k(u: np.ndarray) -> tuple[int, int]:
     """Exact minimum-cost Rice parameter for zigzag values ``u`` →
-    (k, coded_bits)."""
+    (k, coded_bits).  One ``unpackbits`` pass yields the per-bit-plane
+    population counts ``c_k``; every shifted sum then follows from the
+    exact recurrence ``s_{k+1} = (s_k - c_k) / 2`` in scalar arithmetic
+    (``u>>k = 2*(u>>(k+1)) + bit_k``), so all 31 candidate costs are
+    evaluated with ONE array pass instead of 31 (this function was the
+    encoder's final hotspot after the bit-writer vectorization —
+    round-5 profile in docs/FORMATS.md)."""
     n = u.size
     if n == 0:
         return 0, 0
-    best_k, best_c = 0, None
-    for k in range(31):
-        cost = int((u >> np.int64(k)).sum()) + n * (k + 1)
-        if best_c is None or cost < best_c:
-            best_k, best_c = k, cost
-        elif cost > best_c * 2:
-            break
+    top = int(u.max()).bit_length()
+    s = int(u.sum())
+    best_k, best_c = 0, s + n
+    if top:
+        # per-byte-column value histograms → exact bit-plane counts as
+        # a (256,8) table product; all-zero high bytes are skipped
+        b = u.astype("<u8").view(np.uint8).reshape(n, 8)
+        nb = (top + 7) >> 3
+        planes = (
+            np.stack([np.bincount(np.ascontiguousarray(b[:, j]),
+                                  minlength=256) for j in range(nb)])
+            @ _BYTE_BIT_TBL
+        ).ravel()
+        for k in range(min(30, top)):
+            s = (s - int(planes[k])) >> 1  # s = sum(u >> (k+1)), exact
+            cost = s + n * (k + 2)
+            if cost < best_c:
+                best_k, best_c = k + 1, cost
+            elif s == 0:
+                break  # cost only grows by +n per step from here
     return best_k, best_c
+
+
+# bit b of byte value v, laid out so hist(256) @ tbl → counts of bit
+# planes 0..7 across the column
+_BYTE_BIT_TBL = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1
+                 ).astype(np.int64)
 
 
 def _write_residual(w: _BitWriter, resid: np.ndarray, block: int,
@@ -115,38 +194,36 @@ def _write_residual(w: _BitWriter, resid: np.ndarray, block: int,
     parts = 1 << partition_order
     assert block % parts == 0, "partition order must divide block size"
     use_rice2 = False
-    chunks, ks = [], []
+    chunks, ks, costs = [], [], []
     pos = 0
     for p in range(parts):
         cnt = block // parts - (order if p == 0 else 0)
         r = resid[pos:pos + cnt]
         pos += cnt
         u = _zigzag(r)
-        k, _ = _best_rice_k(u)
+        k, c = _best_rice_k(u)
         if k > 14:
             use_rice2 = True
         chunks.append(u)
         ks.append(k)
+        costs.append(c)
     pbits, escape = (5, 0x1F) if use_rice2 else (4, 0xF)
     w.write(1 if use_rice2 else 0, 2)
     w.write(partition_order, 4)
-    for u, k in zip(chunks, ks):
+    for u, k, rice_cost in zip(chunks, ks, costs):
         raw_bits = (int(np.max(np.abs(
             (u >> np.int64(1)) ^ -(u & np.int64(1))))).bit_length() + 1
             if u.size else 1)
-        _, rice_cost = _best_rice_k(u)
         if u.size and raw_bits * u.size + 5 < rice_cost:
             # escape: raw two's-complement residuals
             w.write(escape, pbits)
             w.write(raw_bits, 5)
-            for r in ((u >> np.int64(1)) ^ -(u & np.int64(1))).tolist():
-                w.write(r & ((1 << raw_bits) - 1), raw_bits)
+            w.write_bits(_pack_fixed_width_bits(
+                (u >> np.int64(1)) ^ -(u & np.int64(1)), raw_bits
+            ))
         else:
             w.write(k, pbits)
-            for v in u.tolist():
-                q = v >> k
-                w.write_unary(q)
-                w.write(v & ((1 << k) - 1), k)
+            w.write_bits(_pack_rice_bits(u, k))
 
 
 def _subframe_cost_fixed(x: np.ndarray, order: int, bits: int) -> int:
@@ -186,13 +263,12 @@ def _write_subframe(w: _BitWriter, x: np.ndarray, bits: int,
     elif kind == "verbatim":
         w.write(0b000001, 6)
         w.write(0, 1)
-        for v in x.tolist():
-            w.write(v & ((1 << bits) - 1), bits)
+        w.write_bits(_pack_fixed_width_bits(x, bits))
     else:
         w.write(0b001000 | order, 6)
         w.write(0, 1)
-        for v in x[:order].tolist():
-            w.write(v & ((1 << bits) - 1), bits)
+        if order:
+            w.write_bits(_pack_fixed_width_bits(x[:order], bits))
         po = partition_order
         while (1 << po) > 1 and (n % (1 << po) or n // (1 << po) <= order):
             po -= 1
