@@ -1,6 +1,16 @@
 """Pallas megakernel executor: the whole compiled schedule in one TPU kernel.
 
-This is the north-star lowering (BASELINE.json): "the firewheel-graph
+STATUS: **EXPERIMENTAL (demoted, round 5)**.  Measured across rounds 2–4
+the XLA lowering (:class:`~firewheel_tpu.executor.ScheduleProgram` /
+:class:`~firewheel_tpu.parallel.BatchRenderer`) beat this path at every
+matched configuration outside the tunnel's drift envelope
+(docs/PERF.md "Megakernel: demoted to experimental").  Kept in-tree for
+its guarantees — provable VMEM residency across deep serial chains,
+explicit scheduling control — not throughput; bit-exactness vs the XLA
+executor stays CI-tested (tests/test_megakernel.py,
+tests/test_hybrid_megakernel.py).
+
+This was the north-star lowering (BASELINE.json): "the firewheel-graph
 compiler's topological schedule lowers to a single fused XLA computation
 that processes many 2^k-sample blocks (and many game instances) in parallel,
 with firewheel-core node kernels implemented as Pallas kernels over
