@@ -252,13 +252,15 @@ def bench_serve():
     log(f"device: {dev} ({dev.platform})")
     program = _mixer_graph(block=BLOCK)
     best, results = None, {}
-    # The loop is egress-bound on a remote attach (docs/PERF.md "Serving
-    # loop with egress"), so the small config measures the same shipped
-    # number as a big one without the multi-minute B=8192 compile.
     # adpcm4 (0.5 B/sample, on-device IMA encode) ships 4× fewer bytes
-    # than pcm16 → ~4× shipped throughput on an egress-bound attach.
-    for fmt, batch, k in [("adpcm4", 4096, 16), ("pcm16", 4096, 16),
-                          ("adpcm4", 8192, 32)]:
+    # than pcm16 → ~4× shipped throughput on an egress-bound attach, and
+    # at 4 bits the loop stops being egress-bound on THIS attach, so
+    # chunk size matters again: the headline B=8192 K=32 config
+    # amortizes per-dispatch overhead and is measured first (its compile
+    # through the tunnel is many minutes when the server cache is cold —
+    # the budget check below runs between configs, never mid-config).
+    for fmt, batch, k in [("adpcm4", 8192, 32), ("pcm16", 4096, 16),
+                          ("adpcm4", 4096, 16)]:
         try:
             res = measure_serve(program, batch, k, output_format=fmt)
         except Exception as e:
@@ -270,7 +272,7 @@ def bench_serve():
             results[fmt] = res
         if best is None or res["median"] > best["median"]:
             best = res
-        if time.time() - t_start > 420:
+        if time.time() - t_start > 900:
             log("time budget reached")
             break
     if best is None:

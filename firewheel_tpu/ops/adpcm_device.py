@@ -30,13 +30,19 @@ block_align) and drop the final pad frame.
 
 TPU note: the encoder is inherently sequential over samples (the
 predictor/step-index carry), so it is a ``lax.scan`` of length S with a
-handful of int32 vector ops and 5 tiny table gathers per step —
+handful of int32 vector ops and ONE tiny table gather per step (a
+``[89, 4]`` row of precomputed step thresholds; the dequant magnitude
+and next step index are arithmetic in the quantizer bits) —
 deliberately free of integer SHIFT/AND ops, which flip XLA's TPU loop
 compilation into a pathological mode when they appear inside scan
 bodies (CLAUDE.md hazard; measured 26× slower code on the mixer graph).
-All shifts are precomputed into the ``[89]``/``[89·8]`` tables below;
+All shifts are precomputed into the ``[89, 4]`` table below;
 sign/magnitude handling is arithmetic (``where``/mul/add), and nibble
-packing happens OUTSIDE the scan as one vectorized mul-add.
+packing happens OUTSIDE the scan as one vectorized mul-add.  The scan
+runs ``unroll=8`` — per-iteration loop overhead dominates a 2048-step
+sequential scan at serving batch sizes (measured: the 5-gather
+unroll=1 version bounded the adpcm4 serving loop at ~206× realtime,
+under the pcm16 egress ceiling it was meant to beat).
 """
 
 from __future__ import annotations
@@ -52,25 +58,17 @@ __all__ = [
 ]
 
 # -- precomputed shift-free tables (host, once) --------------------------------
-# step thresholds per index: step, step>>1, step>>2 — the encoder's three
-# greedy magnitude comparisons
+# ONE [89, 4] table: (step, step>>1, step>>2, step>>3) per index — the
+# encoder's three greedy magnitude thresholds plus the reconstruction
+# base.  A single 4-column gather per scan step replaces the original
+# five separate gathers (step/half/quarter + two 712-entry (idx, mag)
+# tables): the dequant magnitude and the next step index are pure
+# arithmetic in (b4, b2, b1) given these four values, and gathers are
+# the dominant per-step cost of the scan on TPU.
 _STEP = IMA_STEP_TABLE.astype(np.int32)  # [89]
-_HALF = _STEP >> 1
-_QUARTER = _STEP >> 2
-# dequant magnitude per (index, 3-bit magnitude): the decoder-mirrored
-# reconstruction  dq = step>>3 + b1*(step>>2) + b2*(step>>1) + b4*step
-_mag = np.arange(8, dtype=np.int32)
-_DQ = (
-    (_STEP[:, None] >> 3)
-    + (_mag[None, :] & 1) * (_STEP[:, None] >> 2)
-    + ((_mag[None, :] >> 1) & 1) * (_STEP[:, None] >> 1)
-    + ((_mag[None, :] >> 2) & 1) * _STEP[:, None]
-).reshape(-1)  # [89*8], flat index = idx*8 + mag
-# next step index per (index, magnitude)
-_IDX_NEXT = np.clip(
-    np.arange(89, dtype=np.int32)[:, None] + IMA_INDEX_TABLE[_mag][None, :],
-    0, 88,
-).reshape(-1)  # [89*8]
+_STEPS4 = np.stack(
+    [_STEP, _STEP >> 1, _STEP >> 2, _STEP >> 3], axis=1
+)  # [89, 4]
 
 
 def chunk_block_align(num_channels: int, frames: int) -> int:
@@ -99,11 +97,7 @@ def encode_ima_chunk(pcm_i16):
         raise ValueError(f"chunk frames must divide by 8, got {S}")
     x = pcm_i16.astype(jnp.int32)  # [B, S, No]
 
-    step_t = jnp.asarray(_STEP)
-    half_t = jnp.asarray(_HALF)
-    quarter_t = jnp.asarray(_QUARTER)
-    dq_t = jnp.asarray(_DQ)
-    idx_next_t = jnp.asarray(_IDX_NEXT)
+    steps4_t = jnp.asarray(_STEPS4)  # [89, 4]
 
     x0 = x[:, 0, :]  # [B, No] — the header predictor IS sample 0
     # samples 1..S (S of them): x[1:], then the pad frame (= last frame)
@@ -112,28 +106,38 @@ def encode_ima_chunk(pcm_i16):
 
     def body(carry, target):
         pred, idx = carry  # int32 [B, No] each
-        step = step_t[idx]
+        s4 = steps4_t[idx]  # [B, No, 4] — the ONLY gather this step
+        step = s4[..., 0]
+        half = s4[..., 1]
+        quarter = s4[..., 2]
+        eighth = s4[..., 3]
         diff = target - pred
         neg = diff < 0
         ad = jnp.abs(diff)
         b4 = (ad >= step).astype(jnp.int32)
         ad = ad - b4 * step
-        h = half_t[idx]
-        b2 = (ad >= h).astype(jnp.int32)
-        ad = ad - b2 * h
-        b1 = (ad >= quarter_t[idx]).astype(jnp.int32)
+        b2 = (ad >= half).astype(jnp.int32)
+        ad = ad - b2 * half
+        b1 = (ad >= quarter).astype(jnp.int32)
         mag = b4 * 4 + b2 * 2 + b1
-        flat = idx * 8 + mag
-        dq = dq_t[flat]
+        # decoder-mirrored reconstruction, arithmetic in the thresholds:
+        # dq = step>>3 + b1*(step>>2) + b2*(step>>1) + b4*step
+        dq = eighth + b1 * quarter + b2 * half + b4 * step
         pred = jnp.clip(
             jnp.where(neg, pred - dq, pred + dq), -32768, 32767
         )
-        idx = idx_next_t[flat]
+        # IMA index table [-1,-1,-1,-1, 2, 4, 6, 8] == mag>=4 ? 2*mag-6 : -1
+        idx = jnp.clip(
+            idx + jnp.where(mag >= 4, 2 * mag - 6, jnp.int32(-1)), 0, 88
+        )
         nib = mag + jnp.where(neg, jnp.int32(8), jnp.int32(0))
         return (pred, idx), nib.astype(jnp.uint8)
 
     init = (x0, jnp.zeros((B, No), jnp.int32))
-    _, nibs = jax.lax.scan(body, init, xs)  # nibs: [S, B, No] uint8
+    # unroll: fewer loop-carried iterations (the per-iteration overhead of
+    # a 2048-step scan is significant on TPU); 8 keeps the body small
+    # enough that compile time stays sane through the tunnel.
+    _, nibs = jax.lax.scan(body, init, xs, unroll=8)  # nibs: [S, B, No]
 
     # -- pack OUTSIDE the scan (vectorized; mul-add, no bit-ops) --------------
     # host layout: per channel, 4-byte groups of 8 nibbles LOW first,
