@@ -402,3 +402,50 @@ def test_restore_rejects_capacity_mismatch(tmp_path):
     srv8 = SessionServer(make_template()[0], capacity=8, chunk_blocks=4)
     with pytest.raises(ValueError, match="batch mismatch|capacity"):
         srv8.restore_checkpoint(ck)
+
+
+def test_session_server_adpcm4_wire_stream_decodes_per_session():
+    """The serving wire format end-to-end at the SESSION level:
+    ``SessionServer(..., output_format="adpcm4")`` ships uint8 IMA rows
+    (one independently-decodable block per slot per chunk) through the
+    render_fetched/flush pipeline, and each session's decoded stream
+    carries ITS OWN control state (audible vs muted)."""
+    from firewheel_tpu.ops.adpcm_device import (
+        chunk_block_align,
+        decode_ima_chunk,
+    )
+
+    prog, n = make_template()
+    K = 8  # chunk frames = K*F = 1024, divisible by 8 as adpcm4 requires
+    srv = SessionServer(prog, capacity=2, chunk_blocks=K,
+                        output_format="adpcm4")
+    h1 = srv.connect(lambda: n["vol"].set_percent_volume(100.0))
+    h2 = srv.connect(lambda: n["vol"].set_percent_volume(0.0))
+
+    rows = []
+    assert srv.render_fetched() is None  # pipeline priming
+    for _ in range(3):
+        rows.append(srv.render_fetched())
+    rows.append(srv.flush())
+
+    S = K * F
+    ba = chunk_block_align(prog.num_graph_outputs, S)
+    audio = {h1.slot: [], h2.slot: []}
+    for r in rows:
+        assert r.dtype == np.uint8 and r.shape == (2, ba)
+        pcm = decode_ima_chunk(r, prog.num_graph_outputs, S)
+        for slot in audio:
+            audio[slot].append(pcm[slot].astype(np.float32) / 32767.0)
+    x1 = np.concatenate(audio[h1.slot], axis=1)  # [ch, 4*S]
+    x2 = np.concatenate(audio[h2.slot], axis=1)
+
+    # session 1: the 440 Hz template tone, at full volume once the
+    # smoother settles (skip the first chunk)
+    tail = x1[0, S:]
+    spec = np.abs(np.fft.rfft(tail * np.hanning(tail.size)))
+    f_peak = np.argmax(spec) * SR / tail.size
+    assert abs(f_peak - 440.0) < 2.0 * SR / tail.size
+    assert rms(tail) > 0.1
+    # session 2 muted: silence quantizes to exact zero nibbles after the
+    # initial smoother ramp
+    assert rms(x2[:, S:]) < 1e-3
