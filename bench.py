@@ -139,8 +139,18 @@ def measure_anchor(budget_s=120.0):
     5 windows) timed in the same process as the headline.  Its wall time
     tracks tunnel/session weather (dispatch RPC latency, server load,
     chip clock) with negligible sensitivity to the engine's own code, so
-    ``headline × anchor_ms`` is comparable across rounds.  Returns the
-    median window wall in ms, or None on failure/overrun."""
+    ``headline × anchor_ms`` is comparable across rounds.  Returns
+    ``(median window wall ms, compile+first s)``, or ``(None, None)`` on
+    failure/overrun.
+
+    The compile time doubles as a SESSION-MODE probe: the axon server
+    has a bimodal compile mode (docs/PERF.md "Pathological-binary
+    sessions") where every fresh compile runs ~40× slow AND the
+    compiled mixer binary executes ~100-180× slow.  A fresh anchor
+    compile takes seconds in a healthy session and 3-4 minutes in the
+    pathological mode, so ``compile_s > 60`` ⇒ sweep smaller configs
+    first (they are the only ones that can finish compiling inside the
+    driver's budget)."""
     import jax
     import jax.numpy as jnp
 
@@ -158,7 +168,8 @@ def measure_anchor(budget_s=120.0):
         x = jnp.ones((n, n), jnp.float32)
         x = step(x)
         jax.block_until_ready(x)
-        log(f"anchor: compile+first {time.time()-t0:.1f}s")
+        compile_s = time.time() - t0
+        log(f"anchor: compile+first {compile_s:.1f}s")
         walls = []
         for trial in range(5):
             t1 = time.time()
@@ -172,10 +183,10 @@ def measure_anchor(budget_s=120.0):
         ms = float(np.median(walls)) * 1e3
         log(f"anchor: median {ms:.2f} ms / 8 chained dispatches "
             f"(spread {(max(walls)-min(walls))/np.median(walls):.3f})")
-        return ms
+        return ms, compile_s
     except Exception as e:  # the anchor must never sink the artifact
         log(f"anchor failed: {str(e).splitlines()[0][:160]}")
-        return None
+        return None, None
 
 
 def measure_serve(program, batch, k_blocks, trials=7, budget_s=150.0,
@@ -313,7 +324,13 @@ def main():
 
     # drift anchor BEFORE the sweep: seconds of compile, absorbs session
     # setup, and its failure can never block the JSON line
-    anchor_ms = measure_anchor()
+    anchor_ms, anchor_compile_s = measure_anchor()
+    slow_compile = anchor_compile_s is None or anchor_compile_s > 60.0
+    if slow_compile:
+        log("SLOW-COMPILE SESSION detected (anchor compile "
+            f"{anchor_compile_s if anchor_compile_s else float('nan'):.0f}s"
+            " > 60s): fresh compiles will run ~40x slow and may produce "
+            "pathological binaries — sweeping smallest configs first")
 
     program = _mixer_graph(block=BLOCK)
     log(f"graph: 64 nodes (62 processing + 2 sentinels), block={BLOCK}, sr={SR}")
@@ -423,17 +440,45 @@ def main():
     # Candidate configs; the strongest first so it always gets full trials
     # within the budget (measured on v5e round 1: 8192x32 strongest; K=64
     # compiles did not amortize; run-to-run spread is tunnel dispatch
-    # jitter, which the median + amortized window absorb).
-    configs = [(8192, 32), (8192, 16), (4096, 16)]
-    best_res, best_cfg = None, None
+    # jitter, which the median + amortized window absorb).  In a
+    # slow-compile session the order flips smallest-first: a fresh
+    # (8192,32) compile takes 20-30 min there (driver-budget suicide),
+    # while (4096,16) compiles in ~6-9 min even in that mode, so the
+    # artifact always gets SOME measured config.
+    configs = [(8192, 32), (4096, 32), (8192, 16), (4096, 16)]
+    if slow_compile:
+        configs = [(4096, 16), (4096, 32), (8192, 16), (8192, 32)]
+    # pathological-binary classifier (docs/PERF.md: same HLO compiles to
+    # a ~100-180x-slower executable in some sessions while plain matmuls
+    # run at full speed): a config whose per-dispatch wall is >10x the
+    # anchor's per-dispatch wall is flagged, and flagged results lose the
+    # headline to any unflagged config regardless of median.
+    anchor_dispatch_ms = (anchor_ms / 8.0) if anchor_ms else None
+
+    def is_pathological(res, batch, k):
+        if anchor_dispatch_ms is None:
+            return False
+        audio = batch * k * BLOCK / SR
+        per_dispatch_ms = audio / res["median"] * 1e3
+        return per_dispatch_ms > 10.0 * anchor_dispatch_ms
+
+    best_res, best_cfg, best_path = None, None, True
     for batch, k in configs:
         try:
             res = bench_config(batch, k)
         except Exception as e:  # OOM etc.
             log(f"  B={batch} K={k} failed: {e}")
             continue
-        if best_res is None or res["median"] > best_res["median"]:
-            best_res, best_cfg = res, (batch, k)
+        path = is_pathological(res, batch, k)
+        if path:
+            log(f"  B={batch} K={k}: PATHOLOGICAL BINARY "
+                f"(per-dispatch ≫ anchor; median {res['median']:.0f}x)")
+        better = (best_res is None
+                  or (best_path and not path)
+                  or (path == best_path
+                      and res["median"] > best_res["median"]))
+        if better:
+            best_res, best_cfg, best_path = res, (batch, k), path
         if time.time() - t_start > 420:
             log("time budget reached")
             break
@@ -469,6 +514,14 @@ def main():
         result["anchor_ms"] = round(anchor_ms, 2)
         # drift-insensitive product: compare THIS across rounds
         result["value_x_anchor"] = round(best_res["median"] * anchor_ms, 0)
+    if anchor_compile_s is not None:
+        result["anchor_compile_s"] = round(anchor_compile_s, 1)
+    # binary_mode: "ok" = the headline executable runs at anchor-relative
+    # speed; "pathological" = EVERY measured config hit the server's bad
+    # compile mode (docs/PERF.md "Pathological-binary sessions") and the
+    # value understates the engine by ~2 orders of magnitude.
+    if anchor_ms is not None:
+        result["binary_mode"] = "pathological" if best_path else "ok"
     print(json.dumps(result), flush=True)
 
 
