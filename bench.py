@@ -483,6 +483,28 @@ def main():
             log("time budget reached")
             break
 
+    # Poisoned-cache re-roll: if EVERY measured config hit a bad cached
+    # binary but THIS session compiles fast (good mode), compile
+    # never-before-used shapes — fresh cache keys compile fresh, and a
+    # good-mode fresh compile yields a good binary (docs/PERF.md
+    # "Pathological-binary sessions").  K=31 ≈ K=32 in work/shape.
+    if (best_res is not None and best_path and not slow_compile
+            and time.time() - t_start < 600):
+        log("all configs pathological in a fast-compile session: "
+            "re-rolling with fresh shapes")
+        for batch, k in [(8192, 31), (4096, 31)]:
+            try:
+                res = bench_config(batch, k)
+            except Exception as e:
+                log(f"  B={batch} K={k} failed: {e}")
+                continue
+            if not is_pathological(res, batch, k):
+                best_res, best_cfg, best_path = res, (batch, k), False
+                break
+            log(f"  B={batch} K={k}: still pathological")
+            if time.time() - t_start > 900:
+                break
+
     if best_res is None:
         print(json.dumps({"metric": "bench failed", "value": 0.0,
                           "unit": "x realtime", "vs_baseline": 0.0}))
