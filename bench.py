@@ -325,11 +325,14 @@ def main():
     # drift anchor BEFORE the sweep: seconds of compile, absorbs session
     # setup, and its failure can never block the JSON line
     anchor_ms, anchor_compile_s = measure_anchor()
-    slow_compile = anchor_compile_s is None or anchor_compile_s > 60.0
+    # 30 s: a healthy-session anchor compile is ~10 s; 43.9 s preceded a
+    # 35-minute pathological (8192,32) compile (2026-08-20), so lean
+    # conservative — smallest-first only costs a few hit-served configs.
+    slow_compile = anchor_compile_s is None or anchor_compile_s > 30.0
     if slow_compile:
         log("SLOW-COMPILE SESSION detected (anchor compile "
             f"{anchor_compile_s if anchor_compile_s else float('nan'):.0f}s"
-            " > 60s): fresh compiles will run ~40x slow and may produce "
+            " > 30s): fresh compiles will run ~40x slow and may produce "
             "pathological binaries — sweeping smallest configs first")
 
     program = _mixer_graph(block=BLOCK)
@@ -462,7 +465,77 @@ def main():
         per_dispatch_ms = audio / res["median"] * 1e3
         return per_dispatch_ms > 10.0 * anchor_dispatch_ms
 
-    best_res, best_cfg, best_path = None, None, True
+    # Shared sweep state + single-shot emitter: a watchdog thread prints
+    # the artifact at T=1500 s if the sweep hasn't — a wedged multi-minute
+    # compile must never leave the driver with rc=124 and no JSON line
+    # (round-4 postmortem).  The watchdog does NO device work (worker
+    # threads must never dispatch on axon — CLAUDE.md).
+    import threading
+
+    sweep = {"res": None, "cfg": None, "path": True}
+    emitted = threading.Event()
+
+    def emit(via):
+        if emitted.is_set():
+            return
+        emitted.set()
+        best_res, best_cfg = sweep["res"], sweep["cfg"]
+        if best_res is None:
+            out = {
+                "metric": (
+                    "bench incomplete: first config still compiling at "
+                    "the watchdog deadline (slow-compile session — see "
+                    "docs/PERF.md 'Pathological-binary sessions'); no "
+                    "trial completed"
+                ),
+                "value": 0.0, "unit": "x realtime", "vs_baseline": 0.0,
+            }
+            if anchor_ms is not None:
+                out["anchor_ms"] = round(anchor_ms, 2)
+            if anchor_compile_s is not None:
+                out["anchor_compile_s"] = round(anchor_compile_s, 1)
+            print(json.dumps(out), flush=True)
+            return
+        result = {
+            "metric": (
+                "median realtime factor (audio-sec/sec/chip), 64-node "
+                f"48kHz stereo graph, batch={best_cfg[0]}, "
+                f"K={best_cfg[1]}, median of >=5 trials; p99 block "
+                f"latency {best_res['p99_block_ms']:.3f} ms"
+            ),
+            "value": round(best_res["median"], 1),
+            "unit": "x realtime",
+            "vs_baseline": round(best_res["median"] / TARGET, 3),
+            "best": round(best_res["best"], 1),
+            "spread": best_res["spread"],
+            "amortized": round(best_res["amortized"], 1),
+        }
+        if anchor_ms is not None:
+            result["anchor_ms"] = round(anchor_ms, 2)
+            # drift-insensitive product: compare THIS across rounds
+            result["value_x_anchor"] = round(
+                best_res["median"] * anchor_ms, 0)
+        if anchor_compile_s is not None:
+            result["anchor_compile_s"] = round(anchor_compile_s, 1)
+        # binary_mode: "ok" = the headline executable runs at
+        # anchor-relative speed; "pathological" = EVERY measured config
+        # hit the server's bad compile mode and the value understates
+        # the engine by ~2 orders of magnitude.
+        if anchor_ms is not None:
+            result["binary_mode"] = (
+                "pathological" if sweep["path"] else "ok")
+        if via == "watchdog":
+            result["emitted_by"] = "watchdog"
+        print(json.dumps(result), flush=True)
+
+    def watchdog():
+        time.sleep(max(0.0, 1500.0 - (time.time() - t_start)))
+        if not emitted.is_set():
+            log("watchdog deadline: emitting the artifact now")
+            emit("watchdog")
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     for batch, k in configs:
         try:
             res = bench_config(batch, k)
@@ -473,15 +546,19 @@ def main():
         if path:
             log(f"  B={batch} K={k}: PATHOLOGICAL BINARY "
                 f"(per-dispatch ≫ anchor; median {res['median']:.0f}x)")
-        better = (best_res is None
-                  or (best_path and not path)
-                  or (path == best_path
-                      and res["median"] > best_res["median"]))
+        better = (sweep["res"] is None
+                  or (sweep["path"] and not path)
+                  or (path == sweep["path"]
+                      and res["median"] > sweep["res"]["median"]))
         if better:
-            best_res, best_cfg, best_path = res, (batch, k), path
+            sweep["res"], sweep["cfg"], sweep["path"] = res, (batch, k), path
+        if emitted.is_set():
+            log("artifact already emitted by watchdog; stopping sweep")
+            return
         if time.time() - t_start > 420:
             log("time budget reached")
             break
+    best_res, best_cfg, best_path = sweep["res"], sweep["cfg"], sweep["path"]
 
     # Poisoned-cache re-roll: if EVERY measured config hit a bad cached
     # binary but THIS session compiles fast (good mode), compile
@@ -489,7 +566,7 @@ def main():
     # good-mode fresh compile yields a good binary (docs/PERF.md
     # "Pathological-binary sessions").  K=31 ≈ K=32 in work/shape.
     if (best_res is not None and best_path and not slow_compile
-            and time.time() - t_start < 600):
+            and not emitted.is_set() and time.time() - t_start < 600):
         log("all configs pathological in a fast-compile session: "
             "re-rolling with fresh shapes")
         for batch, k in [(8192, 31), (4096, 31)]:
@@ -499,52 +576,24 @@ def main():
                 log(f"  B={batch} K={k} failed: {e}")
                 continue
             if not is_pathological(res, batch, k):
-                best_res, best_cfg, best_path = res, (batch, k), False
+                sweep["res"], sweep["cfg"], sweep["path"] = (
+                    res, (batch, k), False)
                 break
             log(f"  B={batch} K={k}: still pathological")
-            if time.time() - t_start > 900:
+            if emitted.is_set() or time.time() - t_start > 900:
                 break
+        best_res, best_cfg = sweep["res"], sweep["cfg"]
 
-    if best_res is None:
-        print(json.dumps({"metric": "bench failed", "value": 0.0,
-                          "unit": "x realtime", "vs_baseline": 0.0}))
-        return
-
-    log(f"best: {best_cfg} → median {best_res['median']:.0f}x realtime "
-        f"(best {best_res['best']:.0f}x, spread {best_res['spread']}, "
-        f"amortized {best_res['amortized']:.0f}x), p99 block latency "
-        f"{best_res['p99_block_ms']:.3f} ms (budget {BLOCK/SR*1e3:.2f} ms)")
+    if best_res is not None:
+        log(f"best: {best_cfg} → median {best_res['median']:.0f}x realtime "
+            f"(best {best_res['best']:.0f}x, spread {best_res['spread']}, "
+            f"amortized {best_res['amortized']:.0f}x), p99 block latency "
+            f"{best_res['p99_block_ms']:.3f} ms (budget {BLOCK/SR*1e3:.2f} ms)")
 
     # the JSON line prints NOW — nothing runs between the sweep and the
     # artifact (round-4 postmortem: BENCH_r04 rc=124, parsed=null).  The
     # serving loop is `--serve`; megakernel/hybrid are demoted modes.
-    result = {
-        "metric": (
-            "median realtime factor (audio-sec/sec/chip), 64-node "
-            f"48kHz stereo graph, batch={best_cfg[0]}, "
-            f"K={best_cfg[1]}, median of >=5 trials; p99 block "
-            f"latency {best_res['p99_block_ms']:.3f} ms"
-        ),
-        "value": round(best_res["median"], 1),
-        "unit": "x realtime",
-        "vs_baseline": round(best_res["median"] / TARGET, 3),
-        "best": round(best_res["best"], 1),
-        "spread": best_res["spread"],
-        "amortized": round(best_res["amortized"], 1),
-    }
-    if anchor_ms is not None:
-        result["anchor_ms"] = round(anchor_ms, 2)
-        # drift-insensitive product: compare THIS across rounds
-        result["value_x_anchor"] = round(best_res["median"] * anchor_ms, 0)
-    if anchor_compile_s is not None:
-        result["anchor_compile_s"] = round(anchor_compile_s, 1)
-    # binary_mode: "ok" = the headline executable runs at anchor-relative
-    # speed; "pathological" = EVERY measured config hit the server's bad
-    # compile mode (docs/PERF.md "Pathological-binary sessions") and the
-    # value understates the engine by ~2 orders of magnitude.
-    if anchor_ms is not None:
-        result["binary_mode"] = "pathological" if best_path else "ok"
-    print(json.dumps(result), flush=True)
+    emit("sweep")
 
 
 def bench_hybrid():
