@@ -440,17 +440,19 @@ def main():
             "p99_block_ms": p99_block_ms,
         }
 
-    # Candidate configs; the strongest first so it always gets full trials
-    # within the budget (measured on v5e round 1: 8192x32 strongest; K=64
-    # compiles did not amortize; run-to-run spread is tunnel dispatch
-    # jitter, which the median + amortized window absorb).  In a
-    # slow-compile session the order flips smallest-first: a fresh
-    # (8192,32) compile takes 20-30 min there (driver-budget suicide),
-    # while (4096,16) compiles in ~6-9 min even in that mode, so the
-    # artifact always gets SOME measured config.
-    configs = [(8192, 32), (4096, 32), (8192, 16), (4096, 16)]
+    # Candidate configs.  (8192,32) — the historical 280-392k headline —
+    # goes LAST as of 2026-08-20: every fresh compile of it that day took
+    # 20-35 min and produced a pathological (~2,200x) binary regardless
+    # of session mode (three independent fresh compiles; the morning
+    # 392k was a cache hit on the round-4-era good binary, since
+    # evicted — its large executable LRU-evicts within ~30-60 min).
+    # (4096,32)/(8192,16) fresh-compile good (155k/71k measured) in
+    # minutes, so they carry the artifact.  In a slow-compile session
+    # the order flips smallest-first so SOME config always finishes
+    # inside the driver budget.
+    configs = [(4096, 32), (8192, 16), (4096, 16), (8192, 32)]
     if slow_compile:
-        configs = [(4096, 16), (4096, 32), (8192, 16), (8192, 32)]
+        configs = [(4096, 16), (4096, 32), (8192, 16)]
     # pathological-binary classifier (docs/PERF.md: same HLO compiles to
     # a ~100-180x-slower executable in some sessions while plain matmuls
     # run at full speed): a config whose per-dispatch wall is >10x the
